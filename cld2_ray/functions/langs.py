@@ -1,0 +1,137 @@
+"""Language registry (the engine's analogue of generated_language.h).
+
+Integer lang ids index every score array in the engine. Id 0 is
+UNKNOWN ("un"). Codes are BCP-47-ish lowercase, matching what the
+pipeline emits in its ``lang1``/``lang2``/``lang3`` columns.
+
+Close sets mirror the reference's statistically-close language groups
+(reference: internal/lang_script.cc:260-308 LanguageCloseSet) and the
+tier rule for summary-language calculation (compact_lang_det_impl.cc:
+1404-1406: Tier-3 second language needs >= 128 bytes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import uscript as us
+
+UNKNOWN = 0
+
+# (code, tier) — tier 3 entries need kGoodSecondT3MinBytes for second place.
+_LANG_DEFS: list[tuple[str, int]] = [
+    ("un", 1),
+    # Latin-script quadgram languages
+    ("en", 1), ("fr", 1), ("de", 1), ("es", 1), ("it", 1), ("pt", 1),
+    ("nl", 1), ("sv", 1), ("no", 1), ("da", 1), ("fi", 1), ("is", 3),
+    ("pl", 1), ("cs", 1), ("sk", 1), ("hu", 1), ("ro", 1), ("tr", 1),
+    ("id", 1), ("ms", 1), ("vi", 1), ("ca", 2), ("gl", 3), ("et", 2),
+    ("lv", 2), ("lt", 2), ("sl", 2), ("hr", 1), ("bs", 3), ("sq", 2),
+    ("sw", 2), ("tl", 2), ("af", 2), ("eu", 3), ("cy", 3), ("ga", 3),
+    ("mt", 3),
+    # Cyrillic-script quadgram languages
+    ("ru", 1), ("uk", 1), ("bg", 1), ("sr", 1), ("mk", 2), ("be", 2),
+    # Arabic-script quadgram languages
+    ("ar", 1), ("fa", 1), ("ur", 2),
+    # Devanagari-script quadgram languages
+    ("hi", 1), ("mr", 2), ("ne", 2),
+    # single-script languages (RTypeOne)
+    ("el", 1), ("he", 1), ("th", 1), ("ta", 1), ("te", 1), ("kn", 1),
+    ("ml", 1), ("si", 2), ("bn", 1), ("pa", 2), ("gu", 2), ("or", 2),
+    ("ka", 2), ("hy", 2), ("am", 2), ("km", 2), ("lo", 2), ("my", 2),
+    ("bo", 3),
+    # CJK (unigram scoring)
+    ("zh", 1), ("zh-Hant", 1), ("ja", 1), ("ko", 1),
+]
+
+CODES: list[str] = [c for c, _ in _LANG_DEFS]
+TIER = np.array([t for _, t in _LANG_DEFS], dtype=np.int8)
+NUM_LANGS = len(CODES)
+CODE_TO_ID: dict[str, int] = {c: i for i, c in enumerate(CODES)}
+
+
+def lang_id(code: str) -> int:
+    return CODE_TO_ID.get(code, UNKNOWN)
+
+
+def lang_code(lid: int) -> str:
+    return CODES[lid] if 0 <= lid < NUM_LANGS else "un"
+
+
+# Statistically-close language sets (reference lang_script.cc:274-308).
+# Only sets whose members this engine supports are kept.
+_CLOSE_GROUPS = [
+    ("id", "ms"),
+    ("cs", "sk"),
+    ("bs", "hr", "sr"),
+    ("hi", "mr", "ne"),
+    ("no", "da"),
+    ("gl", "es", "pt"),
+]
+
+CLOSE_SET = np.zeros(NUM_LANGS, dtype=np.int8)
+for _gi, _grp in enumerate(_CLOSE_GROUPS, start=1):
+    for _c in _grp:
+        CLOSE_SET[lang_id(_c)] = _gi
+
+
+def language_close_set(lid: int) -> int:
+    return int(CLOSE_SET[lid])
+
+
+# Statistically closest fallback language for unreliable-language merging
+# (the engine's analogue of kClosestAltLanguage,
+# compact_lang_det_impl.cc:259-427). Derived from the close sets plus the
+# best-known quadgram correlations among supported languages.
+_CLOSEST_ALT = {
+    "id": "ms", "ms": "id", "cs": "sk", "sk": "cs",
+    "bs": "hr", "hr": "bs", "sr": "hr",
+    "hi": "mr", "mr": "hi", "ne": "hi",
+    "no": "da", "da": "no",
+    "gl": "pt", "pt": "es", "es": "pt", "ca": "es",
+    "fa": "ar", "ur": "ar",
+    "uk": "ru", "be": "ru", "mk": "bg", "bg": "mk",
+    "af": "nl", "zh-Hant": "zh",
+}
+CLOSEST_ALT = np.zeros(NUM_LANGS, dtype=np.int16)
+for _src, _dst in _CLOSEST_ALT.items():
+    CLOSEST_ALT[lang_id(_src)] = lang_id(_dst)
+
+
+# Script -> languages. RTypeOne scripts map 1:1; RTypeMany scripts list
+# their quadgram-scored candidates (used by training + scoring);
+# HANI is scored by unigrams over zh / zh-Hant / ja / ko.
+SCRIPT_DEFAULT_LANG = np.zeros(us.NUM_SCRIPTS, dtype=np.int16)
+_SCRIPT_ONE = {
+    us.GREEK: "el", us.HEBREW: "he", us.THAI: "th", us.TAMIL: "ta",
+    us.TELUGU: "te", us.KANNADA: "kn", us.MALAYALAM: "ml",
+    us.SINHALA: "si", us.BENGALI: "bn", us.GURMUKHI: "pa",
+    us.GUJARATI: "gu", us.ORIYA: "or", us.GEORGIAN: "ka",
+    us.ARMENIAN: "hy", us.ETHIOPIC: "am", us.KHMER: "km",
+    us.LAO: "lo", us.MYANMAR: "my", us.TIBETAN: "bo",
+}
+for _s, _c in _SCRIPT_ONE.items():
+    SCRIPT_DEFAULT_LANG[_s] = lang_id(_c)
+SCRIPT_DEFAULT_LANG[us.LATIN] = lang_id("en")
+SCRIPT_DEFAULT_LANG[us.CYRILLIC] = lang_id("ru")
+SCRIPT_DEFAULT_LANG[us.ARABIC] = lang_id("ar")
+SCRIPT_DEFAULT_LANG[us.DEVANAGARI] = lang_id("hi")
+SCRIPT_DEFAULT_LANG[us.HANI] = lang_id("zh")
+
+SCRIPT_OF_LANG: dict[str, int] = {}
+for _s, _c in _SCRIPT_ONE.items():
+    SCRIPT_OF_LANG[_c] = _s
+for _c in ("ru", "uk", "bg", "sr", "mk", "be"):
+    SCRIPT_OF_LANG[_c] = us.CYRILLIC
+for _c in ("ar", "fa", "ur"):
+    SCRIPT_OF_LANG[_c] = us.ARABIC
+for _c in ("hi", "mr", "ne"):
+    SCRIPT_OF_LANG[_c] = us.DEVANAGARI
+for _c in ("zh", "zh-Hant", "ja", "ko"):
+    SCRIPT_OF_LANG[_c] = us.HANI
+for _c, _t in _LANG_DEFS:
+    SCRIPT_OF_LANG.setdefault(_c, us.LATIN)
+
+FIGS = frozenset(lang_id(c) for c in ("fr", "it", "de", "es"))
+EFIGS = frozenset(lang_id(c) for c in ("en", "fr", "it", "de", "es"))
+ENGLISH = lang_id("en")

@@ -1,0 +1,119 @@
+"""Script-run segmentation of extracted text (GetOneScriptSpan analogue).
+
+Splits a document's extracted text into runs of same-script letters,
+non-letters collapsed to single spaces, each span lowercased and framed
+by a leading space and trailing spaces — the reference's LangSpan
+format (reference: internal/getonescriptspan.cc:799-1027
+GetOneScriptSpan + :1033-1065 LowerScriptSpan, langspan.h:28-36).
+
+Differences from the reference, by design (documented, oracle-shared):
+* lowercasing uses Python ``str.lower()`` instead of the pinned
+  Unicode-version remap table (utf8repl_lettermarklower.h),
+* the single-foreign-letter continuation rule
+  (getonescriptspan.cc:905-930) is not applied — runs break strictly
+  on script change.
+
+Vectorized: the document becomes one int32 codepoint array; the script
+LUT, run boundaries, and word-gap spaces are all computed with numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import uscript as us
+
+MAX_SCRIPT_BYTES = 40960      # kMaxScriptBuffer (getonescriptspan.h:29-33)
+TEXT_LIMIT = 160 * 1024       # FLAGS_cld_textlimit in KB (impl.cc:192,1811)
+
+
+@dataclass
+class ScriptSpan:
+    text: str          # " word word word " — lowercased, space-framed
+    script: int        # uscript id
+    offset: int        # letter index into the document (diagnostic)
+    text_bytes: int    # UTF-8 length of the letters+spaces content
+
+
+def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
+    """Split extracted text into same-script letter spans."""
+    lowered = text.lower()
+    if len(lowered) != len(text):
+        # pathological case-fold length change; positions don't matter much
+        text = lowered
+    cps = us.codepoints(lowered)
+    if cps.size == 0:
+        return []
+    sc = us.scripts_of(cps)
+    letter_idx = np.flatnonzero(sc)
+    if letter_idx.size == 0:
+        return []
+
+    # per-document letter budget (the reference's 160KB scan cap):
+    # truncate the letter stream, not just whole spans
+    lb = us.utf8_len_of(cps[letter_idx])
+    if int(lb.sum()) > text_limit:
+        keep = np.searchsorted(np.cumsum(lb), text_limit, side="right")
+        letter_idx = letter_idx[:max(int(keep), 1)]
+
+    letter_sc = sc[letter_idx]
+    # word gap before letter i: any non-letter between it and previous letter
+    gap = np.empty(letter_idx.size, dtype=bool)
+    gap[0] = True
+    np.not_equal(letter_idx[1:], letter_idx[:-1] + 1, out=gap[1:])
+    # span break on script change
+    brk = np.empty(letter_idx.size, dtype=bool)
+    brk[0] = True
+    np.not_equal(letter_sc[1:], letter_sc[:-1], out=brk[1:])
+
+    span_starts = np.flatnonzero(brk)
+    span_ends = np.append(span_starts[1:], letter_idx.size)
+
+    utf8len = us.utf8_len_of(cps[letter_idx])
+
+    out: list[ScriptSpan] = []
+    letters_cp = cps[letter_idx]
+    for s, e in zip(span_starts.tolist(), span_ends.tolist()):
+        script = int(letter_sc[s])
+        # build " w1 w2 " with single spaces at word gaps, split at
+        # MAX_SCRIPT_BYTES-ish boundaries for giant runs
+        seg_cp = letters_cp[s:e]
+        seg_gap = gap[s:e].copy()
+        seg_gap[0] = False
+        seg_bytes = utf8len[s:e]
+        n = e - s
+        # split points: cap spans at MAX_SCRIPT_BYTES utf8 bytes, at word gaps
+        approx = np.cumsum(seg_bytes + seg_gap)
+        n_chunks = int(approx[-1] // MAX_SCRIPT_BYTES) + 1
+        if n_chunks == 1:
+            bounds = [0, n]
+        else:
+            bounds = [0]
+            gap_pos = np.flatnonzero(seg_gap)
+            for k in range(1, n_chunks):
+                target = int(np.searchsorted(approx, k * MAX_SCRIPT_BYTES))
+                gi = np.searchsorted(gap_pos, target)
+                pos = int(gap_pos[gi - 1]) if gi > 0 else target
+                if pos > bounds[-1]:
+                    bounds.append(pos)
+            if bounds[-1] != n:
+                bounds.append(n)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            piece_cp = seg_cp[b0:b1]
+            piece_gap = seg_gap[b0:b1].copy()
+            piece_gap[0] = False
+            # output array: letters + inserted spaces + frame
+            n_sp = int(piece_gap.sum())
+            out_cp = np.full(piece_cp.size + n_sp + 2, 32, dtype=np.uint32)
+            pos_in_out = 1 + np.arange(piece_cp.size) + np.cumsum(piece_gap)
+            out_cp[pos_in_out] = piece_cp
+            s_text = out_cp.tobytes().decode("utf-32-le")
+            out.append(ScriptSpan(
+                text=s_text,
+                script=int(script),
+                offset=int(letter_idx[s + b0]),
+                text_bytes=int(seg_bytes[b0:b1].sum() + n_sp + 2),
+            ))
+    return out

@@ -1,0 +1,166 @@
+"""Unicode-letter script classification (ULScript analogue).
+
+Mirrors the reference's per-character "Unicode Letters script" property
+(reference: internal/utf8prop_lettermarkscriptnum.h via
+GetUTF8LetterScriptNum, getonescriptspan.cc:1083-1088) with all CJK
+scripts merged into one HANI bucket (reference: lang_script.h:44-52).
+
+We build a flat ``uint8`` lookup table over codepoints 0..0x2FFFF once
+per process (letters and combining marks get their script id, everything
+else 0) and classify whole documents as numpy int32 codepoint arrays —
+the vectorized equivalent of the reference's byte-at-a-time UTF-8 state
+machine.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+import numpy as np
+
+# Script ids. 0 = not-a-letter (or unsupported script -> treated as non-letter).
+COMMON = 0
+LATIN = 1
+CYRILLIC = 2
+GREEK = 3
+ARABIC = 4
+HEBREW = 5
+DEVANAGARI = 6
+BENGALI = 7
+GURMUKHI = 8
+GUJARATI = 9
+ORIYA = 10
+TAMIL = 11
+TELUGU = 12
+KANNADA = 13
+MALAYALAM = 14
+SINHALA = 15
+THAI = 16
+LAO = 17
+TIBETAN = 18
+MYANMAR = 19
+GEORGIAN = 20
+ETHIOPIC = 21
+KHMER = 22
+ARMENIAN = 23
+HANI = 24  # Han + Hiragana + Katakana + Hangul + Bopomofo, merged like ULScript_Hani
+
+NUM_SCRIPTS = 25
+
+SCRIPT_NAMES = [
+    "Common", "Latn", "Cyrl", "Grek", "Arab", "Hebr", "Deva", "Beng",
+    "Guru", "Gujr", "Orya", "Taml", "Telu", "Knda", "Mlym", "Sinh",
+    "Thai", "Laoo", "Tibt", "Mymr", "Geor", "Ethi", "Khmr", "Armn",
+    "Hani",
+]
+
+# Public Unicode block ranges (inclusive) per script. Letters/marks only
+# are kept when the LUT is built (gated on unicodedata category L*/M*,
+# the same letters+marks set the reference's property table encodes).
+_RANGES: list[tuple[int, int, int]] = [
+    (0x0041, 0x024F, LATIN),
+    (0x1E00, 0x1EFF, LATIN),
+    (0x2C60, 0x2C7F, LATIN),
+    (0xA720, 0xA7FF, LATIN),
+    (0x0370, 0x03FF, GREEK),
+    (0x1F00, 0x1FFF, GREEK),
+    (0x0400, 0x052F, CYRILLIC),
+    (0x2DE0, 0x2DFF, CYRILLIC),
+    (0xA640, 0xA69F, CYRILLIC),
+    (0x0530, 0x058F, ARMENIAN),
+    (0x0590, 0x05FF, HEBREW),
+    (0x0600, 0x06FF, ARABIC),
+    (0x0750, 0x077F, ARABIC),
+    (0x08A0, 0x08FF, ARABIC),
+    (0xFB50, 0xFDFF, ARABIC),
+    (0xFE70, 0xFEFF, ARABIC),
+    (0x0900, 0x097F, DEVANAGARI),
+    (0xA8E0, 0xA8FF, DEVANAGARI),
+    (0x0980, 0x09FF, BENGALI),
+    (0x0A00, 0x0A7F, GURMUKHI),
+    (0x0A80, 0x0AFF, GUJARATI),
+    (0x0B00, 0x0B7F, ORIYA),
+    (0x0B80, 0x0BFF, TAMIL),
+    (0x0C00, 0x0C7F, TELUGU),
+    (0x0C80, 0x0CFF, KANNADA),
+    (0x0D00, 0x0D7F, MALAYALAM),
+    (0x0D80, 0x0DFF, SINHALA),
+    (0x0E00, 0x0E7F, THAI),
+    (0x0E80, 0x0EFF, LAO),
+    (0x0F00, 0x0FFF, TIBETAN),
+    (0x1000, 0x109F, MYANMAR),
+    (0x10A0, 0x10FF, GEORGIAN),
+    (0x2D00, 0x2D2F, GEORGIAN),
+    (0x1200, 0x139F, ETHIOPIC),
+    (0x1780, 0x17FF, KHMER),
+    # CJK merged bucket
+    (0x1100, 0x11FF, HANI),   # Hangul Jamo
+    (0x2E80, 0x2EFF, HANI),   # CJK radicals
+    (0x3005, 0x3007, HANI),   # iteration mark, ideographic zero
+    (0x3040, 0x309F, HANI),   # Hiragana
+    (0x30A0, 0x30FF, HANI),   # Katakana
+    (0x3100, 0x312F, HANI),   # Bopomofo
+    (0x31A0, 0x31BF, HANI),
+    (0x31F0, 0x31FF, HANI),   # Katakana phonetic ext
+    (0x3400, 0x4DBF, HANI),   # CJK ext A
+    (0x4E00, 0x9FFF, HANI),   # CJK unified
+    (0xA960, 0xA97F, HANI),   # Hangul Jamo ext
+    (0xAC00, 0xD7FF, HANI),   # Hangul syllables + Jamo ext B
+    (0xF900, 0xFAFF, HANI),   # CJK compat ideographs
+    (0x20000, 0x2FFFF, HANI),  # CJK ext B..F + compat supplement
+]
+
+LUT_SIZE = 0x30000
+
+# Recognition type per script (reference: generated_ulscript.h:26 ULScriptRType)
+RTYPE_NONE = 0   # unsupported -> default language, score by bytes
+RTYPE_ONE = 1    # script implies exactly one language
+RTYPE_MANY = 2   # quadgram scoring
+RTYPE_CJK = 3    # unigram scoring
+
+_RTYPE = np.zeros(NUM_SCRIPTS, dtype=np.uint8)
+_RTYPE[[LATIN, CYRILLIC, ARABIC, DEVANAGARI]] = RTYPE_MANY
+_RTYPE[HANI] = RTYPE_CJK
+for _s in (GREEK, HEBREW, BENGALI, GURMUKHI, GUJARATI, ORIYA, TAMIL, TELUGU,
+           KANNADA, MALAYALAM, SINHALA, THAI, LAO, TIBETAN, MYANMAR, GEORGIAN,
+           ETHIOPIC, KHMER, ARMENIAN):
+    _RTYPE[_s] = RTYPE_ONE
+
+
+def script_rtype(script: int) -> int:
+    return int(_RTYPE[script])
+
+
+@lru_cache(maxsize=1)
+def script_lut() -> np.ndarray:
+    """uint8[0x30000]: codepoint -> script id (0 for non-letter)."""
+    lut = np.zeros(LUT_SIZE, dtype=np.uint8)
+    for lo, hi, sid in _RANGES:
+        hi = min(hi, LUT_SIZE - 1)
+        for cp in range(lo, hi + 1):
+            cat = unicodedata.category(chr(cp))
+            if cat[0] in ("L", "M"):
+                lut[cp] = sid
+    return lut
+
+
+def codepoints(text: str) -> np.ndarray:
+    """Vectorized str -> int32 codepoint array (UTF-32 view)."""
+    if not text:
+        return np.empty(0, dtype=np.uint32)
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+
+
+def scripts_of(cps: np.ndarray) -> np.ndarray:
+    """Map codepoint array -> script-id array via the LUT (0 beyond range)."""
+    lut = script_lut()
+    out = np.zeros(cps.shape, dtype=np.uint8)
+    in_range = cps < LUT_SIZE
+    out[in_range] = lut[cps[in_range]]
+    return out
+
+
+def utf8_len_of(cps: np.ndarray) -> np.ndarray:
+    """Per-codepoint UTF-8 encoded byte length (1..4), vectorized."""
+    return (1 + (cps >= 0x80).astype(np.int64) + (cps >= 0x800) + (cps >= 0x10000))
