@@ -1,0 +1,147 @@
+"""Document-level language detection — the DetectLanguageSummaryV2
+analogue (reference: internal/compact_lang_det_impl.cc:1707-2106).
+
+Chain per document:
+  UTF-8 gate -> extract (HTML) -> script spans -> per-span hit
+  extraction + table lookup -> chunk scoring -> DocTote -> close-pair
+  refinement -> unreliable removal -> top-3 + percents -> summary
+  language calculus -> optional second pass with repeat-word removal
+  (the Repeats retry, impl.cc:1979-2106).
+
+This is the single-process oracle AND the kernel the Ray actor stage
+runs per row — same code, which is what makes pipeline-vs-oracle
+equality exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import hits, langs, score, spans, uscript as us
+from .extract import extract_text, valid_utf8_prefix
+from .repeats import remove_repeated_words
+from cld2_ray.state.model import unpack_langprobs
+
+
+@dataclass
+class Hints:
+    tld: str = ""
+    content_language: str = ""
+    language: str = ""
+
+
+class Detector:
+    """Holds the immutable LangModel; one instance per Ray actor
+    (stateful-stage pattern, SURVEY.md §2.3)."""
+
+    def __init__(self, model=None):
+        if model is None:
+            from cld2_ray.state.model import default_model
+            model = default_model()
+        self.model = model
+
+    # -- span scoring -------------------------------------------------------
+
+    def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote) -> None:
+        rt = us.script_rtype(sp.script)
+        if rt == us.RTYPE_MANY:
+            sb = sp.text.encode("utf-8")
+            h, off = hits.quad_hits_dense(sb)
+            vals = self.model.quad.lookup(h)
+            hit = vals != 0
+            # word (octagram) hits participate in the same chunk stream
+            oh, ooff = hits.octa_hits(sb)
+            ovals = self.model.octa.lookup(oh)
+            ohit = ovals != 0
+            all_vals = np.concatenate([vals[hit], ovals[ohit]])
+            all_off = np.concatenate([off[hit], ooff[ohit]])
+            order = np.argsort(all_off, kind="stable")
+            l3, q3 = unpack_langprobs(all_vals[order])
+            c = score.score_chunks(l3, q3, all_off[order], len(sb),
+                                   score.CHUNKSIZE_QUADS,
+                                   self.model.expected_quad)
+            tote.add_chunks(*c)
+        elif rt == us.RTYPE_CJK:
+            uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
+            uvals = self.model.uni.lookup(uni)
+            bvals = self.model.bi.lookup(bi)
+            all_vals = np.concatenate([uvals[uvals != 0], bvals[bvals != 0]])
+            all_pos = np.concatenate([upos[uvals != 0], bpos[bvals != 0]])
+            order = np.argsort(all_pos, kind="stable")
+            l3, q3 = unpack_langprobs(all_vals[order])
+            # positions are char indices; scale to bytes via span length
+            c = score.score_chunks(l3, q3, all_pos[order] * 3,
+                                   sp.text_bytes, score.CHUNKSIZE_UNIS,
+                                   self.model.expected_uni)
+            tote.add_chunks(*c)
+        elif rt == us.RTYPE_ONE:
+            # script implies the language: score = bytes, reliability 100
+            # (scoreonescriptspan.cc:1132-1160)
+            lid = int(langs.SCRIPT_DEFAULT_LANG[sp.script])
+            tote.add(lid, sp.text_bytes, sp.text_bytes, 100)
+        # RTYPE_NONE: unsupported script -> ignored
+
+    def _detect_spans(self, span_list: list[spans.ScriptSpan],
+                      total_letter_bytes: int,
+                      best_effort: bool) -> score.DetectResult:
+        tote = score.DocTote()
+        for sp in span_list:
+            self._score_span(sp, tote)
+        score.refine_close_pairs(tote)
+        score.remove_unreliable(tote)
+        language3, percent3, nscore3, total, is_rel = \
+            score.extract_lang_etc(tote, total_letter_bytes)
+        summary, rel2 = score.calc_summary_lang(language3, percent3, total,
+                                                best_effort)
+        return score.DetectResult(
+            summary_lang=summary,
+            language3=tuple(language3),
+            percent3=tuple(percent3),
+            normalized_score3=tuple(nscore3),
+            text_bytes=total,
+            is_reliable=is_rel and rel2,
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def detect(self, text: str, best_effort: bool = False) -> score.DetectResult:
+        """Detect language(s) of already-extracted plain text."""
+        span_list = spans.script_spans(text)
+        total = sum(sp.text_bytes for sp in span_list)
+        res = self._detect_spans(span_list, total, best_effort)
+
+        # Retry controller (impl.cc:1979-2106): accept if short, or
+        # reliable & dominant; else one more pass with repeat-word
+        # removal (the Repeats flag path).
+        good = (total <= score.SHORT_TEXT_THRESH
+                or (res.is_reliable and res.percent3[0] >= score.GOOD_LANG1_PERCENT)
+                or (res.is_reliable and res.percent3[0] + res.percent3[1]
+                    >= score.GOOD_LANG1AND2_PERCENT))
+        if good:
+            return res
+        squeezed = [spans.ScriptSpan(remove_repeated_words(sp.text),
+                                     sp.script, sp.offset, sp.text_bytes)
+                    for sp in span_list]
+        total2 = sum(len(sp.text.encode("utf-8")) for sp in squeezed)
+        res2 = self._detect_spans(squeezed, max(total2, 1), best_effort)
+        # keep the retry result if it reached a conclusion (impl.cc accepts
+        # the second-pass answer unconditionally)
+        return res2 if res2.summary_lang != langs.UNKNOWN or \
+            res.summary_lang == langs.UNKNOWN else res
+
+    def detect_html(self, html: bytes) -> tuple[score.DetectResult, str, int]:
+        """UTF-8 gate + extraction + detection for raw page bytes.
+        Returns (result, extracted_text, valid_prefix_bytes)."""
+        vp = valid_utf8_prefix(html)
+        if vp < len(html):
+            # invalid UTF-8 input -> UNKNOWN, like
+            # ExtDetectLanguageSummaryCheckUTF8 (compact_lang_det.cc:317-334)
+            text = extract_text(html[:vp]) if vp else ""
+            return (score.DetectResult(langs.UNKNOWN,
+                                       (langs.UNKNOWN,) * 3, (0, 0, 0),
+                                       (0.0, 0.0, 0.0), vp, False),
+                    text, vp)
+        text = extract_text(html)
+        return self.detect(text), text, vp

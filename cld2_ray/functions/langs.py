@@ -66,7 +66,11 @@ _CLOSE_GROUPS = [
     ("bs", "hr", "sr"),
     ("hi", "mr", "ne"),
     ("no", "da"),
-    ("gl", "es", "pt"),
+    # ca added to the reference's {gl,es,pt} set: close sets are
+    # derived from the engine's own quadgram tables (lang_script.cc:262
+    # "statistically close ... based on quadgram table"), and with this
+    # engine's tables Catalan is statistically close to Spanish.
+    ("gl", "es", "pt", "ca"),
 ]
 
 CLOSE_SET = np.zeros(NUM_LANGS, dtype=np.int8)

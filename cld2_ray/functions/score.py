@@ -1,0 +1,332 @@
+"""Chunk and document scoring — the Naive-Bayes summarization chain.
+
+Reimplements, with the reference's exact integer math:
+
+* chunking + per-chunk Tote top-2 (reference: internal/
+  scoreonescriptspan.cc:978-1031 ChunkAll, :208-259 ScoreOneChunk;
+  chunk sizes kChunksizeQuads=20 / kChunksizeUnis=50,
+  scoreonescriptspan.h:91-92),
+* ReliabilityDelta / ReliabilityExpected (cldutil.cc:553-605),
+* DocTote accumulation with the 24-slot cap (tote.h:67-108),
+* RefineScoredClosePairs (compact_lang_det_impl.cc:1152-1203),
+* RemoveUnreliableLanguages with closest-alt merging
+  (compact_lang_det_impl.cc:981-1101, threshold 41%),
+* ExtractLangEtc percent rounding fix + normalized score
+  (compact_lang_det_impl.cc:1268-1384),
+* CalcSummaryLang — English/FIGS boilerplate rules, 26%/51%/20%
+  thresholds, Tier-3 128-byte second-language rule
+  (compact_lang_det_impl.cc:1414-1522).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import langs
+
+CHUNKSIZE_QUADS = 40  # reference: 20 at stride-2 sampling (~40 letters);
+                      # this engine samples densely, so 40 hits covers the
+                      # same ~40-letter window per chunk
+CHUNKSIZE_UNIS = 50
+MIN_GRAM_COUNT = 3
+MAX_GRAM_COUNT = 16
+MIN_RELIABLE_KEEP_PERCENT = 41
+DOC_TOTE_SLOTS = 24
+
+GOOD_LANG1_PERCENT = 70
+GOOD_LANG1AND2_PERCENT = 93
+SHORT_TEXT_THRESH = 256
+NON_EN_BOILERPLATE_MIN_PERCENT = 17
+NON_FIGS_BOILERPLATE_MIN_PERCENT = 20
+GOOD_FIRST_MIN_PERCENT = 26
+GOOD_FIRST_RELIABLE_MIN_PERCENT = 51
+IGNORE_MAX_PERCENT = 20
+KEEP_MIN_PERCENT = 2
+GOOD_SECOND_T1T2_MIN_BYTES = 15
+GOOD_SECOND_T3_MIN_BYTES = 128
+
+
+def reliability_delta(value1: np.ndarray, value2: np.ndarray,
+                      gramcount: np.ndarray) -> np.ndarray:
+    """Vectorized ReliabilityDelta (cldutil.cc:553-571)."""
+    v1 = value1.astype(np.int64)
+    v2 = value2.astype(np.int64)
+    g = gramcount.astype(np.int64)
+    max_rel = np.where(g < 8, 12 * g, 100)
+    thresh = np.clip((g * 5) >> 3, MIN_GRAM_COUNT, MAX_GRAM_COUNT)
+    delta = v1 - v2
+    rel = np.where(delta >= thresh, max_rel,
+                   np.where(delta <= 0, 0,
+                            np.minimum(max_rel, (100 * delta) // thresh)))
+    return rel
+
+
+def reliability_expected(actual_1kb: np.ndarray,
+                         expected_1kb: np.ndarray) -> np.ndarray:
+    """Vectorized ReliabilityExpected (cldutil.cc:586-605):
+    ratio <= 1.5 -> 100%, >= 4.0 -> 0%, linear in between."""
+    a = actual_1kb.astype(np.float64)
+    e = expected_1kb.astype(np.float64)
+    out = np.full(len(a), 100, dtype=np.int64)
+    has_exp = e != 0
+    zero_act = (a == 0) & has_exp
+    both = has_exp & ~zero_act
+    ratio = np.ones(len(a))
+    np.divide(np.maximum(a, e), np.minimum(np.maximum(a, 1e-9), np.maximum(e, 1e-9)),
+              out=ratio, where=both)
+    pct = np.clip(100.0 * (4.0 - ratio) / (4.0 - 1.5), 0, 100).astype(np.int64)
+    out[both & (ratio > 1.5)] = pct[both & (ratio > 1.5)]
+    out[zero_act] = 0
+    return out
+
+
+def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
+                 offsets: np.ndarray, span_end: int, chunk_size: int,
+                 expected_1kb: np.ndarray):
+    """Score a span's hits in fixed-size chunks.
+
+    lang3/qprob3: (n_hits, 3) decoded langprobs. offsets: byte offset of
+    each hit in the span. Returns arrays (lang1, bytes, score1, rel) per
+    chunk — exactly what SummaryBufferToDocTote feeds the DocTote
+    (scoreonescriptspan.cc:305-315).
+    """
+    nh = len(offsets)
+    if nh == 0:
+        return (np.empty(0, np.int16), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64))
+    nchunks = max(1, nh // chunk_size)
+    chunk_of = np.minimum(np.arange(nh) // chunk_size, nchunks - 1)
+
+    scores = np.zeros((nchunks, langs.NUM_LANGS), dtype=np.int64)
+    np.add.at(scores, (np.repeat(chunk_of, 3), lang3.ravel()), qprob3.ravel())
+    scores[:, langs.UNKNOWN] = 0  # slot 0 holds empty decode lanes
+
+    order = np.argsort(scores, axis=1)
+    top1 = order[:, -1]
+    top2 = order[:, -2]
+    s1 = np.take_along_axis(scores, top1[:, None], axis=1)[:, 0]
+    s2 = np.take_along_axis(scores, top2[:, None], axis=1)[:, 0]
+
+    starts = offsets[::chunk_size][:nchunks]
+    ends = np.append(starts[1:], span_end)
+    cbytes = np.maximum(ends - starts, 1)
+
+    grams = np.bincount(chunk_of, minlength=nchunks)
+    rel_d = reliability_delta(s1, s2, grams)
+    # lang1/lang2 in the same close set -> fully reliable delta
+    # (scoreonescriptspan.cc:91-93)
+    cs1 = langs.CLOSE_SET[top1]
+    same_set = (cs1 > 0) & (cs1 == langs.CLOSE_SET[top2])
+    rel_d = np.where(same_set, 100, rel_d)
+    actual_1kb = (s1 << 10) // cbytes
+    rel_e = reliability_expected(actual_1kb, expected_1kb[top1])
+    rel = np.minimum(rel_d, rel_e)
+    return top1.astype(np.int16), cbytes, s1, rel
+
+
+@dataclass
+class DocTote:
+    """Per-document accumulator: lang -> (bytes, score, reliability*bytes)
+    with the reference's 24-slot cap (tote.h:67-108, evict smallest)."""
+    bytes_: dict[int, int] = field(default_factory=dict)
+    score: dict[int, int] = field(default_factory=dict)
+    rel: dict[int, int] = field(default_factory=dict)
+
+    def add(self, lang: int, nbytes: int, score: int, reliability: int) -> None:
+        if lang in self.bytes_:
+            self.bytes_[lang] += nbytes
+            self.score[lang] += score
+            self.rel[lang] += reliability * nbytes
+            return
+        if len(self.bytes_) >= DOC_TOTE_SLOTS:
+            smallest = min(self.bytes_, key=lambda k: self.bytes_[k])
+            if self.bytes_[smallest] >= nbytes:
+                return
+            del self.bytes_[smallest], self.score[smallest], self.rel[smallest]
+        self.bytes_[lang] = nbytes
+        self.score[lang] = score
+        self.rel[lang] = reliability * nbytes
+
+    def add_chunks(self, lang1, cbytes, s1, rel) -> None:
+        for i in range(len(lang1)):
+            li = int(lang1[i])
+            if li != langs.UNKNOWN:
+                self.add(li, int(cbytes[i]), int(s1[i]), int(rel[i]))
+
+    def merge(self, src: int, dst: int, new_rel_percent: int | None = None) -> None:
+        nb = self.bytes_.pop(src, 0)
+        ns = self.score.pop(src, 0)
+        nr = self.rel.pop(src, 0)
+        if dst in self.bytes_:
+            self.bytes_[dst] += nb
+            self.score[dst] += ns
+            self.rel[dst] += nr
+        else:
+            self.bytes_[dst] = nb
+            self.score[dst] = ns
+            self.rel[dst] = nr
+        if new_rel_percent is not None:
+            self.rel[dst] = new_rel_percent * self.bytes_[dst]
+
+
+def refine_close_pairs(tote: DocTote) -> None:
+    """RefineScoredClosePairs (compact_lang_det_impl.cc:1152-1203):
+    within a statistically-close set, move the loser's bytes/score to
+    the winner."""
+    by_set: dict[int, list[int]] = {}
+    for lid in list(tote.bytes_):
+        cs = langs.language_close_set(lid)
+        if cs:
+            by_set.setdefault(cs, []).append(lid)
+    for members in by_set.values():
+        if len(members) < 2:
+            continue
+        members.sort(key=lambda lid: (-tote.score.get(lid, 0), lid))
+        winner = members[0]
+        for loser in members[1:]:
+            tote.merge(loser, winner)
+
+
+def remove_unreliable(tote: DocTote) -> None:
+    """RemoveUnreliableLanguages (compact_lang_det_impl.cc:997-1101):
+    languages with reliability% < 41 are merged into their closest-alt
+    language if it is present, else deleted. zh/zh-Hant pair is never
+    fully deleted — both merge into zh."""
+    zh, zht = langs.lang_id("zh"), langs.lang_id("zh-Hant")
+
+    def rel_pct(lid: int) -> int:
+        b = tote.bytes_.get(lid, 0)
+        return tote.rel.get(lid, 0) // b if b else 0
+
+    for lid in sorted(tote.bytes_):
+        if lid not in tote.bytes_ or rel_pct(lid) >= MIN_RELIABLE_KEEP_PERCENT:
+            continue
+        alt = int(langs.CLOSEST_ALT[lid])
+        if alt and alt in tote.bytes_:
+            rp, ra = rel_pct(lid), rel_pct(alt)
+            # merge into the more reliable of the two
+            src, dst = (lid, alt) if (ra > rp or (ra == rp and alt < lid)) else (alt, lid)
+            newpct = max(rp, ra, MIN_RELIABLE_KEEP_PERCENT)
+            tote.merge(src, dst, newpct)
+
+    both_zh = zh in tote.bytes_ and zht in tote.bytes_
+    for lid in sorted(tote.bytes_):
+        if lid in tote.bytes_ and rel_pct(lid) < MIN_RELIABLE_KEEP_PERCENT:
+            if both_zh and lid in (zh, zht):
+                if lid == zht:
+                    tote.merge(zht, zh, MIN_RELIABLE_KEEP_PERCENT)
+                continue
+            del tote.bytes_[lid], tote.score[lid], tote.rel[lid]
+
+
+@dataclass
+class DetectResult:
+    summary_lang: int
+    language3: tuple[int, int, int]
+    percent3: tuple[int, int, int]
+    normalized_score3: tuple[float, float, float]
+    text_bytes: int
+    is_reliable: bool
+
+    @property
+    def summary_code(self) -> str:
+        return langs.lang_code(self.summary_lang)
+
+
+def extract_lang_etc(tote: DocTote, total_text_bytes: int):
+    """ExtractLangEtc (compact_lang_det_impl.cc:1277-1384) — top-3 by
+    bytes, cumulative-difference percent rounding, normalized scores."""
+    top = sorted(tote.bytes_, key=lambda k: (-tote.bytes_[k], k))[:3]
+    language3 = [langs.UNKNOWN] * 3
+    bytecount = [0, 0, 0]
+    nscore = [0.0, 0.0, 0.0]
+    relpct = [0, 0, 0]
+    for i, lid in enumerate(top):
+        language3[i] = lid
+        bytecount[i] = tote.bytes_[lid]
+        b = bytecount[i] or 1
+        relpct[i] = tote.rel[lid] // b
+        nscore[i] = float((tote.score[lid] << 10) // b) if bytecount[i] > 0 else 0.0
+
+    total12 = bytecount[0] + bytecount[1]
+    total123 = total12 + bytecount[2]
+    total = max(total_text_bytes, total123)
+    div = max(1, total)
+    p0 = (bytecount[0] * 100) // div
+    p1 = (total12 * 100) // div
+    p2 = (total123 * 100) // div
+    p2 -= p1
+    p1 -= p0
+    # explicit roundoff fix (impl.cc:1353-1362)
+    if p1 < p2:
+        p1 += 1
+        p2 -= 1
+    if p0 < p1:
+        p0 += 1
+        p1 -= 1
+    percent3 = [p0, p1, p2]
+
+    is_reliable = False
+    if language3[0] != langs.UNKNOWN:
+        is_reliable = relpct[0] >= MIN_RELIABLE_KEEP_PERCENT
+    ignore_percent = 100 - sum(percent3)
+    if ignore_percent > IGNORE_MAX_PERCENT:
+        is_reliable = False
+    return language3, percent3, nscore, total, is_reliable
+
+
+def calc_summary_lang(language3, percent3, total_text_bytes,
+                      best_effort: bool = False):
+    """CalcSummaryLang (compact_lang_det_impl.cc:1414-1522)."""
+    slot = [0, 1, 2]
+    ignore_percent = 0
+    return_percent = percent3[0]
+    summary = language3[0]
+    reliable = True
+    if percent3[0] < KEEP_MIN_PERCENT:
+        reliable = False
+    # (TG_UNKNOWN removal does not apply: this engine has no "ignore"
+    # pseudo-language in its doc tote)
+
+    second = language3[slot[1]]
+    second_bytes = (total_text_bytes * percent3[slot[1]]) // 100
+    minbytes = (GOOD_SECOND_T3_MIN_BYTES
+                if langs.TIER[second] == 3 else GOOD_SECOND_T1T2_MIN_BYTES)
+
+    first = language3[slot[0]]
+    if (first == langs.ENGLISH and second != langs.ENGLISH
+            and second != langs.UNKNOWN
+            and percent3[slot[1]] >= NON_EN_BOILERPLATE_MIN_PERCENT
+            and second_bytes >= minbytes):
+        ignore_percent += percent3[slot[0]]
+        return_percent = (percent3[slot[1]] * 100) // (101 - ignore_percent)
+        summary = second
+        if percent3[slot[1]] < KEEP_MIN_PERCENT:
+            reliable = False
+    elif (first in langs.FIGS and second not in langs.EFIGS
+            and second != langs.UNKNOWN
+            and percent3[slot[1]] >= NON_FIGS_BOILERPLATE_MIN_PERCENT
+            and second_bytes >= minbytes):
+        ignore_percent += percent3[slot[0]]
+        return_percent = (percent3[slot[1]] * 100) // (101 - ignore_percent)
+        summary = second
+        if percent3[slot[1]] < KEEP_MIN_PERCENT:
+            reliable = False
+    elif second == langs.ENGLISH and first != langs.ENGLISH:
+        ignore_percent += percent3[slot[1]]
+        return_percent = (percent3[slot[0]] * 100) // (101 - ignore_percent)
+    elif second in langs.FIGS and first not in langs.EFIGS:
+        ignore_percent += percent3[slot[1]]
+        return_percent = (percent3[slot[0]] * 100) // (101 - ignore_percent)
+
+    if return_percent < GOOD_FIRST_MIN_PERCENT and not best_effort:
+        summary = langs.UNKNOWN
+        reliable = False
+    if return_percent < GOOD_FIRST_RELIABLE_MIN_PERCENT:
+        reliable = False
+    ignore = 100 - sum(percent3)
+    if ignore > IGNORE_MAX_PERCENT:
+        reliable = False
+    return summary, reliable

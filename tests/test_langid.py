@@ -1,0 +1,109 @@
+"""Conformance tests for the language detector — the engine's analogue
+of cld2_unittest (reference: internal/cld2_unittest.cc OneTest):
+held-out per-language strings must detect as the expected language, or
+at worst its statistically-close sibling (lang_script.cc:260-308);
+bad UTF-8 must fail; empty text must be UNKNOWN."""
+
+import pytest
+
+from cld2_ray.data.seeds import HELDOUT
+from cld2_ray.functions import langs
+from cld2_ray.functions.langid import Detector
+
+
+@pytest.fixture(scope="module")
+def det():
+    return Detector()
+
+
+def _close_or_equal(expected: str, got: str) -> bool:
+    if expected == got:
+        return True
+    e, g = langs.lang_id(expected), langs.lang_id(got)
+    cs = langs.CLOSE_SET[e]
+    return bool(cs and cs == langs.CLOSE_SET[g])
+
+
+@pytest.mark.parametrize("code", sorted(HELDOUT))
+def test_heldout_sentence(det, code):
+    r = det.detect(HELDOUT[code])
+    assert _close_or_equal(code, r.summary_code), \
+        f"{code} detected as {r.summary_code}"
+
+
+@pytest.mark.parametrize("code", sorted(HELDOUT))
+def test_heldout_long(det, code):
+    """4x repeated sentence: must be reliable and (close-)correct."""
+    r = det.detect((HELDOUT[code] + " ") * 4)
+    assert _close_or_equal(code, r.summary_code)
+    assert r.percent3[0] >= 90
+    assert r.is_reliable
+
+
+# exact-match set: languages that must NOT fall to a close sibling
+EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
+         "zh", "el", "th", "he", "ar", "hi", "ta", "tr", "fi", "hu", "vi"]
+
+
+@pytest.mark.parametrize("code", EXACT)
+def test_exact_language(det, code):
+    r = det.detect(HELDOUT[code])
+    assert r.summary_code == code
+
+
+def test_empty_is_unknown(det):
+    r = det.detect("")
+    assert r.summary_code == "un"
+    assert not r.is_reliable
+
+
+def test_numbers_only_unknown(det):
+    r = det.detect("12345 67890 ... !!! 42")
+    assert r.summary_code == "un"
+
+
+def test_bad_utf8_via_html_gate(det):
+    res, text, vp = det.detect_html(b"good text \xfe\xff more")
+    assert res.summary_lang == langs.UNKNOWN
+    assert not res.is_reliable
+    assert vp == 10
+
+
+def test_detect_html_end_to_end(det):
+    html = ("<html><head><script>var x='english junk';</script></head>"
+            "<body><p>" + HELDOUT["fr"] + " " + HELDOUT["fr"] + "</p>"
+            "</body></html>").encode("utf-8")
+    res, text, vp = det.detect_html(html)
+    assert res.summary_code == "fr"
+    assert "english junk" not in text
+
+
+def test_mixed_document_percents(det):
+    fr = (HELDOUT["fr"] + " ") * 8
+    en = (HELDOUT["en"] + " ") * 2
+    r = det.detect(fr + en)
+    assert r.summary_code == "fr"
+    codes = [langs.lang_code(l) for l in r.language3]
+    assert "en" in codes
+    assert sum(r.percent3) <= 100
+
+
+def test_english_boilerplate_rule(det):
+    """English 60% + French 40% -> French wins (the X>=17% boilerplate
+    rule, compact_lang_det_impl.cc:1449-1466)."""
+    en = (HELDOUT["en"] + " ") * 6
+    fr = (HELDOUT["fr"] + " ") * 4
+    r = det.detect(en + fr)
+    assert r.summary_code == "fr"
+
+
+def test_rtype_one_scripts(det):
+    assert det.detect(HELDOUT["th"]).summary_code == "th"
+    assert det.detect(HELDOUT["el"]).summary_code == "el"
+    assert det.detect(HELDOUT["ta"]).summary_code == "ta"
+
+
+def test_cjk_discrimination(det):
+    assert det.detect(HELDOUT["zh"]).summary_code == "zh"
+    assert det.detect(HELDOUT["ja"]).summary_code == "ja"
+    assert det.detect(HELDOUT["ko"]).summary_code == "ko"
