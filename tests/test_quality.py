@@ -1,0 +1,112 @@
+"""Quality rules, scrub, aux langid, perplexity tests."""
+
+import pandas as pd
+import pytest
+
+from cld2_ray.data.seeds import HELDOUT
+from cld2_ray.functions import fastlangid, perplexity
+from cld2_ray.functions.quality import apply_rules
+from cld2_ray.functions.repeats import (
+    count_predicted_bytes, remove_repeated_words, squeeze, squeeze_trigger)
+from cld2_ray.functions.scrub import scrub_series, scrub_text
+
+GOOD = (HELDOUT["en"] + " ") * 5
+
+
+class TestQualityRules:
+    def test_good_text_kept(self):
+        q = apply_rules(pd.Series([GOOD]))
+        assert q.keep[0]
+        assert q.drop_reason[0] == ""
+
+    def test_too_short_dropped(self):
+        q = apply_rules(pd.Series(["hello world"]))
+        assert not q.keep[0]
+        assert q.drop_reason[0] == "too_few_words"
+
+    def test_brace_dropped(self):
+        q = apply_rules(pd.Series(["{ x } " + GOOD]))
+        assert q.drop_reason[0] == "brace_source_code"
+
+    def test_lorem_dropped(self):
+        q = apply_rules(pd.Series(["Lorem Ipsum dolor " + GOOD]))
+        assert q.drop_reason[0] == "lorem_ipsum"
+
+    def test_dup_lines_dropped(self):
+        text = "\n".join(["the same line here again ok now"] * 10)
+        q = apply_rules(pd.Series([text]))
+        assert q.drop_reason[0] == "dup_lines"
+
+    def test_first_failing_rule_wins(self):
+        q = apply_rules(pd.Series(["{ }"]))
+        assert q.drop_reason[0] == "too_few_words"
+
+    def test_empty(self):
+        q = apply_rules(pd.Series(["", None]))
+        assert not q.keep.any()
+
+
+class TestScrub:
+    def test_email_phone(self):
+        out = scrub_text("mail a@b.com or call +1 555-123-4567 now")
+        assert "<EMAIL>" in out and "<PHONE>" in out
+        assert "a@b.com" not in out
+
+    def test_ssn_ip(self):
+        out = scrub_text("ssn 123-45-6789 from 192.168.1.1")
+        assert "<SSN>" in out and "<IP>" in out
+
+    def test_series_counts(self):
+        df = scrub_series(pd.Series(["a@b.com c@d.org", "clean text"]))
+        assert df.n_pii[0] == 2
+        assert df.n_pii[1] == 0
+        assert df.scrubbed_text[1] == "clean text"
+
+    def test_oracle_matches_series(self):
+        texts = ["call 555 123 4567", "x@y.zz and 1.2.3.4", "nothing"]
+        df = scrub_series(pd.Series(texts))
+        for i, t in enumerate(texts):
+            assert df.scrubbed_text[i] == scrub_text(t)
+
+
+class TestFastLangid:
+    @pytest.mark.parametrize("code", ["en", "fr", "de", "ru", "zh", "ja",
+                                      "ko", "el", "th", "ar", "he"])
+    def test_classify(self, code):
+        lang, conf = fastlangid.classify(HELDOUT[code])
+        assert lang == code
+
+    def test_empty(self):
+        assert fastlangid.classify("")[0] == "un"
+
+
+class TestPerplexity:
+    def test_fluent_low_junk_high(self):
+        p_good, flag_good = perplexity.score(HELDOUT["en"], "en")
+        p_junk, flag_junk = perplexity.score("zzz qqq xxw jkq " * 20, "en")
+        assert p_good < p_junk
+        assert not flag_good
+        assert flag_junk
+
+
+class TestRepeats:
+    def test_repetitive_text_predicted(self):
+        rep = "foo.jpg bar.jpg foo.jpg bar.jpg " * 20
+        assert count_predicted_bytes(rep) > len(rep) / 2
+
+    def test_normal_text_not_predicted(self):
+        assert count_predicted_bytes(HELDOUT["en"]) < len(HELDOUT["en"]) / 3
+
+    def test_trigger(self):
+        assert squeeze_trigger("abc.jpg " * 64)
+        assert not squeeze_trigger(HELDOUT["en"])
+
+    def test_remove_repeated_words(self):
+        span = " " + "selva " * 40 + "fox jumps quick "
+        out = remove_repeated_words(span)
+        assert len(out) < len(span) / 2
+        assert out.startswith(" ") and out.endswith(" ")
+
+    def test_squeeze_drops_spacey_chunks(self):
+        text = "a b c d e f g h i j " * 20
+        assert len(squeeze(text)) < len(text)
