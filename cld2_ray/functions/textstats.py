@@ -1,0 +1,69 @@
+"""Text analysis kernels: token counting, fingerprinting, language
+heuristics — the per-document statistics family (SQL-parity friendly).
+
+Tokenization contracts are chosen so every function here has an exact
+DuckDB-SQL equivalent for the driver's oracle comparison:
+* whitespace tokens  == string_split_regex(trim(text), '\\s+')
+* BPE-ish tokens     == regexp_extract_all(text, pattern) with the
+  shared ``BPE_TOKEN_PATTERN`` (a GPT-2-style pre-tokenizer: word
+  pieces, numbers, punctuation runs — RE2-safe, no lookarounds)
+* fingerprint        == md5(text)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# GPT-2-style pre-tokenizer shape, without lookarounds (RE2/duckdb safe):
+# optional leading space + (letters | digits | non-space-non-alnum run)
+BPE_TOKEN_PATTERN = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+"
+_BPE = re.compile(BPE_TOKEN_PATTERN)
+
+_WS = re.compile(r"\s+")
+
+
+def count_tokens(texts: pd.Series) -> pd.DataFrame:
+    """(n_ws_tokens, n_bpe_tokens) per document."""
+    t = texts.fillna("")
+    stripped = t.str.strip()
+    n_ws = stripped.str.split(_WS).map(
+        lambda w: 0 if w == [""] else len(w)).astype(np.int64)
+    n_bpe = t.str.findall(_BPE).map(len).astype(np.int64)
+    return pd.DataFrame({"n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe})
+
+
+def fingerprint(texts: pd.Series) -> pd.Series:
+    """Stable content fingerprint (md5 hex) per document."""
+    return texts.fillna("").map(
+        lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+def rolling_fingerprints(text: str, window: int = 16) -> np.ndarray:
+    """Rolling (Rabin-Karp style) window hashes over whitespace tokens —
+    the document-fingerprinting primitive for fuzzy containment checks."""
+    toks = text.split()
+    if len(toks) < window:
+        toks = toks + ["<pad>"] * (window - len(toks))
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little") for t in toks),
+        dtype=np.uint64, count=len(toks))
+    n = len(hashes) - window + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(n, dtype=np.uint64)
+        for k in range(window):
+            out += hashes[k:k + n] * np.uint64(31) ** np.uint64(window - 1 - k)
+    return out
+
+
+def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:
+    """Number of whitespace tokens that are stopwords (exact match,
+    lowercased) — SQL: len(list_filter(tokens, t -> lower(t) IN (...)))."""
+    stop = frozenset(stopwords)
+    return texts.fillna("").str.strip().str.split(_WS).map(
+        lambda ws: 0 if ws == [""] else sum(1 for w in ws if w.lower() in stop)
+    ).astype(np.int64)

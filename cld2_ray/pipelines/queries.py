@@ -1,0 +1,517 @@
+"""Driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Every SQL-checked query here is written twice — once Ray-Data-first,
+once as ANSI SQL over the same parquet views — with IDENTICAL output
+column names and value semantics (the driver hash-compares them at
+sf=0.01). Tokenization/regex contracts shared with the SQL live in
+cld2_ray.functions.textstats / quality / scrub.
+
+Non-SQL-expressible operators (langid, MinHash-LSH, SimHash, IVF-ANN,
+the flagship pages pipeline) register without oracle SQL — the driver
+records rows-only checks for them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from cld2_ray.functions.quality import (
+    MAX_DUP_LINE_RATIO, MAX_MEAN_WORD_LEN, MAX_SYMBOL_WORD_RATIO,
+    MIN_ALPHA_WORD_RATIO, MIN_MEAN_WORD_LEN, MIN_SENTENCES, MIN_WORDS)
+from cld2_ray.functions.textstats import BPE_TOKEN_PATTERN
+
+STOPWORD_LIST = ["the", "of", "and", "to", "in", "a", "is", "that",
+                 "for", "it", "with", "as", "on", "by"]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# --------------------------------------------------------------------------
+# documents: counting / stats / dedup / scrub
+# --------------------------------------------------------------------------
+
+def q_lang_counts(sf_dir):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_source_lang_matrix(sf_dir):
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return ds.groupby(["source", "lang"]).aggregate(Count(alias_name="n_docs"))
+
+
+SQL_SOURCE_LANG_MATRIX = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_token_stats(sf_dir):
+    from cld2_ray.functions.textstats import count_tokens
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        t = count_tokens(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_ws_tokens": t.n_ws_tokens,
+                             "n_bpe_tokens": t.n_bpe_tokens,
+                             "n_chars": df["text"].fillna("").str.len()
+                             .astype(np.int64)})
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir):
+    from cld2_ray.functions.textstats import fingerprint
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "content_md5": fingerprint(df["text"])})
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
+
+
+def q_exact_dedup(sf_dir):
+    from cld2_ray.pipelines.dedup import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_top_longest(sf_dir):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"],
+                   descending=[True, False]).limit(20)
+
+
+SQL_TOP_LONGEST = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+def q_token_freq_top50(sf_dir):
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        # partial count per batch BEFORE the shuffle
+        toks = df["text"].fillna("").str.strip().str.split(r"\s+", regex=True)
+        counts: dict[str, int] = {}
+        for ws in toks:
+            if ws == [""]:
+                continue
+            for w in ws:
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame({"token": list(counts),
+                             "n": np.fromiter(counts.values(), dtype=np.int64,
+                                              count=len(counts))})
+    partial = ds.map_batches(explode, batch_format="pandas")
+    total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    df = total.to_pandas().sort_values(["n", "token"],
+                                       ascending=[False, True]).head(50)
+    return df.reset_index(drop=True)
+
+
+SQL_TOKEN_FREQ_TOP50 = """
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+) GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
+def q_stopword_counts(sf_dir):
+    from cld2_ray.functions.textstats import stopword_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_stop": stopword_counts(df["text"], STOPWORD_LIST)})
+    return ds.map_batches(f, batch_format="pandas")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORD_LIST)
+SQL_STOPWORD_COUNTS = f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    len(list_filter(string_split_regex(trim(text), '\\s+'),
+        t -> lower(t) IN ({_STOP_SQL}))) END AS BIGINT) AS n_stop
+FROM documents
+"""
+
+
+def q_length_histogram(sf_dir):
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["n_chars"] // 100).astype(np.int64)})
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY bucket
+"""
+
+
+def q_quality_rules(sf_dir):
+    from cld2_ray.functions.quality import apply_rules
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        q = apply_rules(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"], "keep": q["keep"],
+                             "drop_reason": q["drop_reason"]})
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# documents.text has no newlines (single-line docs), so the line-level
+# rules (bullet/ellipsis/dup-line) cannot fire and are omitted from the
+# CASE chain; the order of the remaining rules matches apply_rules.
+SQL_QUALITY_RULES = f"""
+WITH stats AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+    length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+              w -> regexp_matches(w, '[A-Za-z]'))) END AS alpha_words,
+    length(text) - length(replace(text, '#', ''))
+      + len(regexp_extract_all(text, '\\.\\.\\.'))
+      + length(text) - length(replace(text, '…', '')) AS symbols,
+    len(regexp_extract_all(text, '[.!?。！？]')) AS n_sentences
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN n_words < {MIN_WORDS} THEN 'too_few_words'
+    WHEN n_words > 100000 THEN 'too_many_words'
+    WHEN (CAST(word_chars AS DOUBLE) / n_words) < {MIN_MEAN_WORD_LEN}
+      OR (CAST(word_chars AS DOUBLE) / n_words) > {MAX_MEAN_WORD_LEN}
+      THEN 'mean_word_len'
+    WHEN (CAST(symbols AS DOUBLE) / n_words) > {MAX_SYMBOL_WORD_RATIO}
+      THEN 'symbol_ratio'
+    WHEN (CAST(alpha_words AS DOUBLE) / n_words) < {MIN_ALPHA_WORD_RATIO}
+      THEN 'alpha_ratio'
+    WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+    WHEN contains(text, '{{') THEN 'brace_source_code'
+    WHEN n_sentences < {MIN_SENTENCES} THEN 'too_few_sentences'
+    ELSE ''
+  END AS drop_reason,
+  CASE
+    WHEN n_words < {MIN_WORDS} THEN FALSE
+    WHEN n_words > 100000 THEN FALSE
+    WHEN (CAST(word_chars AS DOUBLE) / n_words) < {MIN_MEAN_WORD_LEN}
+      OR (CAST(word_chars AS DOUBLE) / n_words) > {MAX_MEAN_WORD_LEN}
+      THEN FALSE
+    WHEN (CAST(symbols AS DOUBLE) / n_words) > {MAX_SYMBOL_WORD_RATIO}
+      THEN FALSE
+    WHEN (CAST(alpha_words AS DOUBLE) / n_words) < {MIN_ALPHA_WORD_RATIO}
+      THEN FALSE
+    WHEN contains(lower(text), 'lorem ipsum') THEN FALSE
+    WHEN contains(text, '{{') THEN FALSE
+    WHEN n_sentences < {MIN_SENTENCES} THEN FALSE
+    ELSE TRUE
+  END AS keep
+FROM stats
+"""
+
+
+def q_pii_scrub(sf_dir):
+    from cld2_ray.functions.scrub import scrub_series
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = scrub_series(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "scrubbed_text": s["scrubbed_text"]})
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _scrub_sql_expr() -> str:
+    from cld2_ray.functions.scrub import PII_PATTERNS
+    expr = "text"
+    for token, pat in PII_PATTERNS:
+        pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+SQL_PII_SCRUB = f"SELECT doc_id, {_scrub_sql_expr()} AS scrubbed_text FROM documents"
+
+
+# --------------------------------------------------------------------------
+# relational: aggregates / join / window (lineitem, orders, events)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(sf_dir):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_rows"))
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].astype(np.int64)
+    return df
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir):
+    """Broadcast hash join: customer (small side) is collected once and
+    joined per batch — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame({
+            "c_mktsegment": df["o_custkey"].map(m).fillna("")})
+    joined = ds.map_batches(join, batch_format="pandas")
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"))
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_hourly(sf_dir):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (df["ts"].astype("int64") // 10**6 // 3600).astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"], "hour": hour,
+                             "value_cents": (df["value"] * 100).round()
+                             .astype(np.int64)})
+    b = ds.map_batches(bucket, batch_format="pandas")
+    return b.groupby(["event_type", "hour"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="sum_value_cents"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY event_type, hour
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_top1(sf_dir):
+    from cld2_ray.pipelines.simsearch import brute_force_topk
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(ds, list(range(20)), k=1)
+    return top[["query_id", "neighbor_id"]].astype("int64") \
+        .sort_values("query_id").reset_index(drop=True)
+
+
+SQL_ANN_TOP1 = """
+SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+) WHERE rn = 1
+"""
+
+
+def q_embedding_near_pairs(sf_dir):
+    from cld2_ray.pipelines.dedup import embedding_near_pairs
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_pairs(ds, threshold=0.45)
+
+
+SQL_EMBEDDING_NEAR_PAIRS = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) > 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks)
+# --------------------------------------------------------------------------
+
+def q_langid_documents(sf_dir):
+    from cld2_ray.functions import langs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class Stage:
+        def __init__(self):
+            from cld2_ray.functions.langid import Detector
+            self.det = Detector()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            res = [self.det.detect(t or "") for t in df["text"]]
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "lang1": [r.summary_code for r in res],
+                "pct1": [r.percent3[0] for r in res],
+                "reliable": [r.is_reliable for r in res]})
+    return ds.map_batches(Stage, batch_format="pandas", concurrency=2)
+
+
+def q_minhash_dedup(sf_dir):
+    from cld2_ray.pipelines.dedup import minhash_dedup
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash_pairs(sf_dir):
+    from cld2_ray.pipelines.dedup import simhash_dedup
+    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ivf_topk(sf_dir):
+    from cld2_ray.pipelines.simsearch import ivf_topk
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, list(range(10)), k=5)[
+        ["query_id", "rank", "neighbor_id"]]
+
+
+def q_knn_classify(sf_dir):
+    from cld2_ray.pipelines.simsearch import knn_classify
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return knn_classify(ds, list(range(50)), k=5)
+
+
+def q_flagship_pages(sf_dir):
+    """The full quality-filter pipeline over deterministic synthetic
+    pages (count scaled to the documents table)."""
+    import pyarrow.parquet as pq
+
+    from cld2_ray.pipelines import flagship
+    from cld2_ray.sources.pages import pages_dataset
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = pages_dataset(min(n_docs, 500), seed=42)
+    return flagship.build(ds).drop_columns(["warc_ts"])
+
+
+def q_media_decode(sf_dir):
+    """Multimodal plumbing: synthetic media table through the decode +
+    embed actor stages (decode stubbed — no codec libs here)."""
+    import ray.data as rd
+
+    from cld2_ray.stages.multimodal import (
+        ImageDecodeStage, ImageEmbedStage, media_dataset_example)
+    ds = rd.from_arrow(media_dataset_example(64))
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        batch_size=16, concurrency=2)
+    ds = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
+                        batch_size=16, concurrency=2)
+    return ds.select_columns(["media_id", "width", "height"])
+
+
+QUERIES = {
+    "lang_counts": q_lang_counts,
+    "source_lang_matrix": q_source_lang_matrix,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "top_longest": q_top_longest,
+    "token_freq_top50": q_token_freq_top50,
+    "stopword_counts": q_stopword_counts,
+    "length_histogram": q_length_histogram,
+    "quality_rules": q_quality_rules,
+    "pii_scrub": q_pii_scrub,
+    "tpch_q1": q_tpch_q1,
+    "orders_by_segment": q_orders_by_segment,
+    "events_hourly": q_events_hourly,
+    "ann_top1": q_ann_top1,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    # rows-only
+    "langid_documents": q_langid_documents,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "ivf_topk": q_ivf_topk,
+    "knn_classify": q_knn_classify,
+    "flagship_pages": q_flagship_pages,
+    "media_decode": q_media_decode,
+}
+
+ORACLE_SQL = {
+    "lang_counts": SQL_LANG_COUNTS,
+    "source_lang_matrix": SQL_SOURCE_LANG_MATRIX,
+    "token_stats": SQL_TOKEN_STATS,
+    "fingerprint": SQL_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "top_longest": SQL_TOP_LONGEST,
+    "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
+    "stopword_counts": SQL_STOPWORD_COUNTS,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "quality_rules": SQL_QUALITY_RULES,
+    "pii_scrub": SQL_PII_SCRUB,
+    "tpch_q1": SQL_TPCH_Q1,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "ann_top1": SQL_ANN_TOP1,
+    "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+}

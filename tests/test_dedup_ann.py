@@ -1,0 +1,142 @@
+"""Dedup families + similarity search tests (Ray-backed)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    """Small corpus with planted exact + near duplicates."""
+    import ray.data as rd
+    base = ("the quick brown fox jumps over the lazy dog and runs into "
+            "the deep green forest before sunrise while hunters sleep")
+    near = base.replace("green", "dark")  # one-word change: near-dup
+    other = ("completely different content about databases and query "
+             "engines processing large batches of arrow data in parallel")
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},          # exact dup of 0
+        {"doc_id": 2, "text": near},          # near dup of 0
+        {"doc_id": 3, "text": other},
+        {"doc_id": 4, "text": other + " with a tiny suffix change here"},
+        {"doc_id": 5, "text": "unique short document"},
+    ]
+    return rd.from_items(rows)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(8, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i in range(8):
+        for _ in range(5):
+            v = base[i] + rng.normal(scale=0.05, size=16).astype(np.float32)
+            rows.append({"vec_id": vid, "embedding": v.tolist(),
+                         "label": i})
+            vid += 1
+    return rd.from_items(rows)
+
+
+class TestExactDedup:
+    def test_groups(self, doc_ds):
+        from cld2_ray.pipelines.dedup import exact_dedup
+        out = exact_dedup(doc_ds).to_pandas()
+        assert len(out) == 5  # 6 docs, one exact pair
+        dup = out[out.n_copies > 1]
+        assert len(dup) == 1
+        assert dup.iloc[0].keep_id == 0
+
+
+class TestMinHash:
+    def test_near_dups_found(self, doc_ds):
+        from cld2_ray.pipelines.dedup import minhash_dedup
+        out = minhash_dedup(doc_ds, threshold=0.5)
+        groups = out.groupby("group_id")["doc_id"].apply(set).tolist()
+        assert {0, 1, 2} in groups
+        assert not any(5 in g for g in groups)
+
+    def test_signature_similarity(self):
+        from cld2_ray.pipelines.dedup import jaccard, minhash_signature
+        a = "one two three four five six seven eight nine ten"
+        b = "one two three four five six seven eight nine eleven"
+        sa, sb = minhash_signature(a), minhash_signature(b)
+        est = (sa == sb).mean()
+        assert abs(est - jaccard(a, b)) < 0.35
+
+
+class TestSimHash:
+    def test_pairs(self, doc_ds):
+        from cld2_ray.pipelines.dedup import simhash_dedup
+        pairs = simhash_dedup(doc_ds, max_hamming=10)
+        got = set(map(tuple, pairs[["a", "b"]].to_numpy().tolist()))
+        assert (0, 1) in got  # identical -> distance 0
+
+    def test_simhash_stability(self):
+        from cld2_ray.pipelines.dedup import simhash64
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        assert simhash64(t) == simhash64(t)
+        near = t.replace("theta", "iota")
+        d = bin(simhash64(t) ^ simhash64(near)).count("1")
+        assert d < 24
+
+
+class TestEmbeddingOps:
+    def test_near_pairs_within_clusters(self, emb_ds):
+        from cld2_ray.pipelines.dedup import embedding_near_pairs
+        pairs = embedding_near_pairs(emb_ds, threshold=0.9)
+        assert len(pairs) > 0
+        labels = {}
+        for r in emb_ds.select_columns(["vec_id", "label"]).take_all():
+            labels[r["vec_id"]] = r["label"]
+        assert all(labels[a] == labels[b]
+                   for a, b in pairs[["a", "b"]].to_numpy())
+
+    def test_brute_force_topk(self, emb_ds):
+        from cld2_ray.pipelines.simsearch import brute_force_topk
+        top = brute_force_topk(emb_ds, [0, 7], k=4)
+        assert set(top.query_id) == {0, 7}
+        # neighbors of 0 are its cluster mates 1..4
+        n0 = set(top[top.query_id == 0].neighbor_id)
+        assert n0 == {1, 2, 3, 4}
+
+    def test_knn_classify(self, emb_ds):
+        from cld2_ray.pipelines.simsearch import knn_classify
+        out = knn_classify(emb_ds, [0, 13, 27, 39], k=3)
+        truth = {0: 0, 13: 2, 27: 5, 39: 7}
+        for _, row in out.iterrows():
+            assert row.predicted_label == truth[row.query_id]
+
+    def test_ivf_matches_brute_force_mostly(self, emb_ds):
+        from cld2_ray.pipelines.simsearch import brute_force_topk, ivf_topk
+        bf = brute_force_topk(emb_ds, [0, 20], k=3)
+        iv = ivf_topk(emb_ds, [0, 20], k=3, n_clusters=8, n_probe=3)
+        bf_set = set(map(tuple, bf[["query_id", "neighbor_id"]].to_numpy()))
+        iv_set = set(map(tuple, iv[["query_id", "neighbor_id"]].to_numpy()))
+        assert len(bf_set & iv_set) >= len(bf_set) * 2 // 3
+
+
+class TestMultimodal:
+    def test_media_stages(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.stages.multimodal import (
+            AudioFrameStage, ImageDecodeStage, ImageEmbedStage,
+            media_dataset_example)
+        ds = rd.from_arrow(media_dataset_example(16))
+        out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                             batch_size=8, concurrency=1).to_pandas()
+        assert (out.width >= 64).all() and (out.height >= 64).all()
+        emb = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
+                             batch_size=8, concurrency=1).to_pandas()
+        assert len(emb.embedding[0]) == 64
+        # determinism: same bytes -> same decode
+        out2 = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                              batch_size=4, concurrency=1).to_pandas()
+        assert list(out.width) == list(out2.width)
+        ds2 = rd.from_items([{"audio": b"\x01\x02" * 4000}])
+        a = ds2.map_batches(AudioFrameStage, batch_format="pyarrow",
+                            concurrency=1).to_pandas()
+        assert a.n_frames[0] == 10
