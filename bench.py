@@ -1,0 +1,124 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+  python bench.py                # sf from $GRAFT_SF_DIR, cpus from
+                                 # $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling      # 8 vs 32 CPUs in fresh processes on
+                                 # the same input + scaling efficiency
+
+Headline metric: wall seconds for the flagship quality-filter pipeline
+(extract -> langid actors -> rules/scrub -> metrics groupby) over a
+deterministic synthetic pages table sized 64x the scale factor's
+documents table. Page generation is cached to parquet under /tmp and
+the cache is warmed untimed, so the measurement is pipeline compute,
+not input generation or cold disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cld2_ray.pipelines import flagship
+    from cld2_ray.pipelines.queries import QUERIES
+    from cld2_ray.sources.pages import write_pages_parquet
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_pages = n_docs * 64
+    cache = f"/tmp/cld2_ray_bench/pages_{n_pages}"
+    write_pages_parquet(cache, n_pages, seed=42)
+
+    # warm the page cache (untimed read)
+    _ = rd.read_parquet(cache).count()
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship pipeline incl. the metrics shuffle, using the
+    # fused single-pool build (no inter-stage imbalance; fixed pool
+    # size because autoscaling from 1 wastes the ramp-up).
+    # pool sized proportionally to CPUs (so an N -> 4N comparison scales
+    # the actor count by exactly 4x), leaving headroom for read/metrics
+    pool = max(2, (num_cpus * 3) // 4)
+    t0 = time.time()
+    # enough blocks for even packing across the pool (the parquet cache
+    # is 2 files; default splitting gives too few, too-large tasks)
+    pages = rd.read_parquet(cache, override_num_blocks=pool * 4)
+    ann = flagship.build_fused(pages, concurrency=pool)
+    m = flagship.metrics(ann).to_pandas()
+    headline = time.time() - t0
+    timings["flagship_pipeline"] = round(headline, 3)
+    kept = int(m[m.keep].n_docs.sum())
+
+    for name in ("langid_documents", "exact_dedup", "minhash_dedup",
+                 "token_freq_top50", "tpch_q1", "events_hourly",
+                 "ann_top1", "embedding_near_pairs"):
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_pipeline_sec",
+        "value": timings["flagship_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "kept_docs": kept,
+        "docs_per_sec": round(n_pages / headline, 1),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_benchmarks(sf_dir, ncpu)))

@@ -13,6 +13,7 @@ process (lru_cache) / per actor and scored vectorized per batch.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -42,10 +43,29 @@ def _features(text: str) -> np.ndarray:
     return np.concatenate(feats).astype(np.int64)
 
 
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "state", "artifacts", "fastlangid.npz")
+
+
 @lru_cache(maxsize=1)
 def weights() -> np.ndarray:
-    """float32[N_BUCKETS? no — (NUM_LANGS, N_BUCKETS) is 70MB; use a
-    compact dict-of-buckets: only buckets seen in training, remapped."""
+    """Compact bucket->weight table; loads the committed artifact when
+    present (actor init fast path), else trains from seeds."""
+    if os.path.exists(ARTIFACT):
+        z = np.load(ARTIFACT)
+        weights.bucket_index = z["bucket_index"]  # type: ignore[attr-defined]
+        return z["table"]
+    return _train()
+
+
+def save_artifact() -> None:
+    table = _train()
+    os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+    np.savez_compressed(ARTIFACT, table=table,
+                        bucket_index=weights.bucket_index)
+
+
+def _train() -> np.ndarray:
     from cld2_ray.data.seeds import SEEDS
     from cld2_ray.data.seeds_extra import EXTRA
     seeds = {c: t + " " + EXTRA.get(c, "") for c, t in SEEDS.items()}
@@ -102,7 +122,9 @@ def classify(text: str) -> tuple[str, float]:
     rows = idx[f]
     if rows.max(initial=0) == 0:
         return "un", 0.0  # nothing recognizable
-    scores = w[rows].sum(axis=0)
+    # counts @ w[uniq] instead of gathering a (n_feats, n_langs) slab
+    uniq, counts = np.unique(rows, return_counts=True)
+    scores = counts.astype(np.float32) @ w[uniq]
     scores[langs.UNKNOWN] = -np.inf
     order = np.argsort(scores)
     top, second = order[-1], order[-2]

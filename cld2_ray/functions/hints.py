@@ -1,0 +1,90 @@
+"""CLDHints derivation + application (reference: internal/
+compact_lang_det_hint_code.cc).
+
+Hint sources, as in the reference:
+* TLD from the url (tld_hint; :1446-1462 uses a TLD->language table),
+* ``lang="xx"`` / ``xml:lang`` attributes and Content-Language metas
+  scanned in the first 8KB of HTML (:1557-1612,
+  FLAGS_cld_max_lang_tag_scan_kb = 8),
+* an explicit caller hint.
+
+Application: hinted languages get a per-chunk score boost — the
+analogue of kLangHintInitial/kLangHintBoost (compact_lang_det_impl.cc:
+200-201); this engine applies a flat +HINT_BOOST to the hinted
+language's chunk scores, which shifts both ranking and the
+ReliabilityDelta margin exactly where the reference's langprob boosts
+would.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import langs
+
+HINT_BOOST = 6          # per-chunk score points for a hinted language
+MAX_SCAN_BYTES = 8192   # first 8KB of HTML (FLAGS_cld_max_lang_tag_scan_kb)
+
+# TLD -> likely language (only entries where the tld is strongly
+# language-identifying; com/org/net etc. carry no hint, as in the
+# reference's table where ambiguous TLDs map to UNKNOWN)
+TLD_HINTS: dict[str, str] = {
+    "de": "de", "at": "de", "fr": "fr", "es": "es", "it": "it",
+    "pt": "pt", "br": "pt", "nl": "nl", "se": "sv", "no": "no",
+    "dk": "da", "fi": "fi", "pl": "pl", "cz": "cs", "sk": "sk",
+    "hu": "hu", "ro": "ro", "tr": "tr", "id": "id", "my": "ms",
+    "vn": "vi", "ru": "ru", "ua": "uk", "bg": "bg", "rs": "sr",
+    "gr": "el", "il": "he", "sa": "ar", "eg": "ar", "ir": "fa",
+    "pk": "ur", "in": "hi", "th": "th", "cn": "zh", "tw": "zh-Hant",
+    "jp": "ja", "kr": "ko", "ge": "ka", "am": "hy", "kh": "km",
+    "la": "lo", "mm": "my", "lk": "si", "np": "ne", "bd": "bn",
+    "ee": "et", "lv": "lv", "lt": "lt", "si": "sl", "hr": "hr",
+    "ba": "bs", "mk": "mk", "by": "be", "al": "sq", "is": "is",
+    "mt": "mt", "ie": "ga",
+}
+
+_TLD_RE = re.compile(r"^[a-z]+://[^/]*?([a-z0-9-]+\.)?([a-z]{2,6})(?::\d+)?/",
+                     re.IGNORECASE)
+_LANG_ATTR_RE = re.compile(
+    rb"""(?:lang|xml:lang)\s*=\s*["']?\s*([A-Za-z]{2,3})(?:[-_][A-Za-z]{2,8})?""",
+    re.IGNORECASE)
+_CONTENT_LANG_RE = re.compile(
+    rb"""content-language["']?\s+content\s*=\s*["']?\s*([A-Za-z]{2,3})""",
+    re.IGNORECASE)
+
+
+def tld_of(url: str) -> str:
+    """Last dns label of the host ('' if unparseable)."""
+    m = re.match(r"^[a-z]+://([^/:?#]+)", url, re.IGNORECASE)
+    if not m:
+        return ""
+    host = m.group(1)
+    return host.rsplit(".", 1)[-1].lower() if "." in host else ""
+
+
+def hints_from_page(url: str, html: bytes) -> list[int]:
+    """Derive hinted lang ids (deduped, order: lang= attr, content-lang
+    meta, tld)."""
+    out: list[int] = []
+
+    head = html[:MAX_SCAN_BYTES]
+    m = _LANG_ATTR_RE.search(head)
+    if m:
+        lid = langs.lang_id(m.group(1).decode("ascii").lower())
+        if lid:
+            out.append(lid)
+    m = _CONTENT_LANG_RE.search(head)
+    if m:
+        lid = langs.lang_id(m.group(1).decode("ascii").lower())
+        if lid:
+            out.append(lid)
+    code = TLD_HINTS.get(tld_of(url), "")
+    if code:
+        lid = langs.lang_id(code)
+        if lid:
+            out.append(lid)
+    seen: list[int] = []
+    for lid in out:
+        if lid not in seen:
+            seen.append(lid)
+    return seen

@@ -21,6 +21,7 @@ import numpy as np
 
 from . import hits, langs, score, spans, uscript as us
 from .extract import extract_text, valid_utf8_prefix
+from .hints import HINT_BOOST, hints_from_page
 from .repeats import remove_repeated_words
 from cld2_ray.state.model import unpack_langprobs
 
@@ -44,7 +45,8 @@ class Detector:
 
     # -- span scoring -------------------------------------------------------
 
-    def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote) -> None:
+    def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote,
+                    hint_langs: list[int] | None = None) -> None:
         rt = us.script_rtype(sp.script)
         if rt == us.RTYPE_MANY:
             sb = sp.text.encode("utf-8")
@@ -61,7 +63,8 @@ class Detector:
             l3, q3 = unpack_langprobs(all_vals[order])
             c = score.score_chunks(l3, q3, all_off[order], len(sb),
                                    score.CHUNKSIZE_QUADS,
-                                   self.model.expected_quad)
+                                   self.model.expected_quad,
+                                   hint_langs, HINT_BOOST)
             tote.add_chunks(*c)
         elif rt == us.RTYPE_CJK:
             uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
@@ -74,7 +77,8 @@ class Detector:
             # positions are char indices; scale to bytes via span length
             c = score.score_chunks(l3, q3, all_pos[order] * 3,
                                    sp.text_bytes, score.CHUNKSIZE_UNIS,
-                                   self.model.expected_uni)
+                                   self.model.expected_uni,
+                                   hint_langs, HINT_BOOST)
             tote.add_chunks(*c)
         elif rt == us.RTYPE_ONE:
             # script implies the language: score = bytes, reliability 100
@@ -85,10 +89,11 @@ class Detector:
 
     def _detect_spans(self, span_list: list[spans.ScriptSpan],
                       total_letter_bytes: int,
-                      best_effort: bool) -> score.DetectResult:
+                      best_effort: bool,
+                      hint_langs: list[int] | None = None) -> score.DetectResult:
         tote = score.DocTote()
         for sp in span_list:
-            self._score_span(sp, tote)
+            self._score_span(sp, tote, hint_langs)
         score.refine_close_pairs(tote)
         score.remove_unreliable(tote)
         language3, percent3, nscore3, total, is_rel = \
@@ -106,11 +111,18 @@ class Detector:
 
     # -- public API ---------------------------------------------------------
 
-    def detect(self, text: str, best_effort: bool = False) -> score.DetectResult:
-        """Detect language(s) of already-extracted plain text."""
+    def detect(self, text: str, best_effort: bool = False,
+               hint_langs: list[int] | None = None,
+               default_to_english: bool = False) -> score.DetectResult:
+        """Detect language(s) of already-extracted plain text.
+
+        hint_langs: language-prior hints (see functions/hints.py).
+        default_to_english: the non-Ext entry-point behavior
+        (UNKNOWN -> ENGLISH, compact_lang_det.cc:90-94).
+        """
         span_list = spans.script_spans(text)
         total = sum(sp.text_bytes for sp in span_list)
-        res = self._detect_spans(span_list, total, best_effort)
+        res = self._detect_spans(span_list, total, best_effort, hint_langs)
 
         # Retry controller (impl.cc:1979-2106): accept if short, or
         # reliable & dominant; else one more pass with repeat-word
@@ -120,20 +132,58 @@ class Detector:
                 or (res.is_reliable and res.percent3[0] + res.percent3[1]
                     >= score.GOOD_LANG1AND2_PERCENT))
         if good:
+            if default_to_english and res.summary_lang == langs.UNKNOWN:
+                res.summary_lang = langs.ENGLISH
             return res
         squeezed = [spans.ScriptSpan(remove_repeated_words(sp.text),
                                      sp.script, sp.offset, sp.text_bytes)
                     for sp in span_list]
         total2 = sum(len(sp.text.encode("utf-8")) for sp in squeezed)
-        res2 = self._detect_spans(squeezed, max(total2, 1), best_effort)
+        res2 = self._detect_spans(squeezed, max(total2, 1), best_effort,
+                                  hint_langs)
         # keep the retry result if it reached a conclusion (impl.cc accepts
         # the second-pass answer unconditionally)
-        return res2 if res2.summary_lang != langs.UNKNOWN or \
+        res = res2 if res2.summary_lang != langs.UNKNOWN or \
             res.summary_lang == langs.UNKNOWN else res
+        if default_to_english and res.summary_lang == langs.UNKNOWN:
+            res.summary_lang = langs.ENGLISH
+        return res
 
-    def detect_html(self, html: bytes) -> tuple[score.DetectResult, str, int]:
+    def detect_ranges(self, text: str) -> list[tuple[int, int, str]]:
+        """Per-document language ranges — the ResultChunkVector analogue
+        (reference: SummaryBufferToVector, scoreonescriptspan.cc:389-509;
+        boundary positions are chunk-granular here, without the
+        BetterBoundary 8-hit sharpening :671-774).
+
+        Returns [(letter_offset, span_bytes, lang_code), ...] covering
+        the detected letter runs, adjacent same-language ranges merged
+        (ItemToVector merging semantics, :323-360).
+        """
+        out: list[tuple[int, int, str]] = []
+        for sp in spans.script_spans(text):
+            rt = us.script_rtype(sp.script)
+            tote = score.DocTote()
+            self._score_span(sp, tote)
+            if not tote.bytes_:
+                continue
+            # span-level dominant language (chunk-level detail folds up
+            # through the same DocTote the chunks fed)
+            lid = max(tote.bytes_, key=lambda k: (tote.bytes_[k], -k))
+            rel = tote.rel[lid] // max(tote.bytes_[lid], 1)
+            code = langs.lang_code(lid) if rel >= 41 else "un"
+            if out and out[-1][2] == code and \
+                    out[-1][0] + out[-1][1] >= sp.offset - 1:
+                prev = out.pop()
+                out.append((prev[0], prev[1] + sp.text_bytes, code))
+            else:
+                out.append((sp.offset, sp.text_bytes, code))
+        return out
+
+    def detect_html(self, html: bytes,
+                    url: str = "") -> tuple[score.DetectResult, str, int]:
         """UTF-8 gate + extraction + detection for raw page bytes.
-        Returns (result, extracted_text, valid_prefix_bytes)."""
+        Hints (lang= attrs, Content-Language, TLD) are derived from the
+        raw page. Returns (result, extracted_text, valid_prefix_bytes)."""
         vp = valid_utf8_prefix(html)
         if vp < len(html):
             # invalid UTF-8 input -> UNKNOWN, like
@@ -144,4 +194,5 @@ class Detector:
                                        (0.0, 0.0, 0.0), vp, False),
                     text, vp)
         text = extract_text(html)
-        return self.detect(text), text, vp
+        hl = hints_from_page(url, html) if (url or html) else None
+        return self.detect(text, hint_langs=hl), text, vp

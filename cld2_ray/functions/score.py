@@ -104,7 +104,9 @@ def reliability_expected(actual_1kb: np.ndarray,
 
 def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                  offsets: np.ndarray, span_end: int, chunk_size: int,
-                 expected_1kb: np.ndarray):
+                 expected_1kb: np.ndarray,
+                 hint_langs: list[int] | None = None,
+                 hint_boost: int = 0):
     """Score a span's hits in fixed-size chunks.
 
     lang3/qprob3: (n_hits, 3) decoded langprobs. offsets: byte offset of
@@ -119,9 +121,23 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
     nchunks = max(1, nh // chunk_size)
     chunk_of = np.minimum(np.arange(nh) // chunk_size, nchunks - 1)
 
-    scores = np.zeros((nchunks, langs.NUM_LANGS), dtype=np.int64)
-    np.add.at(scores, (np.repeat(chunk_of, 3), lang3.ravel()), qprob3.ravel())
+    flat = (np.repeat(chunk_of, 3) * langs.NUM_LANGS
+            + lang3.ravel().astype(np.int64))
+    scores = np.bincount(flat, weights=qprob3.ravel(),
+                         minlength=nchunks * langs.NUM_LANGS) \
+        .reshape(nchunks, langs.NUM_LANGS).astype(np.int64)
     scores[:, langs.UNKNOWN] = 0  # slot 0 holds empty decode lanes
+    grams = np.bincount(chunk_of, minlength=nchunks)
+    if hint_langs:
+        # language-prior boost from hints (ScoreBoosts analogue,
+        # scoreonescriptspan.cc:126-150): the reference applies
+        # kLangHintInitial=12 once plus kLangHintBoost=12 per 16 grams
+        # (compact_lang_det_impl.cc:200-201); only languages with some
+        # chunk evidence are boosted (a hint cannot fabricate a language)
+        boost = 12 + (grams * 12) // 16
+        for hl in hint_langs:
+            has = scores[:, hl] > 0
+            scores[has, hl] += boost[has]
 
     order = np.argsort(scores, axis=1)
     top1 = order[:, -1]
@@ -133,7 +149,6 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
     ends = np.append(starts[1:], span_end)
     cbytes = np.maximum(ends - starts, 1)
 
-    grams = np.bincount(chunk_of, minlength=nchunks)
     rel_d = reliability_delta(s1, s2, grams)
     # lang1/lang2 in the same close set -> fully reliable delta
     # (scoreonescriptspan.cc:91-93)

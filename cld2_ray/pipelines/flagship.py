@@ -18,7 +18,8 @@ Sizing notes for the 100 TB case (see also state/checkpoint.py):
 from __future__ import annotations
 
 from cld2_ray.stages.core import (
-    LangidStage, QualityScrubStage, extract_batch, partial_metrics)
+    FusedPipelineStage, LangidStage, QualityScrubStage, extract_batch,
+    partial_metrics)
 
 OUT_COLUMNS = [
     "url", "warc_ts", "lang", "extracted_text", "utf8_valid",
@@ -40,6 +41,15 @@ def build(pages_ds, langid_concurrency=(1, 8), quality_concurrency=(1, 8),
     ds = ds.map_batches(QualityScrubStage, batch_format="pandas",
                         batch_size=batch_size,
                         concurrency=quality_concurrency, num_cpus=1)
+    return ds.select_columns(OUT_COLUMNS)
+
+
+def build_fused(pages_ds, concurrency: int = 8, batch_size: int = 256):
+    """Single-pool fused pipeline (see FusedPipelineStage): best
+    utilization / scaling; same row-level semantics as build()."""
+    ds = pages_ds.map_batches(FusedPipelineStage, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency, num_cpus=1)
     return ds.select_columns(OUT_COLUMNS)
 
 

@@ -455,6 +455,13 @@ def q_flagship_pages(sf_dir):
     return flagship.build(ds).drop_columns(["warc_ts"])
 
 
+def q_eval_confusion(sf_dir):
+    """Corpus evaluation harness (S2/A3): per-language P/R/F1 of the
+    flagship pipeline against the generator's labels."""
+    from cld2_ray.pipelines.evaluate import evaluate
+    return evaluate(q_flagship_pages(sf_dir))
+
+
 def q_media_decode(sf_dir):
     """Multimodal plumbing: synthetic media table through the decode +
     embed actor stages (decode stubbed — no codec libs here)."""
@@ -494,6 +501,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "knn_classify": q_knn_classify,
     "flagship_pages": q_flagship_pages,
+    "eval_confusion": q_eval_confusion,
     "media_decode": q_media_decode,
 }
 

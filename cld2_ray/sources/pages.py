@@ -181,16 +181,25 @@ def pages_dataset(n: int, seed: int = 42, shard_size: int = 2000):
 
 
 def write_pages_parquet(path: str, n: int, seed: int = 42) -> str:
-    """Materialize a pages table to parquet (bench input cache)."""
+    """Materialize a pages table to parquet (bench input cache).
+    Generation is distributed over Ray when a session is active."""
     import os
+    import shutil
 
+    import ray
     import pyarrow.parquet as pq
     os.makedirs(path, exist_ok=True)
     marker = os.path.join(path, f"_DONE_{n}_{seed}")
     if os.path.exists(marker):
         return path
-    for k, start in enumerate(range(0, n, 10_000)):
-        t = page_batch(start, min(10_000, n - start), seed)
-        pq.write_table(t, os.path.join(path, f"part-{k:05d}.parquet"))
+    for f in os.listdir(path):  # clear stale partial cache
+        fp = os.path.join(path, f)
+        (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
+    if ray.is_initialized():
+        pages_dataset(n, seed, shard_size=5000).write_parquet(path)
+    else:
+        for k, start in enumerate(range(0, n, 10_000)):
+            t = page_batch(start, min(10_000, n - start), seed)
+            pq.write_table(t, os.path.join(path, f"part-{k:05d}.parquet"))
     open(marker, "w").close()
     return path

@@ -54,7 +54,10 @@ class LangidStage:
         self.det = Detector()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from cld2_ray.functions.hints import hints_from_page
         texts = batch["extracted_text"].to_pylist()
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
         ok = batch["utf8_valid"].to_numpy(zero_copy_only=False)
         n = len(texts)
         lang1 = [""] * n
@@ -70,7 +73,8 @@ class LangidStage:
                 lang1[j] = lang2[j] = lang3[j] = "un"
                 summary[j] = "un"
                 continue
-            r = self.det.detect(t)
+            hl = hints_from_page(urls[j] or "", htmls[j] or b"")
+            r = self.det.detect(t, hint_langs=hl)
             summary[j] = r.summary_code
             lang1[j] = langs.lang_code(r.language3[0])
             lang2[j] = langs.lang_code(r.language3[1])
@@ -156,3 +160,26 @@ def partial_metrics(df: pd.DataFrame) -> pd.DataFrame:
     out = g.agg(n_docs=("url", "count"), bytes=("text_bytes", "sum"),
                 pii=("n_pii", "sum"))
     return out
+
+
+class FusedPipelineStage:
+    """extract + langid + quality/scrub fused into ONE actor pool.
+
+    The modular three-stage build keeps the object store between
+    stages (nice for debugging and per-stage scaling); this fused
+    variant trades that for utilization — with a single pool sized
+    ~(num_cpus - 2) there is no inter-stage imbalance, which is what
+    makes throughput scale ~linearly from N to 4N cores. Used by
+    bench.py and entry().
+    """
+
+    def __init__(self, allow_langs: frozenset[str] | None = None,
+                 min_pct1: int = 50):
+        self._langid = LangidStage()
+        self._quality = QualityScrubStage(allow_langs=allow_langs,
+                                          min_pct1=min_pct1)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        t = extract_batch(batch)
+        t = self._langid(t)
+        return self._quality(t.to_pandas())

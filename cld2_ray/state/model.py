@@ -54,7 +54,8 @@ class HashTable:
 
     @classmethod
     def build(cls, kv: dict[int, int]) -> "HashTable":
-        n = max(8, 1 << (int(len(kv) * 2 - 1)).bit_length())
+        # 4x slack -> ~25% load -> almost all lookups resolve in one probe
+        n = max(8, 1 << (int(len(kv) * 4 - 1)).bit_length())
         keys = np.zeros(n, dtype=np.uint64)
         vals = np.zeros(n, dtype=np.uint64)
         mask = n - 1

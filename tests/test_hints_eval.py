@@ -1,0 +1,100 @@
+"""Hint derivation/application, corpus evaluation, language ranges."""
+
+import pandas as pd
+
+from cld2_ray.data.seeds import HELDOUT
+from cld2_ray.functions import langs
+from cld2_ray.functions.hints import TLD_HINTS, hints_from_page, tld_of
+from cld2_ray.functions.langid import Detector
+from cld2_ray.pipelines.evaluate import precision_recall
+
+
+class TestHintDerivation:
+    def test_tld(self):
+        assert tld_of("https://example.de/page") == "de"
+        assert tld_of("https://sub.host.co.jp:8080/x") == "jp"
+        assert tld_of("garbage") == ""
+
+    def test_lang_attr(self):
+        h = hints_from_page("https://x.com/", b'<html lang="fr"><body>')
+        assert h == [langs.lang_id("fr")]
+
+    def test_content_language_meta(self):
+        h = hints_from_page(
+            "https://x.com/",
+            b'<meta http-equiv="Content-Language" content="de">')
+        assert langs.lang_id("de") in h
+
+    def test_tld_hint(self):
+        h = hints_from_page("https://site.example.se/x", b"<html>")
+        assert h == [langs.lang_id("sv")]
+
+    def test_scan_limit_8kb(self):
+        html = b"x" * 9000 + b'<html lang="fr">'
+        assert hints_from_page("https://a.com/", html) == []
+
+    def test_dedup_and_order(self):
+        html = b'<html lang="fr"><meta http-equiv="content-language" content="fr">'
+        h = hints_from_page("https://a.fr/x", html)
+        assert h == [langs.lang_id("fr")]
+
+
+class TestHintApplication:
+    def test_hint_tips_close_decision(self):
+        d = Detector()
+        # short ambiguous text in the cs/sk close pair: a hint decides it
+        text = HELDOUT["cs"]
+        base = d.detect(text)
+        hinted = d.detect(text, hint_langs=[langs.lang_id("cs")])
+        assert hinted.summary_code == "cs"
+        # hint for an absent language must not fabricate evidence
+        ja_hint = d.detect(text, hint_langs=[langs.lang_id("ja")])
+        assert ja_hint.summary_code != "ja"
+
+    def test_default_to_english(self):
+        d = Detector()
+        r = d.detect("12345 !!!", default_to_english=True)
+        assert r.summary_code == "en"
+
+
+class TestRanges:
+    def test_multilingual_ranges(self):
+        d = Detector()
+        text = (HELDOUT["fr"] + " ") * 3 + (HELDOUT["ru"] + " ") * 3
+        ranges = d.detect_ranges(text)
+        assert [r[2] for r in ranges] == ["fr", "ru"]
+        assert ranges[0][0] == 0
+
+    def test_single_lang_merged(self):
+        d = Detector()
+        ranges = d.detect_ranges((HELDOUT["en"] + " ") * 4)
+        assert len(ranges) == 1
+        assert ranges[0][2] == "en"
+
+
+class TestEvaluate:
+    def test_precision_recall(self):
+        conf = pd.DataFrame([
+            {"lang_true": "en", "lang_pred": "en", "n": 90},
+            {"lang_true": "en", "lang_pred": "fr", "n": 10},
+            {"lang_true": "fr", "lang_pred": "fr", "n": 80},
+            {"lang_true": "fr", "lang_pred": "un", "n": 20},
+        ])
+        out = precision_recall(conf)
+        en = out[out.lang == "en"].iloc[0]
+        assert en.recall == 0.9
+        assert en.precision == 1.0
+        fr = out[out.lang == "fr"].iloc[0]
+        assert fr.recall == 0.8
+        assert abs(fr.precision - 80 / 90) < 1e-3
+        tot = out[out.lang == "_Totals_Known"].iloc[0]
+        assert tot.support == 200
+
+    def test_end_to_end_eval(self, ray_session):
+        from cld2_ray.pipelines import flagship
+        from cld2_ray.pipelines.evaluate import evaluate
+        from cld2_ray.sources.pages import pages_dataset
+        ann = flagship.build(pages_dataset(100, seed=42))
+        out = evaluate(ann)
+        tot = out[out.lang == "_Totals_Known"].iloc[0]
+        assert tot.f1 > 0.75  # junk/bad-utf8 pages depress this by design

@@ -9,6 +9,7 @@ import pytest
 
 from cld2_ray.functions import langs
 from cld2_ray.functions.extract import extract_text, valid_utf8_prefix
+from cld2_ray.functions.hints import hints_from_page
 from cld2_ray.sources.pages import make_page, pages_dataset
 
 N_PAGES = 120
@@ -30,7 +31,7 @@ def oracle_rows(n):
         ok = vp == len(h)
         text = extract_text(h[:vp]) if vp else ""
         if ok:
-            r = det.detect(text)
+            r = det.detect(text, hint_langs=hints_from_page(p["url"], h))
             summary = r.summary_code
             reliable = r.is_reliable
             pct1 = r.percent3[0]
