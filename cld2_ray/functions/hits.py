@@ -85,9 +85,13 @@ def quad_candidates(span_bytes: bytes):
     return s, c, pre, post
 
 
-def quad_hits_dense(span_bytes: bytes):
+def quad_hits_dense(span_bytes: bytes, span_bounds=None):
     """Quadgram hashes at EVERY letter alignment, fully vectorized
     (no Python walk). Returns (hashes uint64, byte offsets).
+
+    ``span_bounds``: sorted end offsets of concatenated spans — the
+    dedupe ring is then applied per span, making batch scoring of a
+    concatenation identical to span-by-span scoring.
 
     This engine samples densely both in training and at runtime: the
     reference's stride-2 + vowel-skip walk (GetQuadHits advance rules)
@@ -123,19 +127,32 @@ def quad_hits_dense(span_bytes: bytes):
     pre = arr[s - 1] == 0x20
     post = arr[np.minimum(s + c, len(arr) - 1)] == 0x20
     h = ngram.quad_hash(wins, c, pre, post).astype(np.uint64)
-    keep = dedupe_ring2(h)
+    if span_bounds is not None:
+        sid = np.searchsorted(span_bounds, s, side="right")
+        keep = dedupe_ring2(h, sid)
+    else:
+        keep = dedupe_ring2(h)
     return h[keep], s[keep]
 
 
-def dedupe_ring2(hashes: np.ndarray) -> np.ndarray:
+def dedupe_ring2(hashes: np.ndarray,
+                 span_ids: np.ndarray | None = None) -> np.ndarray:
     """Boolean keep-mask dropping candidates equal to either of the two
     previous candidates (the reference's last-2 repeat ring,
-    cldutil.cc:334-335 — applied to the candidate stream)."""
+    cldutil.cc:334-335 — applied to the candidate stream). With
+    ``span_ids``, the ring never crosses a span boundary, so scoring a
+    concatenation of spans is bit-identical to scoring them one by one."""
     keep = np.ones(len(hashes), dtype=bool)
     if len(hashes) > 1:
-        keep[1:] &= hashes[1:] != hashes[:-1]
+        same = hashes[1:] == hashes[:-1]
+        if span_ids is not None:
+            same &= span_ids[1:] == span_ids[:-1]
+        keep[1:] &= ~same
     if len(hashes) > 2:
-        keep[2:] &= hashes[2:] != hashes[:-2]
+        same = hashes[2:] == hashes[:-2]
+        if span_ids is not None:
+            same &= span_ids[2:] == span_ids[:-2]
+        keep[2:] &= ~same
     return keep
 
 
@@ -166,7 +183,8 @@ def octa_candidates(span_bytes: bytes, max_bytes: int | None = None):
     return w_start.astype(np.int64), np.minimum(w_end - w_start, 24).astype(np.int64)
 
 
-def octa_hits(span_bytes: bytes, max_bytes: int | None = None):
+def octa_hits(span_bytes: bytes, max_bytes: int | None = None,
+              span_bounds=None):
     """(hashes uint64, byte offsets) of deduped word hits."""
     s, c = octa_candidates(span_bytes, max_bytes)
     if len(s) == 0:
@@ -176,7 +194,11 @@ def octa_hits(span_bytes: bytes, max_bytes: int | None = None):
     pre = np.ones(len(s), dtype=bool)   # words are always space-delimited
     post = np.ones(len(s), dtype=bool)
     h = ngram.octa_hash40(wins, c, pre, post)
-    keep = dedupe_ring2(h)
+    if span_bounds is not None:
+        sid = np.searchsorted(span_bounds, s, side="right")
+        keep = dedupe_ring2(h, sid)
+    else:
+        keep = dedupe_ring2(h)
     return h[keep], s[keep]
 
 

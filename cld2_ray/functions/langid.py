@@ -87,13 +87,98 @@ class Detector:
             tote.add(lid, sp.text_bytes, sp.text_bytes, 100)
         # RTYPE_NONE: unsupported script -> ignored
 
-    def _detect_spans(self, span_list: list[spans.ScriptSpan],
-                      total_letter_bytes: int,
-                      best_effort: bool,
-                      hint_langs: list[int] | None = None) -> score.DetectResult:
-        tote = score.DocTote()
-        for sp in span_list:
-            self._score_span(sp, tote, hint_langs)
+    def _fill_totes(self, doc_spans: list[list[spans.ScriptSpan]],
+                    hints_list: list[list[int] | None]) -> list[score.DocTote]:
+        """Batch span scorer: all documents' MANY spans score through ONE
+        concatenated hit-extraction + table-lookup + chunk pass (same for
+        CJK spans). Bit-identical to per-span scoring (the dedupe ring
+        and chunking are span-aware), so single-doc detect() routes
+        through here too — one code path, oracle == pipeline == batch.
+        """
+        n_docs = len(doc_spans)
+        totes = [score.DocTote() for _ in range(n_docs)]
+
+        many: list[tuple[int, bytes, list[int] | None]] = []
+        cjk: list[tuple[int, spans.ScriptSpan, list[int] | None]] = []
+        for di, sl in enumerate(doc_spans):
+            hl = hints_list[di]
+            for sp in sl:
+                rt = us.script_rtype(sp.script)
+                if rt == us.RTYPE_MANY:
+                    many.append((di, sp.text.encode("utf-8"), hl))
+                elif rt == us.RTYPE_CJK:
+                    cjk.append((di, sp, hl))
+                elif rt == us.RTYPE_ONE:
+                    lid = int(langs.SCRIPT_DEFAULT_LANG[sp.script])
+                    totes[di].add(lid, sp.text_bytes, sp.text_bytes, 100)
+
+        if many:
+            bufs = [b for _, b, _ in many]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            bounds = np.cumsum(lens)
+            cat = b"".join(bufs)
+            h, off = hits.quad_hits_dense(cat, span_bounds=bounds)
+            vals = self.model.quad.lookup(h)
+            oh, ooff = hits.octa_hits(cat, span_bounds=bounds)
+            ovals = self.model.octa.lookup(oh)
+            hm, om = vals != 0, ovals != 0
+            all_vals = np.concatenate([vals[hm], ovals[om]])
+            all_off = np.concatenate([off[hm], ooff[om]])
+            order = np.argsort(all_off, kind="stable")
+            l3, q3 = unpack_langprobs(all_vals[order])
+            span_of = np.searchsorted(bounds, all_off[order], side="right")
+            c = score.score_chunks_multi(
+                l3, q3, all_off[order], span_of, starts, lens,
+                np.full(len(bufs), score.CHUNKSIZE_QUADS, dtype=np.int64),
+                self.model.expected_quad,
+                [hl for _, _, hl in many])
+            lang1, cbytes, s1, rel, span_of_chunk = c
+            docs_of_span = np.array([di for di, _, _ in many])
+            doc_of_chunk = docs_of_span[span_of_chunk]
+            for i in range(len(lang1)):
+                li = int(lang1[i])
+                if li != langs.UNKNOWN:
+                    totes[int(doc_of_chunk[i])].add(
+                        li, int(cbytes[i]), int(s1[i]), int(rel[i]))
+
+        if cjk:
+            keys_parts, pos_parts, span_idx_parts = [], [], []
+            lens = np.array([sp.text_bytes for _, sp, _ in cjk],
+                            dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            for k, (di, sp, hl) in enumerate(cjk):
+                uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
+                uvals = self.model.uni.lookup(uni)
+                bvals = self.model.bi.lookup(bi)
+                um, bm = uvals != 0, bvals != 0
+                av = np.concatenate([uvals[um], bvals[bm]])
+                ap = np.concatenate([upos[um], bpos[bm]])
+                o = np.argsort(ap, kind="stable")
+                keys_parts.append(av[o])
+                pos_parts.append(ap[o] * 3 + starts[k])
+                span_idx_parts.append(np.full(len(o), k, dtype=np.int64))
+            all_vals = np.concatenate(keys_parts)
+            all_off = np.concatenate(pos_parts)
+            span_of = np.concatenate(span_idx_parts)
+            l3, q3 = unpack_langprobs(all_vals)
+            c = score.score_chunks_multi(
+                l3, q3, all_off, span_of, starts, lens,
+                np.full(len(cjk), score.CHUNKSIZE_UNIS, dtype=np.int64),
+                self.model.expected_uni,
+                [hl for _, _, hl in cjk])
+            lang1, cbytes, s1, rel, span_of_chunk = c
+            docs_of_span = np.array([di for di, _, _ in cjk])
+            doc_of_chunk = docs_of_span[span_of_chunk]
+            for i in range(len(lang1)):
+                li = int(lang1[i])
+                if li != langs.UNKNOWN:
+                    totes[int(doc_of_chunk[i])].add(
+                        li, int(cbytes[i]), int(s1[i]), int(rel[i]))
+        return totes
+
+    def _finalize(self, tote: score.DocTote, total_letter_bytes: int,
+                  best_effort: bool) -> score.DetectResult:
         score.refine_close_pairs(tote)
         score.remove_unreliable(tote)
         language3, percent3, nscore3, total, is_rel = \
@@ -109,7 +194,44 @@ class Detector:
             is_reliable=is_rel and rel2,
         )
 
+    def _detect_spans(self, span_list: list[spans.ScriptSpan],
+                      total_letter_bytes: int,
+                      best_effort: bool,
+                      hint_langs: list[int] | None = None) -> score.DetectResult:
+        tote = self._fill_totes([span_list], [hint_langs])[0]
+        return self._finalize(tote, total_letter_bytes, best_effort)
+
     # -- public API ---------------------------------------------------------
+
+    def detect_batch(self, texts: list[str],
+                     hints_list: list[list[int] | None] | None = None,
+                     best_effort: bool = False,
+                     default_to_english: bool = False) -> list[score.DetectResult]:
+        """Batch detection: one concatenated scoring pass for the whole
+        batch (same results as per-document detect())."""
+        n = len(texts)
+        if hints_list is None:
+            hints_list = [None] * n
+        doc_spans = [spans.script_spans(t or "") for t in texts]
+        totals = [sum(sp.text_bytes for sp in sl) for sl in doc_spans]
+        totes = self._fill_totes(doc_spans, hints_list)
+        out: list[score.DetectResult] = []
+        for i in range(n):
+            res = self._finalize(totes[i], totals[i], best_effort)
+            good = (totals[i] <= score.SHORT_TEXT_THRESH
+                    or (res.is_reliable
+                        and res.percent3[0] >= score.GOOD_LANG1_PERCENT)
+                    or (res.is_reliable
+                        and res.percent3[0] + res.percent3[1]
+                        >= score.GOOD_LANG1AND2_PERCENT))
+            if not good:
+                # slow path: per-document Repeats retry (rare)
+                res = self.detect(texts[i] or "", best_effort,
+                                  hints_list[i], default_to_english)
+            elif default_to_english and res.summary_lang == langs.UNKNOWN:
+                res.summary_lang = langs.ENGLISH
+            out.append(res)
+        return out
 
     def detect(self, text: str, best_effort: bool = False,
                hint_langs: list[int] | None = None,

@@ -65,14 +65,29 @@ _STOP_RE = re.compile(
 
 
 def word_stats(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized word-level statistics per document (regex counts in C,
-    no per-document Python loops)."""
+    """Vectorized word-level statistics per document. Counting runs on
+    Arrow compute kernels (C++/RE2 — also what DuckDB uses, which keeps
+    the SQL oracle aligned); only the stopword count stays on Python re
+    (its token-boundary pattern needs lookarounds RE2 lacks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     stripped = texts.fillna("").str.strip()
-    n_words = stripped.str.count(_TOKEN).astype(np.int64)
-    n_chars = stripped.str.len().astype(np.int64)
-    word_chars = n_chars - stripped.str.count(r"\s")
+    arr = pa.Array.from_pandas(stripped)
+    n_words = pd.Series(
+        pc.count_substring_regex(arr, r"\S+").to_numpy(zero_copy_only=False),
+        index=texts.index).astype(np.int64)
+    n_chars = pd.Series(
+        pc.utf8_length(arr).to_numpy(zero_copy_only=False),
+        index=texts.index).astype(np.int64)
+    n_ws = pd.Series(
+        pc.count_substring_regex(arr, r"\s").to_numpy(zero_copy_only=False),
+        index=texts.index).astype(np.int64)
+    word_chars = n_chars - n_ws
     mean_wl = (word_chars / n_words.replace(0, np.nan)).fillna(0.0)
-    alpha_words = stripped.str.count(_ALPHA_TOKEN)
+    alpha_words = pd.Series(
+        pc.count_substring_regex(arr, r"(^|\s)\S*\pL")
+        .to_numpy(zero_copy_only=False), index=texts.index)
     n_stop = stripped.str.count(_STOP_RE).astype(np.int64)
     return pd.DataFrame({
         "n_words": n_words,
@@ -127,10 +142,23 @@ def apply_rules(texts: pd.Series,
     # effective word count: chars/2.5 for spaceless scripts
     eff_words = ws.n_words.mask(spaceless,
                                 (ws.n_chars / 2.5).astype(np.int64))
-    n_sentences = t.map(lambda s: len(_SENT_END.findall(s)))
-    symbols = t.str.count("#") + t.str.count(r"\.\.\.") + t.str.count("…")
-    has_lorem = t.str.contains("lorem ipsum", case=False, regex=False)
-    has_brace = t.str.contains("{", regex=False)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    arr = pa.Array.from_pandas(t)
+
+    def _count(pattern, regex=False):
+        f = pc.count_substring_regex if regex else pc.count_substring
+        return pd.Series(f(arr, pattern).to_numpy(zero_copy_only=False),
+                         index=t.index).astype(np.int64)
+
+    n_sentences = _count("[.!?。！？]", regex=True)
+    symbols = _count("#") + _count(r"\.\.\.", regex=True) + _count("…")
+    has_lorem = pd.Series(
+        pc.match_substring(arr, "lorem ipsum", ignore_case=True)
+        .to_numpy(zero_copy_only=False), index=t.index)
+    has_brace = pd.Series(
+        pc.match_substring(arr, "{").to_numpy(zero_copy_only=False),
+        index=t.index)
 
     rules = [
         ("too_few_words", eff_words < MIN_WORDS),

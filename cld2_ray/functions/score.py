@@ -161,6 +161,80 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
     return top1.astype(np.int16), cbytes, s1, rel
 
 
+def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
+                       offsets: np.ndarray, span_of: np.ndarray,
+                       span_starts: np.ndarray, span_lens: np.ndarray,
+                       chunk_sizes: np.ndarray, expected_1kb: np.ndarray,
+                       hint_langs_per_span: list | None = None):
+    """Batch version of score_chunks over MANY concatenated spans.
+
+    Hits must be sorted by (span, offset) with quad-before-octa tie
+    order — then the per-span chunking, scores, and reliabilities are
+    bit-identical to calling score_chunks span by span. Returns
+    (lang1, cbytes, s1, rel, span_of_chunk).
+    """
+    nspans = len(span_lens)
+    nh = len(offsets)
+    if nh == 0:
+        return (np.empty(0, np.int16), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    counts = np.bincount(span_of, minlength=nspans)
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    local = np.arange(nh) - first[span_of]
+    nchunks_span = np.maximum(counts // chunk_sizes,
+                              (counts > 0).astype(np.int64))
+    nchunks_span = np.where(counts > 0, nchunks_span, 0)
+    chunk_base = np.concatenate([[0], np.cumsum(nchunks_span)[:-1]])
+    chunk_local = np.minimum(local // chunk_sizes[span_of],
+                             np.maximum(nchunks_span[span_of] - 1, 0))
+    gchunk = chunk_base[span_of] + chunk_local
+    total_chunks = int(nchunks_span.sum())
+
+    flat = (np.repeat(gchunk, 3) * langs.NUM_LANGS
+            + lang3.ravel().astype(np.int64))
+    scores = np.bincount(flat, weights=qprob3.ravel(),
+                         minlength=total_chunks * langs.NUM_LANGS) \
+        .reshape(total_chunks, langs.NUM_LANGS).astype(np.int64)
+    scores[:, langs.UNKNOWN] = 0
+    grams = np.bincount(gchunk, minlength=total_chunks)
+    span_of_chunk = np.repeat(np.arange(nspans), nchunks_span)
+
+    if hint_langs_per_span is not None:
+        for si, hl in enumerate(hint_langs_per_span):
+            if not hl or nchunks_span[si] == 0:
+                continue
+            idx = np.arange(chunk_base[si],
+                            chunk_base[si] + nchunks_span[si])
+            boost = 12 + (grams[idx] * 12) // 16
+            for lid in hl:
+                has = scores[idx, lid] > 0
+                scores[idx[has], lid] += boost[has]
+
+    order = np.argsort(scores, axis=1)
+    top1 = order[:, -1]
+    top2 = order[:, -2]
+    s1 = np.take_along_axis(scores, top1[:, None], axis=1)[:, 0]
+    s2 = np.take_along_axis(scores, top2[:, None], axis=1)[:, 0]
+
+    hfirst = np.searchsorted(gchunk, np.arange(total_chunks))
+    local_start = offsets[hfirst] - span_starts[span_of_chunk]
+    chunk_pos = np.arange(total_chunks) - chunk_base[span_of_chunk]
+    is_last = chunk_pos == nchunks_span[span_of_chunk] - 1
+    next_start = np.append(local_start[1:], 0)
+    ends = np.where(is_last, span_lens[span_of_chunk], next_start)
+    cbytes = np.maximum(ends - local_start, 1)
+
+    rel_d = reliability_delta(s1, s2, grams)
+    cs1 = langs.CLOSE_SET[top1]
+    same_set = (cs1 > 0) & (cs1 == langs.CLOSE_SET[top2])
+    rel_d = np.where(same_set, 100, rel_d)
+    actual_1kb = (s1 << 10) // cbytes
+    rel_e = reliability_expected(actual_1kb, expected_1kb[top1])
+    rel = np.minimum(rel_d, rel_e)
+    return top1.astype(np.int16), cbytes, s1, rel, span_of_chunk
+
+
 @dataclass
 class DocTote:
     """Per-document accumulator: lang -> (bytes, score, reliability*bytes)

@@ -68,13 +68,16 @@ class LangidStage:
         reliable = np.zeros(n, dtype=bool)
         text_bytes = np.zeros(n, dtype=np.int32)
         summary = [""] * n
-        for j, t in enumerate(texts):
+        todo = [j for j in range(n) if ok[j]]
+        batch_texts = [texts[j] for j in todo]
+        batch_hints = [hints_from_page(urls[j] or "", htmls[j] or b"")
+                       for j in todo]
+        results = self.det.detect_batch(batch_texts, batch_hints)
+        for j in range(n):
             if not ok[j]:
                 lang1[j] = lang2[j] = lang3[j] = "un"
                 summary[j] = "un"
-                continue
-            hl = hints_from_page(urls[j] or "", htmls[j] or b"")
-            r = self.det.detect(t, hint_langs=hl)
+        for j, r in zip(todo, results):
             summary[j] = r.summary_code
             lang1[j] = langs.lang_code(r.language3[0])
             lang2[j] = langs.lang_code(r.language3[1])
