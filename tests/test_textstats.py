@@ -1,0 +1,55 @@
+"""Text-stats kernels: token counting, fingerprints, run CLI."""
+
+import numpy as np
+import pandas as pd
+
+from cld2_ray.functions.textstats import (
+    count_tokens, fingerprint, rolling_fingerprints, stopword_counts)
+
+
+class TestTokens:
+    def test_ws_and_bpe_counts(self):
+        df = count_tokens(pd.Series(["one two three", "", "a1b c!d", None]))
+        assert list(df.n_ws_tokens) == [3, 0, 2, 0]
+        # "a1b" -> a,1,b ; "c!d" -> c,!,d (with leading-space variants)
+        assert df.n_bpe_tokens[2] == 6
+
+    def test_fingerprint_stable(self):
+        s = pd.Series(["hello", "hello", "world"])
+        f = fingerprint(s)
+        assert f[0] == f[1] != f[2]
+        assert len(f[0]) == 32
+
+    def test_rolling_fingerprints(self):
+        a = rolling_fingerprints("a b c d e f g h i j k l m n o p q r")
+        b = rolling_fingerprints("a b c d e f g h i j k l m n o p q r")
+        assert np.array_equal(a, b)
+        # shared window between overlapping docs
+        c = rolling_fingerprints("x y a b c d e f g h i j k l m n o p q r")
+        assert len(set(a.tolist()) & set(c.tolist())) > 0
+
+    def test_stopword_counts(self):
+        out = stopword_counts(pd.Series(["the cat and the dog", "no stops"]),
+                              ["the", "and"])
+        assert list(out) == [3, 0]
+
+
+class TestRunCLI:
+    def test_synthetic_resumable(self, ray_session, tmp_path):
+        import json
+        import os
+
+        from cld2_ray.run import main
+        out = str(tmp_path / "o")
+        rc = main(["--synthetic", "60", "--output", out,
+                   "--partitions", "3"])
+        assert rc == 0
+        assert sorted(os.listdir(out))[:3] == ["part=00000", "part=00001",
+                                               "part=00002"]
+        m = json.load(open(os.path.join(out, "part=00000",
+                                        "MANIFEST.json")))
+        assert m["rows"] == 20
+        # second run skips all
+        rc = main(["--synthetic", "60", "--output", out,
+                   "--partitions", "3"])
+        assert rc == 0
