@@ -357,6 +357,85 @@ FROM events GROUP BY event_type, hour
 """
 
 
+
+
+def q_event_sessions(sf_dir):
+    """Session windows over the events stream (SURVEY.md §2.9 / ray
+    guide streaming-shaped pattern): per user, sessions split at >30min
+    gaps. groupby(user).map_groups with explicit (ts, event_id) ordering
+    — the ordering assumption the oracle SQL shares via its window."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps_us = g["ts"].astype("int64").diff()
+        n_sessions = int((gaps_us > 1800 * 10**6).sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": np.int64(n_sessions),
+                             "n_events": np.int64(len(g))})
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENT_SESSIONS = """
+SELECT user_id,
+  CAST(1 + sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sessions,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_supplier_regions(sf_dir):
+    """Two-level broadcast dimension join: supplier -> nation -> region
+    (both dimension tables shipped once via ray.put)."""
+    import ray
+    from ray.data.aggregate import Count
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    r2n = dict(zip(region.r_regionkey, region.r_name))
+    ref = ray.put((n2r, r2n))
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        n2r_, r2n_ = ray.get(ref)
+        return pd.DataFrame({
+            "r_name": df["s_nationkey"].map(n2r_).map(r2n_).fillna("")})
+    return ds.map_batches(join, batch_format="pandas") \
+        .groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+SQL_SUPPLIER_REGIONS = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_part_brand_stats(sf_dir):
+    from ray.data.aggregate import Count, Max
+    ds = _read(sf_dir, "part", ["p_brand", "p_size"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"), Max("p_size", alias_name="max_size"))
+    df = out.to_pandas()
+    df["max_size"] = df["max_size"].astype(np.int64)
+    return df
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -492,6 +571,9 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "orders_by_segment": q_orders_by_segment,
     "events_hourly": q_events_hourly,
+    "event_sessions": q_event_sessions,
+    "supplier_regions": q_supplier_regions,
+    "part_brand_stats": q_part_brand_stats,
     "ann_top1": q_ann_top1,
     "embedding_near_pairs": q_embedding_near_pairs,
     # rows-only
@@ -520,6 +602,9 @@ ORACLE_SQL = {
     "tpch_q1": SQL_TPCH_Q1,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "event_sessions": SQL_EVENT_SESSIONS,
+    "supplier_regions": SQL_SUPPLIER_REGIONS,
+    "part_brand_stats": SQL_PART_BRAND_STATS,
     "ann_top1": SQL_ANN_TOP1,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
 }
