@@ -144,7 +144,13 @@ efterår næste år håber de at bygge et lille drivhus så planterne kan vokse
 selv i de kolde måneder alle er enige om at foråret er den bedste årstid
 her fordi dagene bliver længere træerne bliver grønne og hele byen dufter
 af friskbagt brød fra bageriet på torvet intet er bedre end en stille
-søndag eftermiddag derhjemme med en kop te og en god bog""",
+søndag eftermiddag derhjemme med en kop te og en god bog uden tvivl er det
+sådan at en sætning på dansk kan genkendes af enhver som har boet her i
+nogen tid hvad enten man er født i landet eller ej det er ikke nogen
+hemmelighed at sproget kan være svært at udtale men det burde ikke være
+noget problem at læse det øjeblikket efter man har lært de særlige
+bogstaver æ ø og å kan man begynde at forstå aviserne og bøgerne uden
+besvær og efterhånden også samtalerne henover frokostbordet""",
 
 "fi": """eilen aamulla siskoni otti aikaisen junan kaupunkiin jossa hän
 työskentelee pienessä toimistossa sataman lähellä hän ostaa aina kahvin
@@ -178,7 +184,18 @@ své zahradě která jim každý podzim dává rajčata fazole a jablka příšt
 doufají že postaví malý skleník aby rostliny mohly růst i v chladných
 měsících všichni se shodují že jaro je tady nejlepší roční období protože
 dny se prodlužují stromy se zelenají a celé město voní čerstvým chlebem z
-pekárny na hlavním náměstí není nic lepšího než tichá neděle doma""",
+pekárny na hlavním náměstí není nic lepšího než tichá neděle doma přemýšlím o tom jak řeka teče přes kameny a jak se v ní zrcadlí
+obloha když jsem byl ještě malý chodili jsme s dědečkem k rybníku kde
+kvákaly žáby a nad hladinou létaly vážky říkal mi že příroda je největší
+učitelka protože všechno co potřebujeme vědět už někde napsala čeština má
+krásná slova jako příliš žluťoučký kůň úpěl ďábelské ódy a právě háčky a
+čárky dělají náš jazyk zvláštním večer jsme si vařili čaj a povídali si o
+tom co budeme dělat zítra jestli půjdeme do města nebo zůstaneme doma u
+kamen kde praská dřevo a voní chléb který upekla babička toto je přesně ten
+okamžik kdy si člověk uvědomí že všechno je tak jak má být toto není jen
+obyčejný den je to den kdy se rozhoduje o všem co bude dál věta kterou
+jsem slyšel byla zcela jasná a každý kdo ji slyšel by měl rozumět bez
+jakéhokoli problému že jde o důležitou zprávu""",
 
 "sk": """včera ráno išla moja sestra skorým vlakom do mesta kde pracuje v
 malej kancelárii blízko prístavu vždy si kúpi kávu na rohu pred prácou a
@@ -234,7 +251,15 @@ mereka yang memberi mereka tomat kacang dan apel setiap musim gugur tahun
 depan mereka berharap membangun rumah kaca kecil supaya tanaman bisa tumbuh
 bahkan selama bulan bulan dingin semua orang setuju bahwa musim semi adalah
 musim terbaik di sini karena hari menjadi lebih panjang pohon pohon
-menghijau dan seluruh kota berbau roti segar dari toko roti di alun alun""",
+menghijau dan seluruh kota berbau roti segar dari toko roti di alun alun saya sedang memikirkan bagaimana caranya bisa pergi ke pasar
+besok pagi karena sepeda saya rusak kemarin sore teman saya bilang dia
+tidak bisa meminjamkan sepedanya sebab akan dipakai adiknya untuk sekolah
+kalau begitu saya harus jalan kaki saja atau naik angkutan umum yang
+lewat depan rumah setiap setengah jam orang orang di kampung kami sangat
+ramah mereka selalu menyapa ketika bertemu di jalan dan sering berbagi
+makanan ketika ada acara keluarga bulan depan akan ada pesta panen di
+desa dan semua warga akan berkumpul untuk makan bersama menonton
+pertunjukan wayang dan mendengarkan musik gamelan sampai larut malam""",
 
 "ms": """semalam pagi kakak saya menaiki kereta api awal ke bandar tempat
 dia bekerja di sebuah pejabat kecil berhampiran pelabuhan dia selalu
@@ -246,7 +271,15 @@ daun terup dan berbual tentang kebun mereka yang memberi mereka tomato
 kacang dan epal setiap musim luruh tahun hadapan mereka berharap dapat
 membina rumah hijau kecil supaya tumbuhan boleh membesar walaupun semasa
 bulan bulan sejuk semua orang bersetuju bahawa musim bunga ialah musim
-terbaik di sini kerana hari semakin panjang dan seluruh bandar berbau roti""",
+terbaik di sini kerana hari semakin panjang dan seluruh bandar berbau roti petang semalam saya pergi ke kedai runcit berhampiran rumah
+untuk membeli barang keperluan dapur seperti beras gula dan minyak masak
+penjaga kedai itu sangat peramah dan selalu bertanya khabar tentang
+keluarga kami musim hujan akan tiba tidak lama lagi jadi kami perlu
+membaiki bumbung rumah yang bocor sebelum hujan lebat turun setiap petang
+kanak kanak di taman permainan bermain bola sepak dan layang layang
+sehingga matahari terbenam ibu bapa mereka duduk berbual di bangku sambil
+minum teh tarik dan makan kuih muih pada hari minggu kami sekeluarga
+selalu pergi ke pasar malam untuk membeli sate nasi lemak dan cendol""",
 
 "nl": """gisterochtend nam mijn zus de vroege trein naar de stad waar ze
 werkt op een klein kantoor dicht bij de haven ze koopt altijd koffie op de

@@ -65,7 +65,11 @@ _CLOSE_GROUPS = [
     ("cs", "sk"),
     ("bs", "hr", "sr"),
     ("hi", "mr", "ne"),
-    ("no", "da"),
+    # sv added to the reference's {no,nn,da} set: with this engine's
+    # small seed-trained tables written Swedish is statistically close
+    # to Danish/Norwegian (chunk margins of a few points), same
+    # derivation rule as the reference's sets (lang_script.cc:262)
+    ("no", "da", "sv"),
     # ca added to the reference's {gl,es,pt} set: close sets are
     # derived from the engine's own quadgram tables (lang_script.cc:262
     # "statistically close ... based on quadgram table"), and with this

@@ -107,3 +107,22 @@ def test_cjk_discrimination(det):
     assert det.detect(HELDOUT["zh"]).summary_code == "zh"
     assert det.detect(HELDOUT["ja"]).summary_code == "ja"
     assert det.detect(HELDOUT["ko"]).summary_code == "ko"
+
+
+def test_frozen_goldens(det):
+    """Conformance goldens frozen against the current tables — the
+    engine's analogue of the reference's build-date canary
+    (cld2_unittest.cc:183-187): any change to tables or scoring that
+    shifts results must consciously regenerate tests/goldens.json
+    (python -m pytest fails loudly here otherwise)."""
+    import json
+    import os
+    with open(os.path.join(os.path.dirname(__file__), "goldens.json")) as f:
+        goldens = json.load(f)
+    for code, want in goldens.items():
+        r = det.detect(HELDOUT[code])
+        assert r.summary_code == want["summary"], code
+        assert list(r.language3) == want["language3"], code
+        assert list(r.percent3) == want["percent3"], code
+        assert r.is_reliable == want["is_reliable"], code
+        assert r.text_bytes == want["text_bytes"], code
