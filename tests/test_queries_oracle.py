@@ -12,9 +12,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
-SUBSET = ["lang_counts", "token_stats", "exact_dedup", "quality_rules",
-          "pii_scrub", "tpch_q1", "events_hourly", "ann_top1",
-          "token_freq_top50"]
+# every SQL-checked query (the full driver gate, at the small scale)
+import __ray_entry__ as _e
+SUBSET = sorted(_e.oracle_sql())
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -31,7 +31,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def con():
     c = duckdb.connect()
     for t in ("documents", "embeddings", "lineitem", "events", "orders",
-              "customer"):
+              "customer", "supplier", "nation", "region", "part"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{SF}/{t}.parquet')")
     return c
