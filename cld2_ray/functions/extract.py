@@ -198,6 +198,7 @@ def scan_tag_end(b: bytes, i: int) -> int:
         if m12.group() == b">":
             return m12.end()
         return i + 1
+    return n  # '<' at end of input: consume the rest (ref: "fell off the end")
 
 
 # --- main extraction loop ---------------------------------------------------
