@@ -22,7 +22,8 @@ import numpy as np
 from . import hits, langs, score, spans, uscript as us
 from .extract import extract_text, valid_utf8_prefix
 from .hints import HINT_BOOST, hints_from_page
-from .repeats import remove_repeated_words
+from .repeats import SQUEEZE_TEST_THRESH, remove_repeated_words, squeeze, \
+    squeeze_trigger
 from cld2_ray.state.model import unpack_langprobs
 
 
@@ -212,7 +213,10 @@ class Detector:
         n = len(texts)
         if hints_list is None:
             hints_list = [None] * n
-        doc_spans = [spans.script_spans(t or "") for t in texts]
+        texts = [squeeze(t) if (t and len(t) > SQUEEZE_TEST_THRESH
+                                and squeeze_trigger(t)) else (t or "")
+                 for t in texts]
+        doc_spans = [spans.script_spans(t) for t in texts]
         totals = [sum(sp.text_bytes for sp in sl) for sl in doc_spans]
         totes = self._fill_totes(doc_spans, hints_list)
         out: list[score.DetectResult] = []
@@ -242,6 +246,10 @@ class Detector:
         default_to_english: the non-Ext entry-point behavior
         (UNKNOWN -> ENGLISH, compact_lang_det.cc:90-94).
         """
+        # CheapSqueeze pre-pass (impl.cc:1867-1901): long repetitive
+        # documents are squeezed before scoring
+        if len(text) > SQUEEZE_TEST_THRESH and squeeze_trigger(text):
+            text = squeeze(text)
         span_list = spans.script_spans(text)
         total = sum(sp.text_bytes for sp in span_list)
         res = self._detect_spans(span_list, total, best_effort, hint_langs)
