@@ -75,6 +75,26 @@ def count_predicted_bytes(text: str) -> int:
     return int(nbytes[mask].sum())
 
 
+def _count_predicted_short(text: str) -> int:
+    """Plain-Python predictor for short probes (a 256-char probe runs
+    ~10x faster here than through the pandas groupby machinery)."""
+    tbl: dict[int, int] = {}
+    h = 0
+    count = 0
+    for ch in text:
+        cp = ord(ch)
+        nb = 1 + (cp >= 0x80) + (cp >= 0x800) + (cp >= 0x10000)
+        if nb == 1:
+            c = cp
+        else:
+            c = int.from_bytes(ch.encode("utf-8"), "big")
+        if tbl.get(h) == c:
+            count += nb
+        tbl[h] = c
+        h = ((h << 4) ^ c) & 0xFFF
+    return count
+
+
 def squeeze_trigger(text: str) -> bool:
     """CheapSqueezeTriggerTest (impl.cc:952-971): look at the first 256
     bytes; trigger if >=25% spaces or >=67% predicted bytes."""
@@ -85,7 +105,7 @@ def squeeze_trigger(text: str) -> bool:
     n_sp = probe.count(" ")
     if n_sp * 100 >= SPACES_TRIGGER_PERCENT * n:
         return True
-    return count_predicted_bytes(probe) * 100 >= PREDICT_TRIGGER_PERCENT * n
+    return _count_predicted_short(probe) * 100 >= PREDICT_TRIGGER_PERCENT * n
 
 
 def remove_repeated_words(span_text: str) -> str:
