@@ -436,6 +436,53 @@ FROM part GROUP BY p_brand
 """
 
 
+
+
+def q_jaccard_pairs(sf_dir):
+    """Exact token-set Jaccard near-dup pairs (the verification metric
+    of the MinHash family as a standalone operator): pairs with
+    |A∩B| / |A∪B| > 0.5 over distinct whitespace tokens. All token sets
+    are broadcast once (small side); each batch compares its docs
+    against the full set. The threshold compares in integers
+    (2*inter > union) so the SQL oracle matches bit-for-bit."""
+    import ray
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = ds.to_pandas()
+    sets = {int(r.doc_id): frozenset(r.text.split())
+            for r in docs.itertuples()}
+    ref = ray.put(sets)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_sets = ray.get(ref)
+        rows = []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            a = frozenset(text.split())
+            for other, b in all_sets.items():
+                if other <= did:
+                    continue
+                inter = len(a & b)
+                union = len(a | b)
+                if union and 2 * inter > union:
+                    rows.append((int(did), int(other)))
+        return pd.DataFrame(rows, columns=["a", "b"], dtype="int64")
+
+    out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM toks x, toks y
+WHERE x.doc_id < y.doc_id
+  AND 2 * len(list_intersect(x.t, y.t))
+      > len(x.t) + len(y.t) - len(list_intersect(x.t, y.t))
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -562,6 +609,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
     "top_longest": q_top_longest,
     "token_freq_top50": q_token_freq_top50,
     "stopword_counts": q_stopword_counts,
@@ -593,6 +641,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,
