@@ -661,4 +661,5 @@ HELDOUT: dict[str, str] = {
 "ko": "이것은 엔진이 아무 문제 없이 인식해야 하는 완전히 평범한 한국어 문장입니다.",
 "ja": "これはエンジンが何の問題もなく認識するはずのごく普通の日本語の文章です。",
 "zh": "这是一个完全普通的中文句子引擎应该毫无问题地识别出来它的语言。",
+"zh-Hant": "這是一個引擎應該毫無問題地辨識出來的普通繁體中文句子應該很容易分辨。",
 }
