@@ -45,12 +45,22 @@ TLD_HINTS: dict[str, str] = {
 
 _TLD_RE = re.compile(r"^[a-z]+://[^/]*?([a-z0-9-]+\.)?([a-z]{2,6})(?::\d+)?/",
                      re.IGNORECASE)
+# left boundary: the reference requires ' lang' / ':lang' before '='
+# (GetLangTagsFromHtml, compact_lang_det_hint_code.cc) — without it,
+# hreflang="xx" on <link rel=alternate> would supply a bogus hint
 _LANG_ATTR_RE = re.compile(
-    rb"""(?:lang|xml:lang)\s*=\s*["']?\s*([A-Za-z]{2,3})(?:[-_][A-Za-z]{2,8})?""",
+    rb"""(?<![A-Za-z-])(?:lang|xml:lang)\s*=\s*["']?\s*([A-Za-z]{2,3})(?:[-_][A-Za-z]{2,8})?""",
     re.IGNORECASE)
 _CONTENT_LANG_RE = re.compile(
     rb"""content-language["']?\s+content\s*=\s*["']?\s*([A-Za-z]{2,3})""",
     re.IGNORECASE)
+# tag contexts the reference skips when scanning for lang= attributes
+# (link/script/a tags and comments carry hreflang/JS/outbound-locale
+# noise, not the page's own language)
+_SKIP_TAG_RE = re.compile(
+    rb"""<!--.*?(?:-->|$)|<script\b.*?(?:</script\s*>|$)"""
+    rb"""|<(?:link|a|area|font|img)\b[^>]*(?:>|$)""",
+    re.IGNORECASE | re.DOTALL)
 
 
 def tld_of(url: str) -> str:
@@ -67,9 +77,8 @@ def hints_from_page(url: str, html: bytes) -> list[int]:
     meta, tld)."""
     out: list[int] = []
 
-    head = html[:MAX_SCAN_BYTES]
-    m = _LANG_ATTR_RE.search(head)
-    if m:
+    head = _SKIP_TAG_RE.sub(b" ", html[:MAX_SCAN_BYTES])
+    for m in _LANG_ATTR_RE.finditer(head):
         lid = langs.lang_id(m.group(1).decode("ascii").lower())
         if lid:
             out.append(lid)

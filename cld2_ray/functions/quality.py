@@ -122,6 +122,12 @@ _SENT_END = re.compile(r"[.!?。！？]")
 # apply; word count is approximated by character count
 SPACELESS_LANGS = frozenset(["zh", "zh-Hant", "ja", "th", "km", "lo", "my"])
 
+# languages whose stopwords the STOPWORDS list actually covers — the
+# too_few_stopwords rule only fires for these (demanding en/fr/de/es/
+# pt/ru function words from, say, Turkish prose would drop every
+# well-formed Turkish page)
+STOPWORD_LANGS = frozenset(["en", "fr", "de", "es", "pt", "ru"])
+
 
 def apply_rules(texts: pd.Series,
                 lang_codes: pd.Series | None = None) -> pd.DataFrame:
@@ -135,10 +141,14 @@ def apply_rules(texts: pd.Series,
     ls = line_stats(texts)
     t = texts.fillna("")
     if lang_codes is not None:
-        spaceless = lang_codes.reset_index(drop=True).isin(SPACELESS_LANGS)
-        spaceless.index = t.index
+        lc = lang_codes.reset_index(drop=True)
+        lc.index = t.index
+        spaceless = lc.isin(SPACELESS_LANGS)
+        stopword_gated = lc.isin(STOPWORD_LANGS)
     else:
         spaceless = pd.Series(False, index=t.index)
+        # language unknown -> cannot demand specific stopwords
+        stopword_gated = pd.Series(False, index=t.index)
     # effective word count: chars/2.5 for spaceless scripts
     eff_words = ws.n_words.mask(spaceless,
                                 (ws.n_chars / 2.5).astype(np.int64))
@@ -170,6 +180,8 @@ def apply_rules(texts: pd.Series,
         ("bullet_lines", ls.bullet_ratio > MAX_BULLET_LINE_RATIO),
         ("ellipsis_lines", ls.ellipsis_ratio > MAX_ELLIPSIS_LINE_RATIO),
         ("alpha_ratio", ~spaceless & (ws.alpha_ratio < MIN_ALPHA_WORD_RATIO)),
+        ("too_few_stopwords", stopword_gated
+         & (ws.n_stopwords < MIN_STOPWORDS)),
         ("dup_lines", ls.dup_line_ratio > MAX_DUP_LINE_RATIO),
         ("lorem_ipsum", has_lorem),
         ("brace_source_code", has_brace),

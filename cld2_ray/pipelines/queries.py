@@ -536,7 +536,9 @@ def q_langid_documents(sf_dir):
             self.det = Detector()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            res = [self.det.detect(t or "") for t in df["text"]]
+            # one concatenated scoring pass per batch (detect_batch),
+            # not a per-row detect() loop
+            res = self.det.detect_batch([t or "" for t in df["text"]])
             return pd.DataFrame({
                 "doc_id": df["doc_id"],
                 "lang1": [r.summary_code for r in res],

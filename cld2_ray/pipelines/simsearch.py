@@ -22,6 +22,17 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _filter_ids(ds, id_col: str, wanted) -> "object":
+    """Row filter by membership — a map_batches isin, never a
+    string-interpolated filter expression (works for any id dtype and
+    any candidate-set size)."""
+    wanted = set(wanted)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col].isin(wanted)]
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def brute_force_topk(ds, query_ids: list[int], k: int = 10,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -29,8 +40,8 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10,
     """Exact cosine top-k: (query_id, rank, neighbor_id) rows."""
     import ray
 
-    qdf = ds.filter(expr=f"{id_col} in {list(query_ids)}") \
-        .select_columns([id_col, vec_col]).to_pandas()
+    qdf = _filter_ids(ds.select_columns([id_col, vec_col]),
+                      id_col, query_ids).to_pandas()
     qdf = qdf.sort_values(id_col)
     qids = qdf[id_col].to_numpy()
     qmat = _norm_rows(np.stack(qdf[vec_col].to_numpy()))
@@ -92,21 +103,20 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
     cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), n_clusters)
     cref = ray.put(cent)
 
-    qdf = ds.filter(expr=f"{id_col} in {list(query_ids)}") \
-        .select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+    qdf = _filter_ids(ds.select_columns([id_col, vec_col]),
+                      id_col, query_ids).to_pandas().sort_values(id_col)
     qmat = _norm_rows(np.stack(qdf[vec_col].to_numpy()))
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
-    probed_clusters = sorted(set(probe.ravel().tolist()))
+    probed_clusters = set(probe.ravel().tolist())
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign_and_filter(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cref)
         mat = _norm_rows(np.stack(df[vec_col].to_numpy()))
         df = df.copy()
         df["cluster"] = np.argmax(mat @ c.T, axis=1)
-        return df
+        return df[df["cluster"].isin(probed_clusters)]
 
-    assigned = ds.map_batches(assign, batch_format="pandas")
-    shard = assigned.filter(expr=f"cluster in {probed_clusters}")
+    shard = ds.map_batches(assign_and_filter, batch_format="pandas")
     return brute_force_topk(shard, query_ids, k=k, id_col=id_col,
                             vec_col=vec_col)
 
@@ -117,7 +127,10 @@ def knn_classify(ds, query_ids: list[int], k: int = 5,
     """(query_id, predicted_label) by majority vote of exact top-k."""
     top = brute_force_topk(ds, query_ids, k=k, id_col=id_col,
                            vec_col=vec_col)
-    labels = ds.select_columns([id_col, label_col]).to_pandas()
+    # only the neighbors' labels reach the driver (bounded: n_queries*k
+    # rows), not the whole dataset's label column
+    labels = _filter_ids(ds.select_columns([id_col, label_col]),
+                         id_col, top["neighbor_id"].tolist()).to_pandas()
     merged = top.merge(labels, left_on="neighbor_id", right_on=id_col)
     out = (merged.groupby("query_id")[label_col]
            .agg(lambda s: s.value_counts().sort_index().idxmax())

@@ -48,7 +48,9 @@ def main(argv=None) -> int:
     from cld2_ray.state import checkpoint as cp
 
     if args.synthetic:
-        per = max(args.synthetic // args.partitions, 1)
+        # ceil division: floor would silently drop the trailing
+        # (synthetic mod partitions) documents
+        per = max(-(-args.synthetic // args.partitions), 1)
 
         def make_part(pid):
             # regenerate exactly this partition's id range (deterministic)
