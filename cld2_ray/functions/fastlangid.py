@@ -100,43 +100,100 @@ def _train() -> np.ndarray:
     return table
 
 
-def classify(text: str) -> tuple[str, float]:
-    """Returns (lang_code, confidence 0..1)."""
-    from . import uscript as us
-    if not text or not text.strip():
-        return "un", 0.0
-    # single-language scripts resolve by script alone (no corpus needed)
-    cps = us.codepoints(text.lower())
-    sc = us.scripts_of(cps)
-    nonzero = sc[sc > 0]
-    if len(nonzero):
-        dominant = int(np.bincount(nonzero).argmax())
-        if us.script_rtype(dominant) == us.RTYPE_ONE:
-            return langs.lang_code(int(langs.SCRIPT_DEFAULT_LANG[dominant])), 0.95
-
-    w = weights()
-    idx = weights.bucket_index  # type: ignore[attr-defined]
-    f = _features(text)
-    if len(f) == 0:
-        return "un", 0.0
-    rows = idx[f]
-    if rows.max(initial=0) == 0:
-        return "un", 0.0  # nothing recognizable
-    # counts @ w[uniq] instead of gathering a (n_feats, n_langs) slab
-    uniq, counts = np.unique(rows, return_counts=True)
-    scores = counts.astype(np.float32) @ w[uniq]
-    scores[langs.UNKNOWN] = -np.inf
-    order = np.argsort(scores)
-    top, second = order[-1], order[-2]
-    margin = float(scores[top] - scores[second]) / max(len(f), 1)
-    conf = float(1.0 - np.exp(-4.0 * max(margin, 0.0)))
-    return langs.lang_code(int(top)), conf
+def _features_batch(texts: list[str]):
+    """Batch _features: one concatenated byte buffer, windows crossing
+    document boundaries masked out. Per-document feature values AND
+    order are identical to _features (2-grams, then 3-, then 4-grams,
+    each by position). Returns (feat_bucket int64[], doc_of int64[])."""
+    framed = [(" " + t.lower() + " ").encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in framed], dtype=np.int64)
+    bounds = np.cumsum(lens)
+    cat = b"".join(framed)
+    arr = np.frombuffer(cat, dtype=np.uint8).astype(np.uint64)
+    big_n = len(arr)
+    if big_n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos_doc = np.searchsorted(bounds, np.arange(big_n), side="right")
+    feats, docs = [], []
+    with np.errstate(over="ignore"):
+        for n in (2, 3, 4):
+            if big_n < n:
+                continue
+            h = np.zeros(big_n - n + 1, dtype=np.uint64)
+            for k in range(n):
+                h = h * np.uint64(31) + arr[k: big_n - n + 1 + k]
+            h = (h * _GOLD) >> np.uint64(46)
+            d = pos_doc[:big_n - n + 1]
+            valid = (np.arange(big_n - n + 1) + n) <= bounds[d]
+            feats.append(h[valid].astype(np.int64))
+            docs.append(d[valid])
+    if not feats:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(feats), np.concatenate(docs)
 
 
 def classify_batch(texts) -> tuple[list[str], list[float]]:
-    out_l, out_c = [], []
-    for t in texts:
-        l, c = classify(t or "")
-        out_l.append(l)
-        out_c.append(c)
+    """Vectorized batch scoring: one feature pass over the whole batch,
+    per-document accumulation in C (numpy add.at fallback — same
+    accumulation order, same results)."""
+    from cld2_ray import native
+    from . import uscript as us
+    texts = [t or "" for t in texts]
+    n = len(texts)
+    out_l, out_c = ["un"] * n, [0.0] * n
+    todo: list[int] = []
+    for i, t in enumerate(texts):
+        if not t.strip():
+            continue
+        # single-language scripts resolve by script alone
+        cps = us.codepoints(t.lower())
+        sc = us.scripts_of(cps)
+        nonzero = sc[sc > 0]
+        if len(nonzero):
+            dominant = int(np.bincount(nonzero).argmax())
+            if us.script_rtype(dominant) == us.RTYPE_ONE:
+                out_l[i] = langs.lang_code(
+                    int(langs.SCRIPT_DEFAULT_LANG[dominant]))
+                out_c[i] = 0.95
+                continue
+        todo.append(i)
+    if not todo:
+        return out_l, out_c
+
+    w = weights()
+    idx = weights.bucket_index  # type: ignore[attr-defined]
+    if native.AVAILABLE:
+        framed = [(" " + texts[i].lower() + " ").encode("utf-8")
+                  for i in todo]
+        bounds = np.cumsum([len(b) for b in framed]).astype(np.int64)
+        scores, nf, n_rows = native.fastlangid_score(
+            b"".join(framed), bounds, idx, w)
+        has_row = n_rows > 0
+    else:
+        feats, doc_of = _features_batch([texts[i] for i in todo])
+        nf = np.bincount(doc_of, minlength=len(todo)).astype(np.int64)
+        rows = idx[feats]
+        nz = rows > 0
+        has_row = np.bincount(doc_of[nz], minlength=len(todo)) > 0
+        scores = np.zeros((len(todo), w.shape[1]), dtype=np.float32)
+        np.add.at(scores, doc_of[nz], w[rows[nz]])
+    scores[:, langs.UNKNOWN] = -np.inf
+    order = np.argsort(scores, axis=1)
+    top = order[:, -1]
+    s_top = np.take_along_axis(scores, top[:, None], 1)[:, 0]
+    s_sec = np.take_along_axis(scores, order[:, -2][:, None], 1)[:, 0]
+    margin = (s_top - s_sec).astype(np.float64) / np.maximum(nf, 1)
+    conf = 1.0 - np.exp(-4.0 * np.maximum(margin, 0.0))
+    for j, i in enumerate(todo):
+        if nf[j] == 0 or not has_row[j]:
+            continue  # no recognizable features -> un, 0.0
+        out_l[i] = langs.lang_code(int(top[j]))
+        out_c[i] = float(conf[j])
     return out_l, out_c
+
+
+def classify(text: str) -> tuple[str, float]:
+    """Returns (lang_code, confidence 0..1). Single-doc entry of the
+    batch path (one code path, identical results)."""
+    ls, cs = classify_batch([text])
+    return ls[0], cs[0]

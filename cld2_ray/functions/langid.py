@@ -20,6 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import hits, langs, score, spans, uscript as us
+from cld2_ray import native
 from .extract import extract_text, valid_utf8_prefix
 from .hints import HINT_BOOST, hints_from_page
 from .repeats import SQUEEZE_TEST_THRESH, remove_repeated_words, squeeze, \
@@ -46,23 +47,37 @@ class Detector:
 
     # -- span scoring -------------------------------------------------------
 
+    def _many_hits(self, cat: bytes, bounds: np.ndarray):
+        """Quad+octa table hits over concatenated MANY spans, merged by
+        offset (quads before octas at equal offset). One C pass when the
+        native kernel is available (cld2_ray/native, bit-equal to the
+        numpy path — cross-checked in tests)."""
+        if native.AVAILABLE:
+            qv, qo, ov, oo = native.quad_octa_scan(
+                cat, bounds, self.model.quad, self.model.octa)
+        else:
+            h, off = hits.quad_hits_dense(cat, span_bounds=bounds)
+            vals = self.model.quad.lookup(h)
+            m = vals != 0
+            qv, qo = vals[m], off[m]
+            oh, ooff = hits.octa_hits(cat, span_bounds=bounds)
+            ovals = self.model.octa.lookup(oh)
+            om = ovals != 0
+            ov, oo = ovals[om], ooff[om]
+        all_vals = np.concatenate([qv, ov])
+        all_off = np.concatenate([qo, oo])
+        order = np.argsort(all_off, kind="stable")
+        return all_vals[order], all_off[order]
+
     def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote,
                     hint_langs: list[int] | None = None) -> None:
         rt = us.script_rtype(sp.script)
         if rt == us.RTYPE_MANY:
             sb = sp.text.encode("utf-8")
-            h, off = hits.quad_hits_dense(sb)
-            vals = self.model.quad.lookup(h)
-            hit = vals != 0
-            # word (octagram) hits participate in the same chunk stream
-            oh, ooff = hits.octa_hits(sb)
-            ovals = self.model.octa.lookup(oh)
-            ohit = ovals != 0
-            all_vals = np.concatenate([vals[hit], ovals[ohit]])
-            all_off = np.concatenate([off[hit], ooff[ohit]])
-            order = np.argsort(all_off, kind="stable")
-            l3, q3 = unpack_langprobs(all_vals[order])
-            c = score.score_chunks(l3, q3, all_off[order], len(sb),
+            all_vals, all_off = self._many_hits(
+                sb, np.array([len(sb)], dtype=np.int64))
+            l3, q3 = unpack_langprobs(all_vals)
+            c = score.score_chunks(l3, q3, all_off, len(sb),
                                    score.CHUNKSIZE_QUADS,
                                    self.model.expected_quad,
                                    hint_langs, HINT_BOOST)
@@ -119,18 +134,11 @@ class Detector:
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             bounds = np.cumsum(lens)
             cat = b"".join(bufs)
-            h, off = hits.quad_hits_dense(cat, span_bounds=bounds)
-            vals = self.model.quad.lookup(h)
-            oh, ooff = hits.octa_hits(cat, span_bounds=bounds)
-            ovals = self.model.octa.lookup(oh)
-            hm, om = vals != 0, ovals != 0
-            all_vals = np.concatenate([vals[hm], ovals[om]])
-            all_off = np.concatenate([off[hm], ooff[om]])
-            order = np.argsort(all_off, kind="stable")
-            l3, q3 = unpack_langprobs(all_vals[order])
-            span_of = np.searchsorted(bounds, all_off[order], side="right")
+            all_vals, all_off = self._many_hits(cat, bounds)
+            l3, q3 = unpack_langprobs(all_vals)
+            span_of = np.searchsorted(bounds, all_off, side="right")
             c = score.score_chunks_multi(
-                l3, q3, all_off[order], span_of, starts, lens,
+                l3, q3, all_off, span_of, starts, lens,
                 np.full(len(bufs), score.CHUNKSIZE_QUADS, dtype=np.int64),
                 self.model.expected_quad,
                 [hl for _, _, hl in many])

@@ -53,15 +53,35 @@ _WS = re.compile(r"\s+")
 _TOKEN = re.compile(r"\S+")
 # a token containing at least one Unicode letter ([^\W\d_] with re.UNICODE)
 _ALPHA_TOKEN = re.compile(r"(?<!\S)\S*[^\W\d_]")
+_STOP_WORDS_ALT = "|".join(
+    "the of and to in a is that for it with as was on be at by this "
+    "le la de et les des un une du en que est pour dans "
+    "der die das und den von zu mit sich auf ist im "
+    "el los las y o del para con una por se no "
+    "e os as um uma não com "
+    "и в не на с что он как по это".split())
 _STOP_RE = re.compile(
-    r"(?<!\S)['\"(]*(?:" + "|".join(
-        "the of and to in a is that for it with as was on be at by this "
-        "le la de et les des un une du en que est pour dans "
-        "der die das und den von zu mit sich auf ist im "
-        "el los las y o del para con una por se no "
-        "e os as um uma não com "
-        "и в не на с что он как по это".split())
-    + r")[.,;:!?'\")]*(?=\s|$)", re.IGNORECASE)
+    r"(?<!\S)['\"(]*(?:" + _STOP_WORDS_ALT + r")[.,;:!?'\")]*(?=\s|$)",
+    re.IGNORECASE)
+# anchored whole-token form of _STOP_RE: applied to already-split
+# tokens it needs no lookarounds, so it runs on Arrow's RE2 kernels
+_STOP_TOKEN_PATTERN = \
+    r"^['\"(]*(?:" + _STOP_WORDS_ALT + r")[.,;:!?'\")]*$"
+
+
+def _stopword_counts_arrow(arr) -> np.ndarray:
+    """Per-row stopword counts, equal to str.count(_STOP_RE): split on
+    whitespace, anchored-match each token (RE2 DFA, no Python loop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    toks = pc.split_pattern_regex(arr, r"\s+")
+    flat = pc.list_flatten(toks)
+    is_stop = pc.match_substring_regex(
+        flat, _STOP_TOKEN_PATTERN, ignore_case=True)
+    hits = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(hits)])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
 def word_stats(texts: pd.Series) -> pd.DataFrame:
@@ -88,7 +108,7 @@ def word_stats(texts: pd.Series) -> pd.DataFrame:
     alpha_words = pd.Series(
         pc.count_substring_regex(arr, r"(^|\s)\S*\pL")
         .to_numpy(zero_copy_only=False), index=texts.index)
-    n_stop = stripped.str.count(_STOP_RE).astype(np.int64)
+    n_stop = pd.Series(_stopword_counts_arrow(arr), index=texts.index)
     return pd.DataFrame({
         "n_words": n_words,
         "n_chars": n_chars,

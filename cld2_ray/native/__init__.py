@@ -1,0 +1,157 @@
+"""ctypes shim for the C hot-loop kernel (quadscan.c).
+
+Compiles the kernel on first import (cached ``quadscan.so`` next to the
+source, atomic rename so concurrent Ray actors race safely) and exposes
+``quad_octa_scan``. If no compiler is available the module degrades to
+``AVAILABLE = False`` and callers use the bit-equal numpy path
+(cld2_ray/functions/hits.py) — the tests cross-check the two.
+
+The C call releases the GIL (plain ctypes), so actor-pool threads
+overlap fully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "quadscan.c")
+_SO = os.path.join(_DIR, "quadscan.so")
+
+AVAILABLE = False
+_FN = None
+_LK = None
+_ACC = None
+
+
+def _compile() -> str | None:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return _SO
+        tmp = f"{_SO}.tmp.{os.getpid()}"
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", _SRC, "-o", tmp],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
+        return _SO
+    except Exception:
+        return None
+
+
+def _load() -> None:
+    global AVAILABLE, _FN
+    so = _compile()
+    if so is None:
+        return
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return
+    fn = lib.quad_octa_scan
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    fn.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+        u64p, u64p, ctypes.c_uint64,
+        u64p, u64p, ctypes.c_uint64,
+        u64p, i64p, ctypes.POINTER(ctypes.c_int64),
+        u64p, i64p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    fn.restype = ctypes.c_int
+    lk = lib.table_lookup_batch
+    lk.argtypes = [u64p, u64p, ctypes.c_uint64, u64p, ctypes.c_int64, u64p]
+    lk.restype = ctypes.c_int
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    acc = lib.fastlangid_score
+    acc.argtypes = [u8p, i64p, ctypes.c_int64, i32p, f32p, ctypes.c_int64,
+                    i32p, i32p, f32p, i64p, i64p]
+    acc.restype = ctypes.c_int
+    global _LK, _ACC
+    _LK = lk
+    _ACC = acc
+    _FN = fn
+    AVAILABLE = True
+
+
+_load()
+
+
+# Reusable output scratch (grown to the largest batch seen) — fresh
+# n-sized np.empty per call would page-fault gigabytes per actor-hour.
+# Ray actors process one batch at a time, so per-process reuse is safe;
+# results are copied out before return.
+_scratch: dict[str, np.ndarray] = {}
+
+
+def _get_scratch(cap: int):
+    if _scratch.get("cap", 0) < cap:
+        _scratch["qvals"] = np.empty(cap, dtype=np.uint64)
+        _scratch["qoffs"] = np.empty(cap, dtype=np.int64)
+        _scratch["ovals"] = np.empty(cap, dtype=np.uint64)
+        _scratch["ooffs"] = np.empty(cap, dtype=np.int64)
+        _scratch["cap"] = cap
+    return (_scratch["qvals"], _scratch["qoffs"],
+            _scratch["ovals"], _scratch["ooffs"])
+
+
+def quad_octa_scan(cat: bytes, bounds: np.ndarray, quad_table,
+                   octa_table):
+    """One C pass: quad+octa candidate walk, hash, ring dedupe, table
+    probe. Returns (qvals, qoffs, ovals, ooffs) — table HITS only, in
+    ascending offset order, bit-equal to
+    hits.quad_hits_dense + HashTable.lookup / hits.octa_hits + lookup.
+    """
+    n = len(cat)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    qvals, qoffs, ovals, ooffs = _get_scratch(n + 8)
+    nq = ctypes.c_int64(0)
+    no = ctypes.c_int64(0)
+    _FN(buf, n, bounds, len(bounds),
+        quad_table.keys, quad_table.vals, int(quad_table.mask),
+        octa_table.keys, octa_table.vals, int(octa_table.mask),
+        qvals, qoffs, ctypes.byref(nq),
+        ovals, ooffs, ctypes.byref(no))
+    return (qvals[:nq.value].copy(), qoffs[:nq.value].copy(),
+            ovals[:no.value].copy(), ooffs[:no.value].copy())
+
+
+def table_lookup(keys: np.ndarray, vals: np.ndarray, mask: int,
+                 queries: np.ndarray) -> np.ndarray:
+    """C probe loop for HashTable.lookup (bit-equal to the numpy path)."""
+    q = np.ascontiguousarray(queries, dtype=np.uint64)
+    out = np.empty(len(q), dtype=np.uint64)
+    _LK(keys, vals, int(mask), q, len(q), out)
+    return out
+
+
+_fl_scratch: dict[str, np.ndarray] = {}
+
+
+def fastlangid_score(cat: bytes, bounds: np.ndarray, idx: np.ndarray,
+                     w: np.ndarray):
+    """Fused hashed-n-gram classifier scoring over concatenated framed
+    docs. Returns (scores (n,k) f32, nfeats int64[n], nrows int64[n])."""
+    n_docs = len(bounds)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    if _fl_scratch.get("n_rows", 0) < w.shape[0]:
+        _fl_scratch["cnt"] = np.zeros(w.shape[0], dtype=np.int32)
+        _fl_scratch["n_rows"] = w.shape[0]
+    max_doc = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
+    if _fl_scratch.get("t_cap", 0) < 3 * max_doc + 8:
+        _fl_scratch["touched"] = np.empty(3 * max_doc + 8, dtype=np.int32)
+        _fl_scratch["t_cap"] = 3 * max_doc + 8
+    scores = np.zeros((n_docs, w.shape[1]), dtype=np.float32)
+    nfeats = np.zeros(n_docs, dtype=np.int64)
+    nrows = np.zeros(n_docs, dtype=np.int64)
+    _ACC(buf, bounds, n_docs, idx, w, w.shape[1],
+         _fl_scratch["cnt"], _fl_scratch["touched"], scores, nfeats, nrows)
+    return scores, nfeats, nrows

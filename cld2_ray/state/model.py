@@ -70,9 +70,14 @@ class HashTable:
 
     def lookup(self, queries: np.ndarray) -> np.ndarray:
         """Vectorized open-addressed lookup. Returns uint64 values
-        (0 = miss)."""
+        (0 = miss). Uses the C probe loop when available (bit-equal;
+        cld2_ray/native)."""
         if len(queries) == 0:
             return np.empty(0, dtype=np.uint64)
+        from cld2_ray import native
+        if native.AVAILABLE:
+            return native.table_lookup(self.keys, self.vals, self.mask,
+                                       queries)
         q = queries.astype(np.uint64)
         np.place(q, q == 0, 1)
         idx = (_mix(q) & self.mask).astype(np.int64)
