@@ -78,6 +78,12 @@ class HashTable:
         if native.AVAILABLE:
             return native.table_lookup(self.keys, self.vals, self.mask,
                                        queries)
+        return self.lookup_numpy(queries)
+
+    def lookup_numpy(self, queries: np.ndarray) -> np.ndarray:
+        """Pure-numpy probe loop (fallback + cross-check reference)."""
+        if len(queries) == 0:
+            return np.empty(0, dtype=np.uint64)
         q = queries.astype(np.uint64)
         np.place(q, q == 0, 1)
         idx = (_mix(q) & self.mask).astype(np.int64)
