@@ -15,11 +15,14 @@ All four families from the task brief, Ray-Data-first:
 * embedding    — cosine near-dup pairs over a list<float> column,
                  blocked matmul per batch against a broadcast matrix.
 
-Scale notes: band-bucket groupbys shuffle only (band_key, doc_id)
-pairs — tiny compared to the corpus; candidate verification is
-per-bucket; connected components run driver-side on the candidate
-EDGES only (bounded: near-dup pairs, not the corpus). At 100 TB the
-same shape holds with the verify step inside map_groups per bucket.
+Scale notes: band-bucket groupbys shuffle (band_key, doc_id,
+shingle-set) rows — bounded at 16x the shingle sets, never raw text;
+Jaccard verification runs INSIDE each bucket's map_groups; connected
+components run driver-side on the verified EDGES only (bounded:
+near-dup pairs, not the corpus). The exact Jaccard join
+(jaccard_pairs_exact) and the embedding near-pair search are likewise
+fully distributed: identical-set collapse + prefix-filter buckets,
+and centroid cells with triangle-inequality cell-pair pruning.
 """
 
 from __future__ import annotations
@@ -125,44 +128,72 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies"))
 
 
+_CLIQUE_CUTOFF = 64
+
+
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8) -> pd.DataFrame:
     """Near-duplicate groups via MinHash-LSH. Returns a pandas frame
-    (doc_id, group_id) for docs in near-dup groups of size > 1."""
+    (doc_id, group_id) for docs in near-dup groups of size > 1.
+
+    Fully distributed: each band row carries the doc's shingle-hash
+    signature (a bounded 16x duplication of the shingle sets — no
+    driver-side texts, no inlined id-list filters); exact Jaccard
+    verification runs INSIDE each band bucket's map_groups. Small
+    buckets verify the full clique (a failed star hub cannot sever
+    B~C, cf. ADVICE r1); buckets above _CLIQUE_CUTOFF fall back to
+    star pairing to stay linear in bucket size. Only verified EDGES
+    reach the driver (bounded by true near-dup structure), where
+    union-find labels components.
+    """
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, text in zip(df[id_col], df[text_col].fillna("")):
             sig = minhash_signature(text)
+            sh = np.unique(_shingle_hashes(text))
             for band_id, key in enumerate(minhash_bands(sig)):
-                rows.append((did, band_id, key))
-        return pd.DataFrame(rows, columns=[id_col, "band_id", "band_key"])
+                rows.append((did, band_id, key, sh))
+        return pd.DataFrame(rows, columns=[id_col, "band_id", "band_key",
+                                           "shingles"])
 
     bands = ds.map_batches(to_bands, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        # pair every member with the smallest (star, not clique): enough
-        # for connectivity, linear not quadratic in bucket size
-        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ids = g[id_col].to_numpy()
+        sets = [np.asarray(s, dtype=np.uint64) for s in g.shingles]
 
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    cand = cand.drop_duplicates()
-    if len(cand) == 0:
+        def jac(i, j):
+            inter = len(np.intersect1d(sets[i], sets[j],
+                                       assume_unique=True))
+            union = len(sets[i]) + len(sets[j]) - inter
+            return (inter / union) if union else 1.0
+
+        rows = []
+        if n <= _CLIQUE_CUTOFF:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if jac(i, j) >= threshold:
+                        rows.append((int(ids[i]), int(ids[j])))
+        else:
+            for j in range(1, n):
+                if jac(0, j) >= threshold:
+                    rows.append((int(ids[0]), int(ids[j])))
+        return pd.DataFrame(rows, columns=["a", "b"], dtype="int64")
+
+    edges_df = bands.groupby(["band_id", "band_key"]).map_groups(
+        bucket_verify, batch_format="pandas").to_pandas().drop_duplicates()
+    if len(edges_df) == 0:
         return pd.DataFrame({id_col: [], "group_id": []})
 
-    # verify with exact Jaccard on the candidate docs only
-    need = sorted(set(cand.a) | set(cand.b))
-    texts = {r[id_col]: r[text_col]
-             for r in ds.filter(expr=f"{id_col} in {need}")
-             .select_columns([id_col, text_col]).take_all()}
-    edges = [(int(a), int(b)) for a, b in zip(cand.a, cand.b)
-             if jaccard(texts.get(int(a), ""), texts.get(int(b), "")) >= threshold]
-    comp = _union_find(need, edges)
-    rows = [(i, g) for i, g in comp.items()]
-    df = pd.DataFrame(rows, columns=[id_col, "group_id"])
+    nodes = sorted(set(edges_df.a) | set(edges_df.b))
+    edges = [(int(a), int(b)) for a, b in zip(edges_df.a, edges_df.b)]
+    comp = _union_find(nodes, edges)
+    df = pd.DataFrame(sorted(comp.items()), columns=[id_col, "group_id"])
     sizes = df.groupby("group_id")[id_col].transform("count")
     return df[sizes > 1].sort_values(id_col).reset_index(drop=True)
 
@@ -204,36 +235,291 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .reset_index(drop=True)
 
 
-def embedding_near_pairs(ds, threshold: float = 0.95,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> pd.DataFrame:
-    """Cosine near-duplicate pairs (a < b, cosine > threshold).
+def _token_hashes(text: str) -> np.ndarray:
+    """Sorted uint64 hashes of the distinct whitespace tokens."""
+    toks = set(text.split())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little") for t in toks),
+        dtype=np.uint64, count=len(toks))
+    out.sort()
+    return out
 
-    All vectors are broadcast once via ray.put (the small side); each
-    batch does one matmul against the broadcast matrix — no shuffle.
+
+def jaccard_pairs_exact(ds, id_col: str = "doc_id",
+                        text_col: str = "text") -> pd.DataFrame:
+    """EXACT token-set Jaccard > 1/2 pairs (2*|A∩B| > |A∪B|), fully
+    distributed — no corpus broadcast, no driver-side text.
+
+    Shape (the standard exact set-similarity join, AllPairs/SSJoin
+    family — Bayardo et al. 2007 — plus an exact-duplicate collapse):
+
+      1. per-doc token signature; identical sets collapse to one
+         representative via groupby(set_key) (near-dup corpora are
+         dominated by exact-set repeats, so the join runs on distinct
+         sets only),
+      2. token document-frequency pass over distinct sets; the global
+         token order (df, hash) keeps prefix buckets small (rarest
+         tokens first),
+      3. prefix filtering: a set emits its ceil(|d|/2) rarest tokens;
+         any pair with J > 1/2 shares >= floor(|x|/2)+1 tokens with
+         every member x, hence shares a prefix token (prefix-filter
+         lemma) — groupby(prefix_token), verify each bucket's pairs
+         with an exact bitset matmul, dedupe verified SET pairs,
+      4. distributed expansion: each doc row is routed to its set's
+         qualifying pair groups (duplication proportional to the
+         OUTPUT size); intra-set pairs (J = 1) expand inline.
+
+    Only bounded things reach the driver: the verified distinct-set
+    pair list and the final result. 64-bit token hashing is assumed
+    collision-free (birthday bound ~4e9 distinct tokens).
     """
     import ray
+    from ray.data.aggregate import Sum
 
-    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = all_df[id_col].to_numpy()
-    mat = np.stack(all_df[vec_col].to_numpy())
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
-
-    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
-        bids, bmat = ray.get(ref)
-        q = np.stack(df[vec_col].to_numpy())
-        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ bmat.T
-        qa = df[id_col].to_numpy()
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(qa)):
-            hit = np.flatnonzero(sims[i] > threshold)
-            for j in hit:
-                if qa[i] < bids[j]:
-                    rows.append((int(qa[i]), int(bids[j])))
+        for did, text in zip(df[id_col], df[text_col].fillna("")):
+            th = _token_hashes(text)
+            if len(th) == 0:
+                continue  # empty sets cannot satisfy 2*0 > 0
+            key = hashlib.blake2b(th.tobytes(), digest_size=8).hexdigest()
+            rows.append((did, key, th.tolist()))
+        return pd.DataFrame(rows, columns=["member_id", "set_key", "sig"])
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "set_key": [g.set_key.iloc[0]],
+            "sig": [g.sig.iloc[0]],
+            "members": [sorted(g.member_id.tolist())]})
+
+    sets_ds = ds.map_batches(sigs, batch_format="pandas") \
+        .groupby("set_key").map_groups(collapse, batch_format="pandas") \
+        .materialize()  # distinct sets only — reused by 3 passes below
+
+    # ---- token df over distinct sets -> global order (df, hash)
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        c: dict[int, int] = {}
+        for sig in df["sig"]:
+            for t in sig:
+                c[t] = c.get(t, 0) + 1
+        return pd.DataFrame({"tok": np.array(list(c), dtype=np.uint64),
+                             "df_": np.fromiter(c.values(), np.int64,
+                                                len(c))})
+    dfreq = sets_ds.map_batches(tok_rows, batch_format="pandas") \
+        .groupby("tok").aggregate(Sum("df_", alias_name="df_"))
+    # the hottest 50k tokens steer the order; everything rarer sorts
+    # first by hash (any consistent total order is correct — df order
+    # is the bucket-size heuristic)
+    top = dfreq.sort("df_", descending=True).limit(50_000).to_pandas()
+    df_ref = ray.put({int(t): int(d) for t, d in zip(top.tok, top.df_)})
+
+    def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        rows = []
+        for key, sig in zip(df.set_key, df.sig):
+            arr = sorted(sig, key=lambda t: (dfm.get(int(t), 0), int(t)))
+            for t in arr[: (len(arr) + 1) // 2]:
+                rows.append((np.uint64(t), key, sig))
+        return pd.DataFrame(rows, columns=["ptok", "set_key", "sig"])
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("set_key").sort_values("set_key")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"sa": pd.Series([], dtype=object),
+                                 "sb": pd.Series([], dtype=object)})
+        sig_arrs = [np.asarray(s, dtype=np.uint64) for s in g.sig]
+        union = np.unique(np.concatenate(sig_arrs))
+        sizes = np.array([len(s) for s in sig_arrs], dtype=np.int64)
+        keys = g.set_key.to_numpy()
+        if len(union) <= 65_536:
+            m = np.zeros((n, len(union)), dtype=np.int32)
+            for i, s in enumerate(sig_arrs):
+                m[i, np.searchsorted(union, s)] = 1
+            inter = m @ m.T
+            uni = sizes[:, None] + sizes[None, :] - inter
+            iu = np.triu_indices(n, 1)
+            ok = (2 * inter > uni)[iu]
+            return pd.DataFrame({"sa": keys[iu[0][ok]],
+                                 "sb": keys[iu[1][ok]]})
+        rows = []  # giant-vocab bucket: pairwise sorted intersections
+        for i in range(n):
+            for j in range(i + 1, n):
+                inter = len(np.intersect1d(sig_arrs[i], sig_arrs[j],
+                                           assume_unique=True))
+                if 2 * inter > sizes[i] + sizes[j] - inter:
+                    rows.append((keys[i], keys[j]))
+        return pd.DataFrame(rows, columns=["sa", "sb"])
+
+    set_pairs = sets_ds.map_batches(prefix_emit, batch_format="pandas") \
+        .groupby("ptok").map_groups(verify, batch_format="pandas") \
+        .to_pandas().drop_duplicates()
+
+    # ---- expansion -------------------------------------------------------
+    pair_map: dict[str, list[tuple[int, int]]] = {}
+    for pid, (sa, sb) in enumerate(zip(set_pairs.sa, set_pairs.sb)):
+        pair_map.setdefault(sa, []).append((pid, 0))
+        pair_map.setdefault(sb, []).append((pid, 1))
+    pm_ref = ray.put(pair_map)
+
+    def intra_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for members in df["members"]:
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    rows.append((members[i], members[j]))
         return pd.DataFrame(rows, columns=["a", "b"], dtype="int64")
 
-    out = ds.map_batches(pairs_batch, batch_format="pandas",
-                         batch_size=1024).to_pandas()
+    _NBUCKETS = 256  # pair-id hash buckets: one map_groups call per
+    # bucket, not one per pair (40k one-row groups would dominate)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pm_ref)
+        rows = []
+        for key, members in zip(df.set_key, df.members):
+            for pid, side in pm.get(key, ()):
+                rows.append((pid % _NBUCKETS, pid, side, members))
+        return pd.DataFrame(rows, columns=["bucket", "pid", "side",
+                                           "members"])
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, pg in g.groupby("pid"):
+            sides = {s: m for s, m in zip(pg.side, pg.members)}
+            if len(sides) < 2:
+                continue
+            ma = np.asarray(sides[0], dtype=np.int64)
+            mb = np.asarray(sides[1], dtype=np.int64)
+            aa = np.repeat(ma, len(mb))
+            bb = np.tile(mb, len(ma))
+            outs_a.append(np.minimum(aa, bb))
+            outs_b.append(np.maximum(aa, bb))
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b)})
+
+    intra = sets_ds.map_batches(intra_pairs, batch_format="pandas") \
+        .to_pandas()
+    if len(set_pairs):
+        inter = sets_ds.map_batches(route, batch_format="pandas") \
+            .groupby("bucket").map_groups(cross, batch_format="pandas") \
+            .to_pandas()
+    else:
+        inter = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+    out = pd.concat([intra, inter], ignore_index=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True) \
+        .astype("int64")
+
+
+def embedding_near_pairs(ds, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_clusters: int = 16) -> pd.DataFrame:
+    """Cosine near-duplicate pairs (a < b, cosine > threshold) — EXACT,
+    via cell partitioning with triangle-inequality cell-pair pruning.
+
+    No corpus broadcast and no driver-side vectors: rows are assigned
+    to their nearest centroid (deterministic k-means on a bounded
+    sample); a cell pair (ci, cj) can contain a qualifying cross pair
+    only if  angle(ci, cj) <= arccos(threshold) + r_i + r_j  (angular
+    distance is a metric on the sphere; r = the cell's max member
+    angle, computed exactly by a tiny groupby). Rows are routed only
+    to the unpruned cell pairs (duplication <= number of unpruned
+    pairs per cell) and each pair group does one local matmul. Loose
+    thresholds degrade gracefully toward all cell pairs — which
+    matches the output's own growth.
+    """
+    import ray
+    from cld2_ray.pipelines.simsearch import kmeans_fit
+
+    sample = ds.limit(2000).select_columns([vec_col]).to_pandas()
+    cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), n_clusters)
+    cref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        mat = np.stack(df[vec_col].to_numpy())
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c.T
+        cell = np.argmax(sims, axis=1)
+        best = np.clip(sims[np.arange(len(cell)), cell], -1.0, 1.0)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cell": cell.astype(np.int64),
+                             "angle": np.arccos(best),
+                             "vec": list(df[vec_col].to_numpy())})
+
+    assigned = ds.select_columns([id_col, vec_col]) \
+        .map_batches(assign, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Max
+    radii_df = assigned.groupby("cell").aggregate(
+        Max("angle", alias_name="r")).to_pandas()
+    radii = np.zeros(len(cent))
+    radii[radii_df.cell.to_numpy()] = radii_df.r.to_numpy()
+
+    cang = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+    limit = np.arccos(min(max(threshold, -1.0), 1.0))
+    pairs = [(i, j) for i in range(len(cent)) for j in range(i, len(cent))
+             if cang[i, j] <= limit + radii[i] + radii[j]]
+    pair_map: dict[int, list[tuple[int, int]]] = {}
+    for pid, (ci, cj) in enumerate(pairs):
+        pair_map.setdefault(ci, []).append((pid, 0))
+        if cj != ci:
+            pair_map.setdefault(cj, []).append((pid, 1))
+    pm_ref = ray.put(pair_map)
+    _nb = 64
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pm_ref)
+        rows = []
+        for rid, cell, vec in zip(df[id_col], df.cell, df.vec):
+            for pid, side in pm.get(int(cell), ()):
+                rows.append((pid % _nb, pid, side, rid, vec))
+        return pd.DataFrame(rows, columns=["bucket", "pid", "side",
+                                           id_col, "vec"])
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, pg in g.groupby("pid"):
+            sides = {}
+            for s in (0, 1):
+                sub = pg[pg.side == s]
+                if len(sub):
+                    m = np.stack(sub.vec.to_numpy())
+                    m = m / np.maximum(
+                        np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                    sides[s] = (sub[id_col].to_numpy(), m)
+            if 1 in sides and 0 in sides:          # cross-cell pair
+                ia, ma = sides[0]
+                ib, mb = sides[1]
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims > threshold)
+                aa, bb = ia[ii], ib[jj]
+                outs_a.append(np.minimum(aa, bb))
+                outs_b.append(np.maximum(aa, bb))
+            elif 0 in sides:                       # within-cell pair
+                ia, ma = sides[0]
+                order = np.argsort(ia)
+                ia, ma = ia[order], ma[order]
+                sims = ma @ ma.T
+                ii, jj = np.nonzero(np.triu(sims > threshold, 1))
+                outs_a.append(ia[ii])
+                outs_b.append(ia[jj])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(outs_a).astype(np.int64),
+                             "b": np.concatenate(outs_b).astype(np.int64)})
+
+    out = assigned.map_batches(route, batch_format="pandas") \
+        .groupby("bucket").map_groups(compare, batch_format="pandas") \
+        .to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -439,35 +439,14 @@ FROM part GROUP BY p_brand
 
 
 def q_jaccard_pairs(sf_dir):
-    """Exact token-set Jaccard near-dup pairs (the verification metric
-    of the MinHash family as a standalone operator): pairs with
-    |A∩B| / |A∪B| > 0.5 over distinct whitespace tokens. All token sets
-    are broadcast once (small side); each batch compares its docs
-    against the full set. The threshold compares in integers
-    (2*inter > union) so the SQL oracle matches bit-for-bit."""
-    import ray
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    docs = ds.to_pandas()
-    sets = {int(r.doc_id): frozenset(r.text.split())
-            for r in docs.itertuples()}
-    ref = ray.put(sets)
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        all_sets = ray.get(ref)
-        rows = []
-        for did, text in zip(df["doc_id"], df["text"].fillna("")):
-            a = frozenset(text.split())
-            for other, b in all_sets.items():
-                if other <= did:
-                    continue
-                inter = len(a & b)
-                union = len(a | b)
-                if union and 2 * inter > union:
-                    rows.append((int(did), int(other)))
-        return pd.DataFrame(rows, columns=["a", "b"], dtype="int64")
-
-    out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    """Exact token-set Jaccard near-dup pairs: 2*|A∩B| > |A∪B| over
+    distinct whitespace tokens. Distributed exact set-similarity join
+    (identical-set collapse + prefix-filter buckets + per-bucket bitset
+    verify + distributed expansion) — no corpus broadcast, no
+    driver-side texts; see dedup.jaccard_pairs_exact."""
+    from cld2_ray.pipelines.dedup import jaccard_pairs_exact
+    return jaccard_pairs_exact(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
 
 
 SQL_JACCARD_PAIRS = """

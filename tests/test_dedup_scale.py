@@ -1,0 +1,62 @@
+"""Scale-shaped dedup/similarity operators vs their oracles at sf0.001.
+
+These pin the round-2 rewrites (no corpus broadcast, no driver-side
+texts): exact distributed Jaccard join, cell-partitioned embedding
+near-pairs, in-bucket-verified MinHash groups.
+"""
+
+import hashlib
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.skipif(not os.path.exists(SF), reason="no testdata")
+class TestJaccardExact:
+    def test_matches_oracle(self, ray_session, con):
+        from cld2_ray.pipelines.queries import (SQL_JACCARD_PAIRS,
+                                                q_jaccard_pairs)
+        mine = q_jaccard_pairs(SF).astype("int64")
+        oracle = con.execute(SQL_JACCARD_PAIRS).df() \
+            .sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+        assert mine.equals(oracle)
+
+
+@pytest.mark.skipif(not os.path.exists(SF), reason="no testdata")
+class TestEmbeddingNearPairs:
+    def test_matches_oracle(self, ray_session, con):
+        from cld2_ray.pipelines.queries import (SQL_EMBEDDING_NEAR_PAIRS,
+                                                q_embedding_near_pairs)
+        mine = q_embedding_near_pairs(SF).astype("int64")
+        oracle = con.execute(SQL_EMBEDDING_NEAR_PAIRS).df() \
+            .sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+        assert mine.equals(oracle)
+
+
+@pytest.mark.skipif(not os.path.exists(SF), reason="no testdata")
+class TestMinhashGroupsPinned:
+    def test_groups_stable(self, ray_session):
+        """Frozen snapshot of the sf0.001 near-dup groups (clique
+        verification inside band buckets; regenerate deliberately if
+        the banding scheme changes)."""
+        from cld2_ray.pipelines.queries import q_minhash_dedup
+        g = q_minhash_dedup(SF)
+        assert len(g) == 45
+        assert g.group_id.nunique() == 21
+        digest = hashlib.md5(
+            ";".join(f"{int(a)}:{int(b)}"
+                     for a, b in zip(g.doc_id, g.group_id)).encode()
+        ).hexdigest()
+        assert digest == "8d9787cd00e87d6d63f5b7d734cb8418"
