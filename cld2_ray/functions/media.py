@@ -1,0 +1,141 @@
+"""Pure-python media codecs for the multimodal stages.
+
+No codec libraries exist in this environment, but two formats need
+none: uncompressed 24-bit BMP (fixed little-endian headers + padded
+BGR rows) and PCM WAV (RIFF chunks). These give the multimodal
+pipeline a REAL decode path — dimensions, channels and pixel/sample
+statistics come from parsing actual bytes, not from a stub.
+
+Encoders exist so tests and the driver-facing media query can
+synthesize deterministic fixtures; decoders are the product surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows)
+# --------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> BMP bytes."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size,
+                      2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return header + dib + bytes(rows)
+
+
+def decode_bmp(data: bytes):
+    """BMP bytes -> (width, height, channels, mean_pixel 0..1) or None
+    if not a parseable uncompressed 24/32-bit BMP."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    try:
+        offset = struct.unpack_from("<I", data, 10)[0]
+        dib_size = struct.unpack_from("<I", data, 14)[0]
+        if dib_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", data, 18)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error:
+        return None
+    if planes != 1 or compression != 0 or bpp not in (24, 32) \
+            or w <= 0 or abs(h) == 0:
+        return None
+    nch = bpp // 8
+    height = abs(h)
+    row_size = (w * nch + 3) & ~3
+    need = offset + row_size * height
+    if len(data) < need:
+        return None
+    rows = np.frombuffer(data, dtype=np.uint8,
+                         count=row_size * height, offset=offset)
+    rows = rows.reshape(height, row_size)[:, : w * nch]
+    return int(w), int(height), int(nch), float(rows.mean() / 255.0)
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF / PCM16)
+# --------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> WAV bytes."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(data: bytes):
+    """WAV bytes -> (sample_rate, n_samples, rms 0..1) or None. Walks
+    RIFF chunks; PCM16 mono/stereo only."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    sample_rate = None
+    n_channels = 1
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, n_channels, sample_rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            samples = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or samples is None:
+        return None
+    n = len(samples) // max(n_channels, 1)
+    rms = float(np.sqrt(np.mean((samples.astype(np.float64) / 32768) ** 2))
+                if len(samples) else 0.0)
+    return int(sample_rate), int(n), rms
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixtures (media synthesized from an integer id)
+# --------------------------------------------------------------------------
+
+def bmp_dims_for(media_id: int) -> tuple[int, int]:
+    """The fixture contract shared with the SQL oracle: dimensions are
+    a pure function of the id, so an oracle can verify that decode
+    really parsed the bytes."""
+    return 16 + media_id % 64, 16 + (media_id * 7) % 64
+
+
+def make_bmp(media_id: int) -> bytes:
+    w, h = bmp_dims_for(media_id)
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([(x * 3 + media_id) % 256, (y * 5) % 256,
+                   (x + y + media_id) % 256], axis=2).astype(np.uint8)
+    return encode_bmp(px)
+
+
+def wav_params_for(media_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) fixture contract."""
+    return 16000, 800 + (media_id % 32) * 400
+
+
+def make_wav(media_id: int) -> bytes:
+    sr, n = wav_params_for(media_id)
+    t = np.arange(n)
+    freq = 100 + (media_id % 20) * 50
+    samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype(np.int16)
+    return encode_wav(samples, sr)

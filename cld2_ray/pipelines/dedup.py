@@ -75,9 +75,22 @@ def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
     return out
 
 
+def _shingle_hashes_md5(text: str, k: int = 3) -> np.ndarray:
+    """md5-based shingle hashes (first 8 big-endian digest bytes) —
+    chosen for simhash so a DuckDB oracle can replicate bit-for-bit:
+    ('0x' || substr(md5(s),1,16))::UBIGINT."""
+    words = text.split()
+    if len(words) < k:
+        words = words + ["<pad>"] * (k - len(words))
+    joined = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in joined),
+        dtype=np.uint64, count=len(joined))
+
+
 def simhash64(text: str) -> int:
-    """64-bit simhash over word-3-shingle hashes."""
-    sh = _shingle_hashes(text)
+    """64-bit simhash over word-3-shingle md5 hashes (SQL-mirrored)."""
+    sh = _shingle_hashes_md5(text)
     if len(sh) == 0:
         return 0
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])

@@ -532,8 +532,49 @@ def q_minhash_dedup(sf_dir):
 
 
 def q_simhash_pairs(sf_dir):
+    """SimHash near-dup pairs (hamming <= 3). The 4x16-bit band
+    bucketing is EXACT for this radius (pigeonhole: <=3 differing bits
+    cannot touch all 4 bands), so the all-pairs SQL oracle matches."""
     from cld2_ray.pipelines.dedup import simhash_dedup
-    return simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+
+
+# the oracle recomputes simhash64 in SQL: md5-based shingle hashes,
+# per-bit majority vote, then an all-pairs hamming filter
+SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = ''
+      THEN ['<pad>','<pad>','<pad>']
+      ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3 THEN t
+      WHEN len(t) = 2 THEN list_append(t, '<pad>')
+      ELSE [t[1], '<pad>', '<pad>'] END AS t
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM padded
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh
+), bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, range(64) b(b) GROUP BY doc_id, b.b
+), sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+FROM sim x, sim y
+WHERE x.doc_id < y.doc_id AND bit_count(xor(x.s, y.s)) <= 3
+"""
 
 
 def q_ivf_topk(sf_dir):
@@ -546,7 +587,31 @@ def q_ivf_topk(sf_dir):
 def q_knn_classify(sf_dir):
     from cld2_ray.pipelines.simsearch import knn_classify
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    return knn_classify(ds, list(range(50)), k=5)
+    out = knn_classify(ds, list(range(50)), k=5)
+    return out.astype({"query_id": "int64", "predicted_label": "int64"})
+
+
+SQL_KNN_CLASSIFY = """
+WITH ranked AS (
+  SELECT q.vec_id AS query_id, e.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+), votes AS (
+  SELECT query_id, label, count(*) AS c FROM ranked
+  WHERE rn <= 5 GROUP BY query_id, label
+), best AS (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, label) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(label AS BIGINT) AS predicted_label
+FROM best WHERE rn = 1
+"""
 
 
 def q_flagship_pages(sf_dir):
@@ -570,18 +635,66 @@ def q_eval_confusion(sf_dir):
 
 
 def q_media_decode(sf_dir):
-    """Multimodal plumbing: synthetic media table through the decode +
-    embed actor stages (decode stubbed — no codec libs here)."""
-    import ray.data as rd
+    """Multimodal image pipeline with a REAL decoder: one BMP per
+    documents row (dimensions a pure function of doc_id — the oracle
+    contract), decoded by parsing the actual bytes in the actor stage.
+    A decode that stops parsing breaks the hash check."""
+    from cld2_ray.functions.media import make_bmp
+    from cld2_ray.stages.multimodal import ImageDecodeStage, ImageEmbedStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
-    from cld2_ray.stages.multimodal import (
-        ImageDecodeStage, ImageEmbedStage, media_dataset_example)
-    ds = rd.from_arrow(media_dataset_example(64))
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": df["doc_id"].astype(np.int64),
+            "image": [make_bmp(int(d)) for d in df["doc_id"]]})
+
+    ds = ds.map_batches(gen, batch_format="pandas")
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                        batch_size=16, concurrency=2)
+                        batch_size=64, concurrency=2)
     ds = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
-                        batch_size=16, concurrency=2)
-    return ds.select_columns(["media_id", "width", "height"])
+                        batch_size=64, concurrency=2)
+    return ds.select_columns(["media_id", "width", "height", "channels"])
+
+
+# width/height formulas = cld2_ray.functions.media.bmp_dims_for
+SQL_MEDIA_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 64 AS BIGINT) AS width,
+       CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels
+FROM documents
+"""
+
+
+def q_media_audio(sf_dir):
+    """Multimodal audio pipeline with a REAL PCM-WAV parser: one WAV
+    per documents row (sample count a pure function of doc_id),
+    frame-sampled by the actor stage."""
+    from cld2_ray.functions.media import make_wav
+    from cld2_ray.stages.multimodal import AudioFrameStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": df["doc_id"].astype(np.int64),
+            "audio": [make_wav(int(d)) for d in df["doc_id"]]})
+
+    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=2)
+    return ds.select_columns(["media_id", "sample_rate", "n_samples",
+                              "n_frames"])
+
+
+# n_samples = 800 + (doc_id % 32) * 400 (media.wav_params_for);
+# n_frames = n_samples // (16000 * 25ms / 1000) = n_samples // 400
+SQL_MEDIA_AUDIO = """
+SELECT doc_id AS media_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(800 + (doc_id % 32) * 400 AS BIGINT) AS n_samples,
+       CAST((800 + (doc_id % 32) * 400) // 400 AS BIGINT) AS n_frames
+FROM documents
+"""
 
 
 QUERIES = {
@@ -614,6 +727,7 @@ QUERIES = {
     "flagship_pages": q_flagship_pages,
     "eval_confusion": q_eval_confusion,
     "media_decode": q_media_decode,
+    "media_audio": q_media_audio,
 }
 
 ORACLE_SQL = {
@@ -637,4 +751,8 @@ ORACLE_SQL = {
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "ann_top1": SQL_ANN_TOP1,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "knn_classify": SQL_KNN_CLASSIFY,
+    "media_decode": SQL_MEDIA_DECODE,
+    "media_audio": SQL_MEDIA_AUDIO,
 }

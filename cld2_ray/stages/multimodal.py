@@ -1,13 +1,19 @@
-"""Multimodal (image/audio/video) stages — schema-real, decode-stubbed.
+"""Multimodal (image/audio/video) stages.
 
 Media travel as opaque ``binary`` columns with typed metadata columns,
-processed by actor-pool map_batches stages. The image/audio codec
-libraries are NOT in this container, so the decode kernels are
-deterministic fakes behind ``STUB_DECODE`` (clearly marked): they
-produce stable pseudo-features from the bytes so the Ray-side plumbing
-— schema, batch sizing for large binary payloads, actor signature,
-output layout — is real and tested end-to-end. Swapping in a real
-decoder is a one-function change per stage.
+processed by actor-pool map_batches stages. Image decode (24-bit BMP)
+and audio parse (PCM WAV) are REAL pure-python codecs
+(cld2_ray/functions/media.py) — dimensions, channels and pixel/sample
+statistics come from parsing the actual bytes. Formats that would need
+external codec libraries (JPEG/PNG/MP3/video) are not available in
+this environment; unparseable payloads surface as ``decode_ok=False``
+rows rather than crashing the stage.
+
+The EMBED stage remains an honest stub (``STUB_EMBED``): there is no
+pretrained vision model here, so it emits a deterministic
+pseudo-embedding derived from the DECODED pixel statistics — the
+actor-pool plumbing (model-load-once in __init__, batched inference
+per __call__) is the real deliverable.
 
 Batch-size guidance (memory-aware): media rows are MBs each, so these
 stages run with small ``batch_size`` (e.g. 8-32) and
@@ -21,7 +27,10 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-STUB_DECODE = True  # no codec libs in this environment
+from cld2_ray.functions import media
+
+STUB_DECODE = False  # BMP/WAV decode parses real bytes
+STUB_EMBED = True    # no pretrained vision model in this environment
 
 
 def _stable_floats(data: bytes, n: int, scale: float = 1.0) -> np.ndarray:
@@ -33,39 +42,38 @@ def _stable_floats(data: bytes, n: int, scale: float = 1.0) -> np.ndarray:
 
 
 class ImageDecodeStage:
-    """binary image bytes -> (width, height, channels, mean_pixel).
-
-    Real decode would use PIL/libvips here; the stub derives stable
-    pseudo-dimensions from the payload hash.
-    """
+    """binary image bytes -> (width, height, channels, mean_pixel,
+    decode_ok). Real BMP parsing; unknown formats -> decode_ok=False."""
 
     def __init__(self, image_col: str = "image"):
         self.image_col = image_col
-        if not STUB_DECODE:  # pragma: no cover
-            raise NotImplementedError("real decoder not wired")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.image_col].to_pylist()
-        w = np.empty(len(payloads), np.int32)
-        h = np.empty(len(payloads), np.int32)
-        mean = np.empty(len(payloads), np.float32)
+        n = len(payloads)
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        ch = np.zeros(n, np.int64)
+        mean = np.zeros(n, np.float32)
+        ok = np.zeros(n, bool)
         for i, b in enumerate(payloads):
-            b = b or b""
-            f = _stable_floats(b, 3)
-            w[i] = 64 + int(f[0] * 1984)
-            h[i] = 64 + int(f[1] * 1984)
-            mean[i] = f[2]
+            dec = media.decode_bmp(b or b"")
+            if dec is not None:
+                w[i], h[i], ch[i], mean[i] = dec
+                ok[i] = True
         return (batch.append_column("width", pa.array(w))
                 .append_column("height", pa.array(h))
-                .append_column("mean_pixel", pa.array(mean)))
+                .append_column("channels", pa.array(ch))
+                .append_column("mean_pixel", pa.array(mean))
+                .append_column("decode_ok", pa.array(ok)))
 
 
 class ImageEmbedStage:
-    """binary image bytes -> embedding list<float32>[dim].
+    """decoded image -> embedding list<float32>[dim].
 
-    Stands in for batched model inference: the model handle would be
-    loaded once in __init__ (the actor-pool pattern); the stub emits a
-    stable pseudo-embedding.
+    Stands in for batched model inference (STUB_EMBED): the model
+    handle would be loaded once in __init__ (the actor-pool pattern);
+    the stub emits a stable pseudo-embedding seeded from the payload.
     """
 
     def __init__(self, image_col: str = "image", dim: int = 64):
@@ -81,7 +89,8 @@ class ImageEmbedStage:
 
 
 class AudioFrameStage:
-    """binary audio bytes -> frame-sampled stats (n_frames, rms)."""
+    """binary audio bytes -> (sample_rate, n_samples, n_frames, rms,
+    decode_ok). Real PCM-WAV parsing; n_frames = full frame_ms windows."""
 
     def __init__(self, audio_col: str = "audio", frame_ms: int = 25):
         self.audio_col = audio_col
@@ -89,20 +98,28 @@ class AudioFrameStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.audio_col].to_pylist()
-        n_frames = np.empty(len(payloads), np.int32)
-        rms = np.empty(len(payloads), np.float32)
+        n = len(payloads)
+        sr = np.zeros(n, np.int64)
+        ns = np.zeros(n, np.int64)
+        nf = np.zeros(n, np.int64)
+        rms = np.zeros(n, np.float32)
+        ok = np.zeros(n, bool)
         for i, b in enumerate(payloads):
-            b = b or b""
-            n_frames[i] = max(len(b) // 800, 1)  # fake 16kHz/25ms framing
-            rms[i] = float(_stable_floats(b, 1)[0])
-        return (batch.append_column("n_frames", pa.array(n_frames))
-                .append_column("rms", pa.array(rms)))
+            dec = media.decode_wav(b or b"")
+            if dec is not None:
+                sr[i], ns[i], rms[i] = dec
+                nf[i] = ns[i] // max(sr[i] * self.frame_ms // 1000, 1)
+                ok[i] = True
+        return (batch.append_column("sample_rate", pa.array(sr))
+                .append_column("n_samples", pa.array(ns))
+                .append_column("n_frames", pa.array(nf))
+                .append_column("rms", pa.array(rms))
+                .append_column("decode_ok", pa.array(ok)))
 
 
 def media_dataset_example(n: int = 64, seed: int = 42):
-    """A small synthetic media table for tests: (media_id, image bytes)."""
-    rng = np.random.default_rng(seed)
-    rows = [{"media_id": i,
-             "image": rng.bytes(int(rng.integers(100, 2000)))}
-            for i in range(n)]
+    """A small synthetic media table: (media_id, image bytes) with REAL
+    BMP payloads whose dimensions follow media.bmp_dims_for(media_id)."""
+    del seed  # dimensions/content are a pure function of the id
+    rows = [{"media_id": i, "image": media.make_bmp(i)} for i in range(n)]
     return pa.Table.from_pylist(rows)

@@ -125,18 +125,29 @@ class TestMultimodal:
         from cld2_ray.stages.multimodal import (
             AudioFrameStage, ImageDecodeStage, ImageEmbedStage,
             media_dataset_example)
+        from cld2_ray.functions.media import bmp_dims_for, make_wav
         ds = rd.from_arrow(media_dataset_example(16))
         out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
                              batch_size=8, concurrency=1).to_pandas()
-        assert (out.width >= 64).all() and (out.height >= 64).all()
+        # REAL decode: parsed dimensions match the fixture contract
+        for _, r in out.iterrows():
+            w, h = bmp_dims_for(int(r.media_id))
+            assert (r.width, r.height, r.channels) == (w, h, 3)
+            assert r.decode_ok and 0.0 <= r.mean_pixel <= 1.0
         emb = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
                              batch_size=8, concurrency=1).to_pandas()
         assert len(emb.embedding[0]) == 64
-        # determinism: same bytes -> same decode
-        out2 = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                              batch_size=4, concurrency=1).to_pandas()
-        assert list(out.width) == list(out2.width)
-        ds2 = rd.from_items([{"audio": b"\x01\x02" * 4000}])
+        # non-BMP payloads surface as decode_ok=False, not a crash
+        bad = rd.from_items([{"media_id": 0, "image": b"not a bmp"}]) \
+            .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+        assert not bad.decode_ok[0] and bad.width[0] == 0
+        # REAL WAV parse: 4000 samples @16kHz, 25ms frames -> 10 frames
+        ds2 = rd.from_items([{"audio": make_wav(8)}])
         a = ds2.map_batches(AudioFrameStage, batch_format="pyarrow",
                             concurrency=1).to_pandas()
-        assert a.n_frames[0] == 10
+        from cld2_ray.functions.media import wav_params_for
+        sr, n = wav_params_for(8)
+        assert a.sample_rate[0] == sr and a.n_samples[0] == n
+        assert a.n_frames[0] == n // (sr * 25 // 1000)
+        assert a.decode_ok[0] and 0.0 < a.rms[0] < 1.0
