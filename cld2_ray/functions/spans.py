@@ -6,15 +6,19 @@ by a leading space and trailing spaces — the reference's LangSpan
 format (reference: internal/getonescriptspan.cc:799-1027
 GetOneScriptSpan + :1033-1065 LowerScriptSpan, langspan.h:28-36).
 
-Differences from the reference, by design (documented, oracle-shared):
-* lowercasing uses Python ``str.lower()`` instead of the pinned
-  Unicode-version remap table (utf8repl_lettermarklower.h),
-* the single-foreign-letter continuation rule
-  (getonescriptspan.cc:905-930) is not applied — runs break strictly
-  on script change.
+Parity semantics (round 2):
+* lowercasing uses the PINNED 1:1 remap LUT (uscript.lower_lut — the
+  utf8repl_lettermarklower.h analogue): only Latn/Cyrl/Grek/Armn
+  change, never length, never Unicode-version drift,
+* the single-foreign-letter continuation rule IS applied
+  (getonescriptspan.cc:905-930 comment table): a lone letter of a
+  different script is absorbed into the running span when its next
+  character is a non-letter or a letter of the span's script; two
+  consecutive foreign letters break the span.
 
 Vectorized: the document becomes one int32 codepoint array; the script
-LUT, run boundaries, and word-gap spaces are all computed with numpy.
+LUT, run boundaries, and word-gap spaces are all computed with numpy;
+only the (rare) script-run merge step is a Python loop over runs.
 """
 
 from __future__ import annotations
@@ -37,33 +41,69 @@ class ScriptSpan:
     text_bytes: int    # UTF-8 length of the letters+spaces content
 
 
+def _absorb_single_foreign(letter_sc: np.ndarray,
+                           letter_idx: np.ndarray) -> np.ndarray:
+    """Effective per-letter scripts after the reference's
+    single-foreign-letter continuation (getonescriptspan.cc:905-930):
+    a length-1 foreign run joins the current span when the character
+    after it is a non-letter ("Bc"/"B<end>" cases) or a letter of the
+    span's script ("BA" case); otherwise it breaks ("BB"/"BD")."""
+    n = letter_sc.size
+    raw_starts = np.flatnonzero(
+        np.concatenate([[True], letter_sc[1:] != letter_sc[:-1]]))
+    if len(raw_starts) == 1:
+        return letter_sc
+    raw_ends = np.append(raw_starts[1:], n)
+    eff = letter_sc.copy()
+    cur_s = int(letter_sc[raw_starts[0]])
+    cur_a, cur_b = int(raw_starts[0]), int(raw_ends[0])
+    runs: list[tuple[int, int, int]] = []
+    for k in range(1, len(raw_starts)):
+        a, b = int(raw_starts[k]), int(raw_ends[k])
+        s = int(letter_sc[a])
+        if s == cur_s:
+            cur_b = b
+            continue
+        if b - a == 1:
+            j = a
+            follows_nonletter = (j == n - 1
+                                 or letter_idx[j + 1] != letter_idx[j] + 1)
+            if follows_nonletter or (j + 1 < n
+                                     and letter_sc[j + 1] == cur_s):
+                cur_b = b          # absorbed; span script unchanged
+                continue
+        runs.append((cur_s, cur_a, cur_b))
+        cur_s, cur_a, cur_b = s, a, b
+    runs.append((cur_s, cur_a, cur_b))
+    for s, a, b in runs:
+        eff[a:b] = s
+    return eff
+
+
 def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
     """Split extracted text into same-script letter spans."""
-    lowered = text.lower()
-    if len(lowered) != len(text):
-        # pathological case-fold length change; positions don't matter much
-        text = lowered
-    cps = us.codepoints(lowered)
+    cps = us.codepoints(text)
     if cps.size == 0:
         return []
     sc = us.scripts_of(cps)
     letter_idx = np.flatnonzero(sc)
     if letter_idx.size == 0:
         return []
+    low = us.lower_cps(cps)   # pinned 1:1 remap — offsets preserved
 
     # per-document letter budget (the reference's 160KB scan cap):
     # truncate the letter stream, not just whole spans
-    lb = us.utf8_len_of(cps[letter_idx])
+    lb = us.utf8_len_of(low[letter_idx])
     if int(lb.sum()) > text_limit:
         keep = np.searchsorted(np.cumsum(lb), text_limit, side="right")
         letter_idx = letter_idx[:max(int(keep), 1)]
 
-    letter_sc = sc[letter_idx]
+    letter_sc = _absorb_single_foreign(sc[letter_idx], letter_idx)
     # word gap before letter i: any non-letter between it and previous letter
     gap = np.empty(letter_idx.size, dtype=bool)
     gap[0] = True
     np.not_equal(letter_idx[1:], letter_idx[:-1] + 1, out=gap[1:])
-    # span break on script change
+    # span break on (effective) script change
     brk = np.empty(letter_idx.size, dtype=bool)
     brk[0] = True
     np.not_equal(letter_sc[1:], letter_sc[:-1], out=brk[1:])
@@ -71,10 +111,10 @@ def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
     span_starts = np.flatnonzero(brk)
     span_ends = np.append(span_starts[1:], letter_idx.size)
 
-    utf8len = us.utf8_len_of(cps[letter_idx])
+    utf8len = us.utf8_len_of(low[letter_idx])
 
     out: list[ScriptSpan] = []
-    letters_cp = cps[letter_idx]
+    letters_cp = low[letter_idx]
     for s, e in zip(span_starts.tolist(), span_ends.tolist()):
         script = int(letter_sc[s])
         # build " w1 w2 " with single spaces at word gaps, split at

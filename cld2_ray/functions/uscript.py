@@ -145,6 +145,35 @@ def script_lut() -> np.ndarray:
     return lut
 
 
+@lru_cache(maxsize=1)
+def lower_lut() -> np.ndarray:
+    """uint32[0x30000]: the PINNED lowercase remap — the analogue of the
+    reference's utf8repl_lettermarklower.h replace table
+    (getonescriptspan.cc:1033-1065): only Latin/Cyrillic/Greek/Armenian
+    letters change, and only via SIMPLE (1:1) mappings, so lowercasing
+    never changes string length and never drifts with Python's full
+    casefolding (e.g. İ -> i̇ expansion, Cherokee/Georgian case added in
+    later Unicode versions)."""
+    lut = np.arange(LUT_SIZE, dtype=np.uint32)
+    cased = {LATIN, CYRILLIC, GREEK, ARMENIAN}
+    script = script_lut()
+    for cp in range(LUT_SIZE):
+        if script[cp] in cased:
+            low = chr(cp).lower()
+            if len(low) == 1 and ord(low) != cp:
+                lut[cp] = ord(low)
+    return lut
+
+
+def lower_cps(cps: np.ndarray) -> np.ndarray:
+    """Vectorized pinned lowercase over a codepoint array (1:1)."""
+    lut = lower_lut()
+    out = cps.copy()
+    in_range = cps < LUT_SIZE
+    out[in_range] = lut[cps[in_range]]
+    return out
+
+
 def codepoints(text: str) -> np.ndarray:
     """Vectorized str -> int32 codepoint array (UTF-32 view)."""
     if not text:

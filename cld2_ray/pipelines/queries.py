@@ -650,9 +650,9 @@ def q_media_decode(sf_dir):
 
     ds = ds.map_batches(gen, batch_format="pandas")
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                        batch_size=64, concurrency=2)
+                        batch_size=64, concurrency=(1, 2))
     ds = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
-                        batch_size=64, concurrency=2)
+                        batch_size=64, concurrency=(1, 2))
     return ds.select_columns(["media_id", "width", "height", "channels"])
 
 
@@ -681,7 +681,7 @@ def q_media_audio(sf_dir):
 
     ds = ds.map_batches(gen, batch_format="pandas")
     ds = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
-                        batch_size=64, concurrency=2)
+                        batch_size=64, concurrency=(1, 2))
     return ds.select_columns(["media_id", "sample_rate", "n_samples",
                               "n_frames"])
 
