@@ -207,6 +207,8 @@ _SPECIAL = re.compile(rb"[<>&]")
 # compress runs of space/LF to the first char of the run
 _WS_RUN = re.compile(rb"([ \n])[ \n]+")
 _LEAD_WS = re.compile(rb"^[ \n]+")
+_WS_AT = re.compile(rb"[ \n]+")   # anchored via .match(pos) (no ^ —
+#                                   ^ would not match at pos > 0)
 
 
 def _nonletter(c: int) -> bool:
@@ -294,3 +296,106 @@ def extract_text(html: bytes, is_plain_text: bool = False) -> str:
             pos = i + consumed
     pieces.append(bytes(seg))
     return b"".join(pieces).decode("utf-8")
+
+
+def extract_text_with_map(html: bytes, is_plain_text: bool = False):
+    """extract_text + an OffsetMap from extracted-text BYTE positions
+    back to ORIGINAL html byte positions (the reference's map2original,
+    getonescriptspan.cc Advance/offsetmap composition). The text is
+    byte-identical to extract_text(html) (tested); the map composes the
+    CRLF canonicalization with the tag/entity/whitespace edits."""
+    from .offsetmap import OffsetMap
+
+    crlf = OffsetMap()
+    b = html
+    if b.find(b"\r") >= 0:
+        # canonicalize CRLF->LF (delete \r), lone CR->LF (1:1 rewrite)
+        out = bytearray()
+        i = 0
+        n = len(b)
+        while True:
+            j = b.find(b"\r", i)
+            if j < 0:
+                out += b[i:]
+                crlf.copy(n - i)
+                break
+            out += b[i:j]
+            crlf.copy(j - i)
+            if j + 1 < n and b[j + 1] == 0x0A:
+                crlf.delete(1)
+                i = j + 1
+            else:
+                out.append(0x0A)
+                crlf.copy(1)
+                i = j + 1
+        b = bytes(out)
+    else:
+        crlf.copy(len(b))
+
+    om = OffsetMap()
+    n = len(b)
+    seg = bytearray()
+
+    def emit_run(start: int, end: int, strip_lead: bool) -> bool:
+        """Copy b[start:end) compressing [ \\n] runs to their first
+        char; returns new last_ws. Mirrors _WS_RUN/_LEAD_WS exactly."""
+        cur = start
+        if strip_lead:
+            m = _WS_AT.match(b, cur, end)
+            if m is not None:
+                om.delete(m.end() - cur)
+                cur = m.end()
+        while cur < end:
+            m = _WS_RUN.search(b, cur, end)
+            if m is None:
+                seg.extend(b[cur:end])
+                om.copy(end - cur)
+                cur = end
+                break
+            keep_end = m.start() + 1
+            seg.extend(b[cur:keep_end])
+            om.copy(keep_end - cur)
+            om.delete(m.end() - keep_end)
+            cur = m.end()
+        return bool(seg) and seg[-1] in (0x20, 0x0A)
+
+    if is_plain_text:
+        emit_run(0, n, False)
+        return bytes(seg).decode("utf-8"), crlf.compose(om)
+
+    last_ws = False
+    pos = 0
+    while pos < n:
+        m = _SPECIAL.search(b, pos)
+        seg_end = n if m is None else m.start()
+        if seg_end > pos:
+            before = len(seg)
+            new_last = emit_run(pos, seg_end, last_ws)
+            if len(seg) > before:
+                last_ws = new_last
+        if m is None:
+            break
+        c = m.group()
+        i = m.start()
+        if c == b"<":
+            rep = 0x0A if _is_newline_tag(b, i, n) else 0x20
+            end = scan_tag_end(b, i)
+            if not (last_ws and rep in (0x20, 0x0A)):
+                seg.append(rep)
+                om.insert(1)
+                last_ws = True
+            om.delete(end - i)
+            pos = end
+        elif c == b">":
+            seg.append(0x3E)
+            om.copy(1)
+            pos = i + 1
+        else:  # '&'
+            val, consumed = read_entity(b, i)
+            if val > 0:
+                enc = chr(val).encode("utf-8")
+                seg.extend(enc)
+                om.insert(len(enc))
+            om.delete(consumed)
+            pos = i + consumed
+    return bytes(seg).decode("utf-8"), crlf.compose(om)

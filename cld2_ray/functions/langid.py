@@ -288,34 +288,102 @@ class Detector:
         return res
 
     def detect_ranges(self, text: str) -> list[tuple[int, int, str]]:
-        """Per-document language ranges — the ResultChunkVector analogue
-        (reference: SummaryBufferToVector, scoreonescriptspan.cc:389-509;
-        boundary positions are chunk-granular here, without the
-        BetterBoundary 8-hit sharpening :671-774).
+        """Per-document language ranges in ORIGINAL text BYTE offsets —
+        the ResultChunkVector analogue (reference: SummaryBufferToVector,
+        scoreonescriptspan.cc:389-509 + offset back-mapping
+        getonescriptspan.cc:1076-1078).
 
-        Returns [(letter_offset, span_bytes, lang_code), ...] covering
-        the detected letter runs, adjacent same-language ranges merged
-        (ItemToVector merging semantics, :323-360).
+        MANY-script spans split at chunk granularity (a boundary lands
+        on the first hit of the next chunk — hits start at word/letter
+        starts, the ItemToVector back-up-to-word semantics; the
+        reference's 8-hit BetterBoundary slide :671-774 is approximated
+        by this word-aligned placement). Adjacent same-language ranges
+        merge; unreliable chunks report "un".
+
+        Returns [(byte_offset, byte_len, lang_code), ...].
         """
-        out: list[tuple[int, int, str]] = []
+        cps = us.codepoints(text)
+        if cps.size == 0:
+            return []
+        cum = np.concatenate([[0], np.cumsum(us.utf8_len_of(cps))])
+        raw: list[tuple[int, int, str]] = []  # (start_char, end_char, code)
         for sp in spans.script_spans(text):
             rt = us.script_rtype(sp.script)
-            tote = score.DocTote()
-            self._score_span(sp, tote)
-            if not tote.bytes_:
-                continue
-            # span-level dominant language (chunk-level detail folds up
-            # through the same DocTote the chunks fed)
-            lid = max(tote.bytes_, key=lambda k: (tote.bytes_[k], -k))
-            rel = tote.rel[lid] // max(tote.bytes_[lid], 1)
-            code = langs.lang_code(lid) if rel >= 41 else "un"
-            if out and out[-1][2] == code and \
-                    out[-1][0] + out[-1][1] >= sp.offset - 1:
-                prev = out.pop()
-                out.append((prev[0], prev[1] + sp.text_bytes, code))
+            if rt == us.RTYPE_MANY:
+                sb = sp.text.encode("utf-8")
+                vals, offs = self._many_hits(
+                    sb, np.array([len(sb)], dtype=np.int64))
+                if len(vals) == 0:
+                    raw.append((sp.offset, sp.end_offset, "un"))
+                    continue
+                l3, q3 = unpack_langprobs(vals)
+                lang1, _cb, _s1, rel = score.score_chunks(
+                    l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
+                    self.model.expected_quad)
+                nch = len(lang1)
+                starts_b = offs[::score.CHUNKSIZE_QUADS][:nch]
+                # span-byte position -> original char, via the span's
+                # letter positions (the in-span offset map)
+                arr = np.frombuffer(sb, dtype=np.uint8)
+                cstart = np.flatnonzero((arr & 0xC0) != 0x80)
+                letter_byte_starts = cstart[arr[cstart] != 0x20]
+                lpos = np.asarray(sp.letter_pos)
+                li = np.searchsorted(letter_byte_starts, starts_b,
+                                     side="right") - 1
+                li = np.clip(li, 0, len(lpos) - 1)
+                # back boundaries up to the start of their word
+                # (ItemToVector's back-up-to-word, :323-360) — dense
+                # sampling can land a chunk start mid-word
+                gapmask = np.concatenate([[True],
+                                          lpos[1:] != lpos[:-1] + 1])
+                word_start_of = np.maximum.accumulate(
+                    np.where(gapmask, np.arange(len(lpos)), 0))
+                chunk_char = lpos[word_start_of[li]]
+                for k in range(nch):
+                    lid = int(lang1[k])
+                    code = (langs.lang_code(lid)
+                            if lid != langs.UNKNOWN and int(rel[k]) >= 41
+                            else "un")
+                    sc_char = sp.offset if k == 0 else int(chunk_char[k])
+                    ec_char = (sp.end_offset if k + 1 == nch
+                               else int(chunk_char[k + 1]))
+                    raw.append((sc_char, ec_char, code))
             else:
-                out.append((sp.offset, sp.text_bytes, code))
-        return out
+                tote = score.DocTote()
+                self._score_span(sp, tote)
+                if tote.bytes_:
+                    lid = max(tote.bytes_,
+                              key=lambda k: (tote.bytes_[k], -k))
+                    rp = tote.rel[lid] // max(tote.bytes_[lid], 1)
+                    code = langs.lang_code(lid) if rp >= 41 else "un"
+                else:
+                    code = "un"
+                raw.append((sp.offset, sp.end_offset, code))
+        merged: list[list] = []
+        for s, e, c in raw:
+            if merged and merged[-1][2] == c:
+                merged[-1][1] = e
+            else:
+                merged.append([s, e, c])
+        return [(int(cum[s]), int(cum[e] - cum[s]), c)
+                for s, e, c in merged]
+
+    def detect_ranges_html(self, html: bytes) -> list[tuple[int, int, str]]:
+        """Language ranges in RAW PAGE byte offsets: extraction builds
+        an OffsetMap (extract_text_with_map) and the text-level ranges
+        compose through it — the reference's map2original chain."""
+        from .extract import extract_text_with_map
+        vp = valid_utf8_prefix(html)
+        text, om = extract_text_with_map(html[:vp])
+        ranges = self.detect_ranges(text)
+        if not ranges:
+            return []
+        starts = np.array([r[0] for r in ranges], dtype=np.int64)
+        ends = np.array([r[0] + r[1] for r in ranges], dtype=np.int64)
+        o_start = om.to_original(starts)
+        o_end = om.to_original(ends)
+        return [(int(a), int(b - a), r[2])
+                for a, b, r in zip(o_start, o_end, ranges)]
 
     def detect_html(self, html: bytes,
                     url: str = "") -> tuple[score.DetectResult, str, int]:

@@ -37,8 +37,12 @@ TEXT_LIMIT = 160 * 1024       # FLAGS_cld_textlimit in KB (impl.cc:192,1811)
 class ScriptSpan:
     text: str          # " word word word " — lowercased, space-framed
     script: int        # uscript id
-    offset: int        # letter index into the document (diagnostic)
+    offset: int        # char index of the first letter in the document
     text_bytes: int    # UTF-8 length of the letters+spaces content
+    end_offset: int = 0            # char index one past the last letter
+    letter_pos: object = None      # int64[n_letters] original char index
+    #                                per span letter (offset-map back to
+    #                                the source text, OffsetMap analogue)
 
 
 def _absorb_single_foreign(letter_sc: np.ndarray,
@@ -155,5 +159,7 @@ def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
                 script=int(script),
                 offset=int(letter_idx[s + b0]),
                 text_bytes=int(seg_bytes[b0:b1].sum() + n_sp + 2),
+                end_offset=int(letter_idx[s + b1 - 1]) + 1,
+                letter_pos=letter_idx[s + b0: s + b1],
             ))
     return out

@@ -38,7 +38,7 @@ def build(pages_ds, langid_concurrency=(1, 8), quality_concurrency=(1, 8),
     ds = ds.map_batches(LangidStage, batch_format="pyarrow",
                         batch_size=batch_size,
                         concurrency=langid_concurrency, num_cpus=1)
-    ds = ds.map_batches(QualityScrubStage, batch_format="pandas",
+    ds = ds.map_batches(QualityScrubStage, batch_format="pyarrow",
                         batch_size=batch_size,
                         concurrency=quality_concurrency, num_cpus=1)
     return ds.select_columns(OUT_COLUMNS)

@@ -102,7 +102,10 @@ class LangidStage:
 
 class QualityScrubStage:
     """Actor-pool stage: Gopher/C4 rules + fastText-style aux langid +
-    char-LM perplexity + PII/toxicity scrub, one pandas pass."""
+    char-LM perplexity + PII/toxicity scrub. Arrow in, Arrow out — the
+    block never round-trips through a pandas block format (the string
+    payloads would be pickled into the object store); only the columns
+    the string kernels need are materialized as Series."""
 
     def __init__(self, allow_langs: frozenset[str] | None = None,
                  min_pct1: int = 50):
@@ -114,50 +117,58 @@ class QualityScrubStage:
         self.allow = allow_langs      # None = all known languages
         self.min_pct1 = min_pct1
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         from cld2_ray.functions.quality import apply_rules
         from cld2_ray.functions.scrub import scrub_series
 
-        texts = df["extracted_text"].astype(str)
-        q = apply_rules(texts, df["lang_summary"])
+        texts = pd.Series(batch["extracted_text"].to_pylist()).fillna("")
+        summary = pd.Series(batch["lang_summary"].to_pylist())
+        q = apply_rules(texts, summary)
         s = scrub_series(texts)
         aux_lang, aux_conf = self.fastlangid.classify_batch(texts.tolist())
         ppl, gibberish = self.perplexity.score_batch(
-            texts.tolist(), df["lang_summary"].tolist())
+            texts.tolist(), summary.tolist())
+
+        utf8_ok = batch["utf8_valid"].to_numpy(zero_copy_only=False)
+        reliable = batch["lang_reliable"].to_numpy(zero_copy_only=False)
+        pct1 = batch["pct1"].to_numpy(zero_copy_only=False).astype(int)
 
         reason = q["drop_reason"].copy()
-        utf8_bad = ~df["utf8_valid"].astype(bool)
-        reason = reason.mask(utf8_bad, "utf8_invalid")
-
-        lang_un = df["lang_summary"] == "un"
-        unreliable = ~df["lang_reliable"].astype(bool)
-        low_pct = df["pct1"].astype(int) < self.min_pct1
-        lang_bad = lang_un | unreliable | low_pct
+        reason = reason.mask(pd.Series(~utf8_ok.astype(bool)),
+                             "utf8_invalid")
+        lang_bad = ((summary == "un") | ~reliable.astype(bool)
+                    | pd.Series(pct1 < self.min_pct1))
         if self.allow is not None:
-            lang_bad |= ~df["lang_summary"].isin(self.allow)
+            lang_bad |= ~summary.isin(self.allow)
         reason = reason.mask((reason == "") & lang_bad, "lang_filter")
-        reason = reason.mask((reason == "") & pd.Series(gibberish,
-                                                       index=df.index),
+        reason = reason.mask((reason == "") & pd.Series(gibberish),
                              "perplexity")
         reason = reason.mask((reason == "") & s["has_toxicity"], "toxicity")
 
         # the raw html payload is no longer needed downstream — dropping
         # it here halves the block bytes that cross the object store
-        out = df.drop(columns=["html"], errors="ignore")
-        for col in ("n_words", "n_chars", "mean_word_len", "alpha_ratio",
-                    "n_stopwords", "n_lines", "dup_line_ratio"):
-            out[col] = q[col]
-        out["aux_lang"] = aux_lang
-        out["aux_conf"] = np.asarray(aux_conf, dtype=np.float32)
-        out["ppl"] = np.asarray(ppl, dtype=np.float32)
-        out["scrubbed_text"] = s["scrubbed_text"]
-        out["n_pii"] = s["n_pii"]
-        out["has_toxicity"] = s["has_toxicity"]
-        out["drop_reason"] = reason
-        out["keep"] = reason == ""
-        # return Arrow: pandas blocks pickle their string payloads into
-        # the object store; Arrow blocks are zero-copy shared memory
-        return pa.Table.from_pandas(out, preserve_index=False)
+        if "html" in batch.column_names:
+            batch = batch.drop_columns(["html"])
+        for col in ("n_words", "n_chars"):
+            batch = batch.append_column(col, pa.array(q[col].to_numpy()))
+        for name, arr in [
+            ("mean_word_len", pa.array(q["mean_word_len"].to_numpy())),
+            ("alpha_ratio", pa.array(q["alpha_ratio"].to_numpy())),
+            ("n_stopwords", pa.array(q["n_stopwords"].to_numpy())),
+            ("n_lines", pa.array(q["n_lines"].to_numpy())),
+            ("dup_line_ratio", pa.array(q["dup_line_ratio"].to_numpy())),
+            ("aux_lang", pa.array(aux_lang)),
+            ("aux_conf", pa.array(np.asarray(aux_conf, dtype=np.float32))),
+            ("ppl", pa.array(np.asarray(ppl, dtype=np.float32))),
+            ("scrubbed_text", pa.array(s["scrubbed_text"].tolist(),
+                                       type=pa.large_string())),
+            ("n_pii", pa.array(s["n_pii"].to_numpy())),
+            ("has_toxicity", pa.array(s["has_toxicity"].to_numpy())),
+            ("drop_reason", pa.array(reason.tolist())),
+            ("keep", pa.array((reason == "").to_numpy())),
+        ]:
+            batch = batch.append_column(name, arr)
+        return batch
 
 
 def partial_metrics(df: pd.DataFrame) -> pd.DataFrame:

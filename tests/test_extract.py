@@ -188,3 +188,61 @@ class TestHelpers:
         # 0x10FFFF itself is an xxFFFE/xxFFFF non-character -> U+FFFD
         assert fix_unicode_value(0x10FFFF) == 0xFFFD
         assert fix_unicode_value(0x10FFFD) == 0x10FFFD
+
+
+class TestOffsetMap:
+    def test_text_identical_to_plain_extract(self):
+        from cld2_ray.functions.extract import (extract_text,
+                                                extract_text_with_map)
+        cases = [
+            b"<p>Bonjour &eacute;t&eacute;</p><script>j()</script> fin",
+            b"A\r\nB\rC  D   E&#233;&amp;x > y <a href='q\"z'>l</a>",
+            b"<!-- c --><style>s{}</style>A  B &Aacute;tail",
+            b"& bare <p unclosed",
+        ]
+        for html in cases:
+            t2, _ = extract_text_with_map(html)
+            assert t2 == extract_text(html)
+
+    def test_map_monotone_and_exact_on_copied_bytes(self):
+        import numpy as np
+        from cld2_ray.functions.extract import extract_text_with_map
+        html = (b"<html><body><p>Hello &amp; world</p>\r\n"
+                b"<div>seconde   ligne</div></body></html>")
+        text, om = extract_text_with_map(html)
+        tb = text.encode("utf-8")
+        orig = om.to_original(np.arange(len(tb) + 1))
+        assert (np.diff(orig) >= 0).all()
+        for p, c in enumerate(tb):
+            if chr(c).isalnum():   # verbatim-copied bytes
+                assert html[orig[p]] == c
+
+
+class TestRangesOnRawPage:
+    def test_html_byte_ranges_slice_the_page(self):
+        from cld2_ray.data.seeds import HELDOUT
+        from cld2_ray.functions.langid import Detector
+        d = Detector()
+        html = ("<html><body><p>" + HELDOUT["fr"] + "</p><div>"
+                + HELDOUT["ru"] + "</div></body>").encode("utf-8")
+        ranges = d.detect_ranges_html(html)
+        codes = [c for _, _, c in ranges]
+        assert codes == ["fr", "ru"]
+        fr_a, fr_len, _ = ranges[0]
+        # the range, sliced out of the RAW page bytes, is the French text
+        assert html[fr_a:fr_a + fr_len].decode("utf-8").startswith("Voici")
+        ru_a, ru_len, _ = ranges[1]
+        assert html[ru_a:ru_a + ru_len].decode("utf-8").strip() \
+            .startswith("Это")
+
+    def test_same_script_chunk_split_word_aligned(self):
+        from cld2_ray.data.seeds import HELDOUT
+        from cld2_ray.functions.langid import Detector
+        d = Detector()
+        text = (HELDOUT["en"] + " ") * 4 + (HELDOUT["fr"] + " ") * 4
+        ranges = d.detect_ranges(text)
+        assert [c for _, _, c in ranges] == ["en", "fr"]
+        tb = text.encode("utf-8")
+        a, n, _ = ranges[1]
+        # boundary is word-aligned: range starts at the word "Voici"
+        assert tb[a:a + 5] == b"Voici"
