@@ -55,6 +55,10 @@ def _char_values(text: str) -> tuple[np.ndarray, np.ndarray]:
 def predicted_bytes_mask(text: str) -> tuple[np.ndarray, np.ndarray]:
     """(mask of chars predicted by the 12-bit context hash, byte length
     per char). mask[i] True == the reference's ``c == tbl[hash]`` hit."""
+    from cld2_ray import native
+    if native.AVAILABLE:
+        mask, nb = native.predict_mask(text.encode("utf-8"))
+        return mask, nb.astype(np.int64)
     v, nbytes = _char_values(text)
     if len(v) == 0:
         return np.zeros(0, dtype=bool), nbytes
@@ -105,7 +109,13 @@ def squeeze_trigger(text: str) -> bool:
     n_sp = probe.count(" ")
     if n_sp * 100 >= SPACES_TRIGGER_PERCENT * n:
         return True
-    return _count_predicted_short(probe) * 100 >= PREDICT_TRIGGER_PERCENT * n
+    from cld2_ray import native
+    if native.AVAILABLE:
+        mask, nb = native.predict_mask(probe.encode("utf-8"))
+        pred = int(nb[mask].sum())
+    else:
+        pred = _count_predicted_short(probe)
+    return pred * 100 >= PREDICT_TRIGGER_PERCENT * n
 
 
 def remove_repeated_words(span_text: str) -> str:

@@ -26,6 +26,7 @@ AVAILABLE = False
 _FN = None
 _LK = None
 _ACC = None
+_PM = None
 
 
 def _compile() -> str | None:
@@ -73,9 +74,14 @@ def _load() -> None:
     acc.argtypes = [u8p, i64p, ctypes.c_int64, i32p, f32p, ctypes.c_int64,
                     i32p, i32p, f32p, i64p, i64p]
     acc.restype = ctypes.c_int
-    global _LK, _ACC
+    u8op = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
+    pm = lib.predict_mask
+    pm.argtypes = [u8p, ctypes.c_int64, i64p, u8op, u8op]
+    pm.restype = ctypes.c_int64
+    global _LK, _ACC, _PM
     _LK = lk
     _ACC = acc
+    _PM = pm
     _FN = fn
     AVAILABLE = True
 
@@ -133,6 +139,23 @@ def table_lookup(keys: np.ndarray, vals: np.ndarray, mask: int,
 
 
 _fl_scratch: dict[str, np.ndarray] = {}
+
+
+_pm_tbl = None
+
+
+def predict_mask(data: bytes):
+    """(mask bool[nchars], nbytes uint8[nchars]) for the 12-bit
+    next-char predictor, one C pass over the UTF-8 bytes."""
+    global _pm_tbl
+    if _pm_tbl is None:
+        _pm_tbl = np.empty(4096, dtype=np.int64)
+    _pm_tbl.fill(-1)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    mask = np.empty(len(data) + 1, dtype=np.uint8)
+    nb = np.empty(len(data) + 1, dtype=np.uint8)
+    nc = _PM(buf, len(buf), _pm_tbl, mask, nb)
+    return mask[:nc].astype(bool), nb[:nc]
 
 
 def fastlangid_score(cat: bytes, bounds: np.ndarray, idx: np.ndarray,

@@ -93,6 +93,32 @@ static inline uint64_t table_lookup(const uint64_t *keys, const uint64_t *vals,
     }
 }
 
+/* 12-bit-context next-char predictor (cld2_ray/functions/repeats.py,
+ * reference CountPredictedBytes compact_lang_det_impl.cc:541-580):
+ * per char, mask[i] = "char equals the value last stored under the
+ * rolling hash of the previous 3 chars". tbl: int64[4096] filled with
+ * -1 by the caller (reset per call); outputs per-char mask and UTF-8
+ * byte length. Returns the number of chars. */
+int64_t predict_mask(const uint8_t *b, int64_t n, int64_t *tbl,
+                     uint8_t *mask, uint8_t *nbytes) {
+    uint32_t h = 0;
+    int64_t ci = 0;
+    for (int64_t i = 0; i < n;) {
+        uint8_t c0 = b[i];
+        int len = c0 < 0x80 ? 1 : (c0 < 0xE0 ? 2 : (c0 < 0xF0 ? 3 : 4));
+        if (i + len > n) len = (int)(n - i);
+        int64_t c = 0;
+        for (int k = 0; k < len; k++) c = (c << 8) | b[i + k];
+        mask[ci] = tbl[h] == c;
+        nbytes[ci] = (uint8_t)len;
+        tbl[h] = c;
+        h = ((h << 4) ^ (uint32_t)c) & 0xFFF;
+        i += len;
+        ci++;
+    }
+    return ci;
+}
+
 /* Vectorized open-addressed lookup over a query array (the HashTable
  * fast path: model.py HashTable.lookup's probe loop in C). */
 int table_lookup_batch(const uint64_t *keys, const uint64_t *vals,
