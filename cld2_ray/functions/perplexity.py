@@ -139,9 +139,35 @@ def score(text: str, lang_code: str) -> tuple[float, bool]:
 
 def score_batch(texts, lang_codes) -> tuple[list[float], list[bool]]:
     """Whole-batch vectorization: one concatenated key array, one table
-    lookup, per-document means via bincount segments."""
+    lookup, per-document means via bincount segments. With the C
+    kernel (cld2_ray/native.ppl_score) the whole walk — UTF-8 decode,
+    char hashing, trigram/bigram lookups, log-prob accumulation — is
+    one pass with no intermediate arrays."""
+    from cld2_ray import native
     m = models()
     n = len(texts)
+    if native.AVAILABLE:
+        lids = np.full(n, -1, dtype=np.int64)
+        framed = []
+        for i, (t, lc) in enumerate(zip(texts, lang_codes)):
+            lid = langs.lang_id(lc)
+            if lid != langs.UNKNOWN and np.isfinite(m.thresholds[lid]):
+                lids[i] = lid
+                framed.append((" " + (t or "").lower() + " ")
+                              .encode("utf-8"))
+            else:
+                framed.append(b"")
+        bounds = np.cumsum([len(b) for b in framed]).astype(np.int64)
+        bits, cnt = native.ppl_score(b"".join(framed), bounds, lids,
+                                     m.table, m.uni)
+        ok = cnt > 0
+        means = np.where(ok, bits / np.maximum(cnt, 1), 0.0)
+        ppl = np.where(ok, 2.0 ** means, 0.0)
+        thr = np.where((lids >= 0) & np.isfinite(m.thresholds
+                                                 [np.maximum(lids, 0)]),
+                       m.thresholds[np.maximum(lids, 0)], np.inf)
+        flags = (ppl > thr) & ok
+        return [float(x) for x in ppl], [bool(x) for x in flags]
     doc_tri: list[np.ndarray] = []
     doc_bi: list[np.ndarray] = []
     doc_uni: list[np.ndarray] = []

@@ -27,6 +27,7 @@ _FN = None
 _LK = None
 _ACC = None
 _PM = None
+_PP = None
 
 
 def _compile() -> str | None:
@@ -36,7 +37,7 @@ def _compile() -> str | None:
             return _SO
         tmp = f"{_SO}.tmp.{os.getpid()}"
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", _SRC, "-o", tmp],
+            ["cc", "-O2", "-shared", "-fPIC", _SRC, "-o", tmp, "-lm"],
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, _SO)
         return _SO
@@ -78,10 +79,17 @@ def _load() -> None:
     pm = lib.predict_mask
     pm.argtypes = [u8p, ctypes.c_int64, i64p, u8op, u8op]
     pm.restype = ctypes.c_int64
-    global _LK, _ACC, _PM
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    pp = lib.ppl_score
+    pp.argtypes = [u8p, i64p, ctypes.c_int64, i64p,
+                   u64p, u64p, ctypes.c_uint64,
+                   f64p, ctypes.c_int64, f64p, i64p]
+    pp.restype = ctypes.c_int
+    global _LK, _ACC, _PM, _PP
     _LK = lk
     _ACC = acc
     _PM = pm
+    _PP = pp
     _FN = fn
     AVAILABLE = True
 
@@ -139,6 +147,22 @@ def table_lookup(keys: np.ndarray, vals: np.ndarray, mask: int,
 
 
 _fl_scratch: dict[str, np.ndarray] = {}
+
+
+def ppl_score(cat: bytes, bounds: np.ndarray, lang_ids: np.ndarray,
+              table, uni: np.ndarray):
+    """Per-doc char-trigram LM bits over concatenated framed lowered
+    docs. Returns (bits float64[n], n_trigrams int64[n])."""
+    n_docs = len(bounds)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    lang_ids = np.ascontiguousarray(lang_ids, dtype=np.int64)
+    uni = np.ascontiguousarray(uni, dtype=np.float64)
+    bits = np.zeros(n_docs, dtype=np.float64)
+    cnt = np.zeros(n_docs, dtype=np.int64)
+    _PP(buf, bounds, n_docs, lang_ids, table.keys, table.vals,
+        int(table.mask), uni, uni.shape[1], bits, cnt)
+    return bits, cnt
 
 
 _pm_tbl = None

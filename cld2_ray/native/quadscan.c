@@ -119,6 +119,71 @@ int64_t predict_mask(const uint8_t *b, int64_t n, int64_t *tbl,
     return ci;
 }
 
+#include <math.h>
+
+/* Character-trigram LM scoring (cld2_ray/functions/perplexity.py):
+ * per doc, walk the framed lowered UTF-8 bytes, hash each char to a
+ * 4096-bucket value, and accumulate -log2 P(c3|c1c2) with add-0.1
+ * smoothing and unigram*0.1 backoff — no intermediate key/prob
+ * arrays.  lang_ids: per-doc LM row (<0 = skip doc).  uni: per-lang
+ * 4096 float64 unigram probs.  Outputs per-doc total bits and trigram
+ * count. */
+int ppl_score(const uint8_t *cat, const int64_t *bounds, int64_t n_docs,
+              const int64_t *lang_ids,
+              const uint64_t *keys, const uint64_t *vals, uint64_t mask,
+              const double *uni, int64_t v,
+              double *bits_out, int64_t *n_out) {
+    int64_t start = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t end = bounds[d];
+        int64_t lang = lang_ids[d];
+        double bits = 0.0;
+        int64_t cnt = 0;
+        if (lang >= 0) {
+            const double *urow = uni + lang * v;
+            uint64_t base = (uint64_t)lang << 40;
+            uint64_t bflag = 1ull << 39;
+            int64_t c0 = -1, c1 = -1;
+            for (int64_t i = start; i < end;) {
+                uint8_t lead = cat[i];
+                int len = lead < 0x80 ? 1
+                          : (lead < 0xE0 ? 2 : (lead < 0xF0 ? 3 : 4));
+                if (i + len > end) len = (int)(end - i);
+                uint32_t cp;
+                if (len == 1) cp = lead;
+                else if (len == 2)
+                    cp = ((lead & 0x1Fu) << 6) | (cat[i + 1] & 0x3Fu);
+                else if (len == 3)
+                    cp = ((lead & 0x0Fu) << 12) | ((cat[i + 1] & 0x3Fu) << 6)
+                         | (cat[i + 2] & 0x3Fu);
+                else
+                    cp = ((lead & 0x07u) << 18) | ((cat[i + 1] & 0x3Fu) << 12)
+                         | ((cat[i + 2] & 0x3Fu) << 6) | (cat[i + 3] & 0x3Fu);
+                int64_t c2 = (int64_t)(((uint64_t)cp * 2654435761ull) % v);
+                if (c0 >= 0 && c1 >= 0) {
+                    uint64_t b = (uint64_t)(c0 * v + c1);
+                    uint64_t tri = base | (b * (uint64_t)v + (uint64_t)c2);
+                    uint64_t bi = base | bflag | b;
+                    uint64_t ct = table_lookup(keys, vals, mask, tri);
+                    uint64_t cb = table_lookup(keys, vals, mask, bi);
+                    double p = cb > 0
+                        ? ((double)ct + 0.1) / ((double)cb + 0.1 * 64)
+                        : urow[c2] * 0.1;
+                    bits += -log2(p);
+                    cnt++;
+                }
+                c0 = c1;
+                c1 = c2;
+                i += len;
+            }
+        }
+        bits_out[d] = bits;
+        n_out[d] = cnt;
+        start = end;
+    }
+    return 0;
+}
+
 /* Vectorized open-addressed lookup over a query array (the HashTable
  * fast path: model.py HashTable.lookup's probe loop in C). */
 int table_lookup_batch(const uint64_t *keys, const uint64_t *vals,
