@@ -43,6 +43,33 @@ TLD_HINTS: dict[str, str] = {
     "mt": "mt", "ie": "ga",
 }
 
+# legacy-encoding -> likely language (the encoding_hint analogue,
+# compact_lang_det.h:133-138 + the hint boost table
+# compact_lang_det_hint_code.cc:647-1390): only encodings that are
+# strongly language-identifying carry a hint; universal encodings
+# (utf-8, iso-8859-1, windows-1252, ascii) map to none.
+ENCODING_HINTS: dict[str, str] = {
+    "shift_jis": "ja", "shift-jis": "ja", "sjis": "ja", "euc-jp": "ja",
+    "iso-2022-jp": "ja",
+    "gb2312": "zh", "gbk": "zh", "gb18030": "zh", "hz-gb-2312": "zh",
+    "big5": "zh-Hant", "big5-hkscs": "zh-Hant",
+    "euc-kr": "ko", "iso-2022-kr": "ko", "ks_c_5601-1987": "ko",
+    "koi8-r": "ru", "koi8-u": "uk",
+    "windows-1251": "ru", "iso-8859-5": "ru",
+    "windows-1253": "el", "iso-8859-7": "el",
+    "windows-1254": "tr", "iso-8859-9": "tr",
+    "windows-1255": "he", "iso-8859-8": "he", "iso-8859-8-i": "he",
+    "windows-1256": "ar", "iso-8859-6": "ar",
+    "windows-1258": "vi",
+    "tis-620": "th", "windows-874": "th", "iso-8859-11": "th",
+    "iso-8859-2": "pl", "windows-1250": "pl",
+    "windows-1257": "lt", "iso-8859-13": "lt",
+    "iscii-devanagari": "hi", "x-mac-cyrillic": "ru",
+}
+
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE)
+
 _TLD_RE = re.compile(r"^[a-z]+://[^/]*?([a-z0-9-]+\.)?([a-z]{2,6})(?::\d+)?/",
                      re.IGNORECASE)
 # left boundary: the reference requires ' lang' / ':lang' before '='
@@ -87,6 +114,14 @@ def hints_from_page(url: str, html: bytes) -> list[int]:
         lid = langs.lang_id(m.group(1).decode("ascii").lower())
         if lid:
             out.append(lid)
+    m = _CHARSET_RE.search(head)
+    if m:
+        enc = m.group(1).decode("ascii").lower()
+        code = ENCODING_HINTS.get(enc, "")
+        if code:
+            lid = langs.lang_id(code)
+            if lid:
+                out.append(lid)
     code = TLD_HINTS.get(tld_of(url), "")
     if code:
         lid = langs.lang_id(code)

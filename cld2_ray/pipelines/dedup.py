@@ -174,29 +174,33 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
         n = len(g)
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
         if n < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+            return empty
         ids = g[id_col].to_numpy()
         sets = [np.asarray(s, dtype=np.uint64) for s in g.shingles]
-
-        def jac(i, j):
-            inter = len(np.intersect1d(sets[i], sets[j],
-                                       assume_unique=True))
-            union = len(sets[i]) + len(sets[j]) - inter
-            return (inter / union) if union else 1.0
-
-        rows = []
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        union_v = np.unique(np.concatenate(sets)) if sets else \
+            np.empty(0, np.uint64)
+        # exact Jaccard for every needed pair via one bitset matmul
+        m = np.zeros((n, len(union_v)), dtype=np.int32)
+        for i, s in enumerate(sets):
+            m[i, np.searchsorted(union_v, s)] = 1
         if n <= _CLIQUE_CUTOFF:
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if jac(i, j) >= threshold:
-                        rows.append((int(ids[i]), int(ids[j])))
-        else:
-            for j in range(1, n):
-                if jac(0, j) >= threshold:
-                    rows.append((int(ids[0]), int(ids[j])))
-        return pd.DataFrame(rows, columns=["a", "b"], dtype="int64")
+            inter = m @ m.T
+            uni = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
+            iu = np.triu_indices(n, 1)
+            both_empty = (sizes[:, None] + sizes[None, :]) == 0
+            ok = ((inter / uni >= threshold) | both_empty)[iu]
+            return pd.DataFrame({"a": ids[iu[0][ok]].astype(np.int64),
+                                 "b": ids[iu[1][ok]].astype(np.int64)})
+        inter = m[1:] @ m[0]
+        uni = np.maximum(sizes[1:] + sizes[0] - inter, 1)
+        ok = (inter / uni >= threshold) | ((sizes[1:] + sizes[0]) == 0)
+        return pd.DataFrame({
+            "a": np.full(int(ok.sum()), ids[0], dtype=np.int64),
+            "b": ids[1:][ok].astype(np.int64)})
 
     edges_df = bands.groupby(["band_id", "band_key"]).map_groups(
         bucket_verify, batch_format="pandas").to_pandas().drop_duplicates()

@@ -98,3 +98,23 @@ class TestEvaluate:
         out = evaluate(ann)
         tot = out[out.lang == "_Totals_Known"].iloc[0]
         assert tot.f1 > 0.75  # junk/bad-utf8 pages depress this by design
+
+
+class TestEncodingHint:
+    def test_charset_supplies_hint(self):
+        h = hints_from_page(
+            "https://x.com/",
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=Shift_JIS">')
+        assert h == [langs.lang_id("ja")]
+
+    def test_universal_charset_no_hint(self):
+        h = hints_from_page(
+            "https://x.com/", b'<meta charset="utf-8">')
+        assert h == []
+
+    def test_order_after_lang_attr(self):
+        h = hints_from_page(
+            "https://x.com/",
+            b'<html lang="ru"><meta charset="euc-kr">')
+        assert h == [langs.lang_id("ru"), langs.lang_id("ko")]
