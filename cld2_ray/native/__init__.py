@@ -18,6 +18,27 @@ import subprocess
 
 import numpy as np
 
+def _tune_malloc() -> None:
+    """Keep large free buffers in the heap instead of munmap'ing them.
+
+    The scoring kernels allocate multi-MB numpy temporaries per batch;
+    with glibc defaults each batch munmaps them back to the OS and the
+    next batch pays a page-fault storm (measured 2-10x wall-time swings
+    on virtualised hosts). mallopt(M_MMAP_THRESHOLD/M_TRIM_THRESHOLD)
+    makes the allocator reuse those buffers — steady-state per-batch
+    time becomes flat. Runs per-process (import-time), so every Ray
+    worker that imports cld2_ray gets it without env plumbing.
+    """
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: defaults apply
+
+
+_tune_malloc()
+
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "quadscan.c")
 _SO = os.path.join(_DIR, "quadscan.so")
