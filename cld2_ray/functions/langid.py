@@ -134,14 +134,31 @@ class Detector:
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             bounds = np.cumsum(lens)
             cat = b"".join(bufs)
-            all_vals, all_off = self._many_hits(cat, bounds)
-            l3, q3 = unpack_langprobs(all_vals)
-            span_of = np.searchsorted(bounds, all_off, side="right")
-            c = score.score_chunks_multi(
-                l3, q3, all_off, span_of, starts, lens,
-                np.full(len(bufs), score.CHUNKSIZE_QUADS, dtype=np.int64),
-                self.model.expected_quad,
-                [hl for _, _, hl in many])
+            hl_list = [hl for _, _, hl in many]
+            if native.AVAILABLE:
+                # fused scan + chunk scoring: per-hit arrays never
+                # materialize (they are ~1 per 2 text bytes and were
+                # the pipeline's dominant memory traffic)
+                hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+                flat: list[int] = []
+                for k, hl in enumerate(hl_list):
+                    if hl:
+                        flat.extend(hl)
+                    hint_csr[k + 1] = len(flat)
+                c = native.quad_octa_chunk_score(
+                    cat, bounds, self.model.quad, self.model.octa,
+                    score.CHUNKSIZE_QUADS, self.model.expected_quad,
+                    langs.CLOSE_SET, hint_csr,
+                    np.asarray(flat, dtype=np.int64))
+            else:
+                all_vals, all_off = self._many_hits(cat, bounds)
+                l3, q3 = unpack_langprobs(all_vals)
+                span_of = np.searchsorted(bounds, all_off, side="right")
+                c = score.score_chunks_multi(
+                    l3, q3, all_off, span_of, starts, lens,
+                    np.full(len(bufs), score.CHUNKSIZE_QUADS,
+                            dtype=np.int64),
+                    self.model.expected_quad, hl_list)
             lang1, cbytes, s1, rel, span_of_chunk = c
             docs_of_span = np.array([di for di, _, _ in many])
             doc_of_chunk = docs_of_span[span_of_chunk]
@@ -152,30 +169,49 @@ class Detector:
                         li, int(cbytes[i]), int(s1[i]), int(rel[i]))
 
         if cjk:
-            keys_parts, pos_parts, span_idx_parts = [], [], []
+            hl_list = [hl for _, _, hl in cjk]
             lens = np.array([sp.text_bytes for _, sp, _ in cjk],
                             dtype=np.int64)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            for k, (di, sp, hl) in enumerate(cjk):
-                uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
-                uvals = self.model.uni.lookup(uni)
-                bvals = self.model.bi.lookup(bi)
-                um, bm = uvals != 0, bvals != 0
-                av = np.concatenate([uvals[um], bvals[bm]])
-                ap = np.concatenate([upos[um], bpos[bm]])
-                o = np.argsort(ap, kind="stable")
-                keys_parts.append(av[o])
-                pos_parts.append(ap[o] * 3 + starts[k])
-                span_idx_parts.append(np.full(len(o), k, dtype=np.int64))
-            all_vals = np.concatenate(keys_parts)
-            all_off = np.concatenate(pos_parts)
-            span_of = np.concatenate(span_idx_parts)
-            l3, q3 = unpack_langprobs(all_vals)
-            c = score.score_chunks_multi(
-                l3, q3, all_off, span_of, starts, lens,
-                np.full(len(cjk), score.CHUNKSIZE_UNIS, dtype=np.int64),
-                self.model.expected_uni,
-                [hl for _, _, hl in cjk])
+            if native.AVAILABLE:
+                bufs = [sp.text.encode("utf-8") for _, sp, _ in cjk]
+                blens = np.array([len(b) for b in bufs], dtype=np.int64)
+                bounds = np.cumsum(blens)
+                cat = b"".join(bufs)
+                hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+                flat: list[int] = []
+                for k, hl in enumerate(hl_list):
+                    if hl:
+                        flat.extend(hl)
+                    hint_csr[k + 1] = len(flat)
+                c = native.cjk_chunk_score(
+                    cat, bounds, lens, self.model.uni, self.model.bi,
+                    score.CHUNKSIZE_UNIS, self.model.expected_uni,
+                    langs.CLOSE_SET, hint_csr,
+                    np.asarray(flat, dtype=np.int64))
+            else:
+                keys_parts, pos_parts, span_idx_parts = [], [], []
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                for k, (di, sp, hl) in enumerate(cjk):
+                    uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
+                    uvals = self.model.uni.lookup(uni)
+                    bvals = self.model.bi.lookup(bi)
+                    um, bm = uvals != 0, bvals != 0
+                    av = np.concatenate([uvals[um], bvals[bm]])
+                    ap = np.concatenate([upos[um], bpos[bm]])
+                    o = np.argsort(ap, kind="stable")
+                    keys_parts.append(av[o])
+                    pos_parts.append(ap[o] * 3 + starts[k])
+                    span_idx_parts.append(np.full(len(o), k,
+                                                  dtype=np.int64))
+                all_vals = np.concatenate(keys_parts)
+                all_off = np.concatenate(pos_parts)
+                span_of = np.concatenate(span_idx_parts)
+                l3, q3 = unpack_langprobs(all_vals)
+                c = score.score_chunks_multi(
+                    l3, q3, all_off, span_of, starts, lens,
+                    np.full(len(cjk), score.CHUNKSIZE_UNIS,
+                            dtype=np.int64),
+                    self.model.expected_uni, hl_list)
             lang1, cbytes, s1, rel, span_of_chunk = c
             docs_of_span = np.array([di for di, _, _ in cjk])
             doc_of_chunk = docs_of_span[span_of_chunk]

@@ -102,6 +102,21 @@ def reliability_expected(actual_1kb: np.ndarray,
     return out
 
 
+def _top2(scores: np.ndarray):
+    """Deterministic per-chunk top-2: ties break toward the SMALLER
+    language id (both here and in the C kernel — np.argsort's quicksort
+    tie order is implementation-defined, which would make the two paths
+    drift on equal-score chunks)."""
+    nl = scores.shape[1]
+    keyed = scores * np.int64(nl) + np.arange(nl - 1, -1, -1, dtype=np.int64)
+    order = np.argsort(keyed, axis=1)
+    top1 = order[:, -1]
+    top2 = order[:, -2]
+    s1 = np.take_along_axis(scores, top1[:, None], axis=1)[:, 0]
+    s2 = np.take_along_axis(scores, top2[:, None], axis=1)[:, 0]
+    return top1, top2, s1, s2
+
+
 def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                  offsets: np.ndarray, span_end: int, chunk_size: int,
                  expected_1kb: np.ndarray,
@@ -139,11 +154,7 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
             has = scores[:, hl] > 0
             scores[has, hl] += boost[has]
 
-    order = np.argsort(scores, axis=1)
-    top1 = order[:, -1]
-    top2 = order[:, -2]
-    s1 = np.take_along_axis(scores, top1[:, None], axis=1)[:, 0]
-    s2 = np.take_along_axis(scores, top2[:, None], axis=1)[:, 0]
+    top1, top2, s1, s2 = _top2(scores)
 
     starts = offsets[::chunk_size][:nchunks]
     ends = np.append(starts[1:], span_end)
@@ -211,11 +222,7 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
                 has = scores[idx, lid] > 0
                 scores[idx[has], lid] += boost[has]
 
-    order = np.argsort(scores, axis=1)
-    top1 = order[:, -1]
-    top2 = order[:, -2]
-    s1 = np.take_along_axis(scores, top1[:, None], axis=1)[:, 0]
-    s2 = np.take_along_axis(scores, top2[:, None], axis=1)[:, 0]
+    top1, top2, s1, s2 = _top2(scores)
 
     hfirst = np.searchsorted(gchunk, np.arange(total_chunks))
     local_start = offsets[hfirst] - span_starts[span_of_chunk]

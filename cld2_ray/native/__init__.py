@@ -49,6 +49,8 @@ _LK = None
 _ACC = None
 _PM = None
 _PP = None
+_CS = None
+_CJ = None
 
 
 def _compile() -> str | None:
@@ -106,11 +108,38 @@ def _load() -> None:
                    u64p, u64p, ctypes.c_uint64,
                    f64p, ctypes.c_int64, f64p, i64p]
     pp.restype = ctypes.c_int
-    global _LK, _ACC, _PM, _PP
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    cs = lib.quad_octa_chunk_score
+    cs.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+        u64p, u64p, ctypes.c_uint64,
+        u64p, u64p, ctypes.c_uint64,
+        ctypes.c_int64, i32p, i8p, ctypes.c_int64,
+        i64p, i64p,
+        u64p, i64p, u64p, i64p, i64p,
+        i16p, i64p, i64p, i64p, i64p,
+    ]
+    cs.restype = ctypes.c_int64
+    cj = lib.cjk_chunk_score
+    cj.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
+        u64p, u64p, ctypes.c_uint64,
+        u64p, u64p, ctypes.c_uint64,
+        ctypes.c_int64, i32p, i8p, ctypes.c_int64,
+        i64p, i64p,
+        u64p, i64p, u64p, i64p, i64p,
+        i16p, i64p, i64p, i64p, i64p,
+    ]
+    cj.restype = ctypes.c_int64
+    global _CJ
+    _CJ = cj
+    global _LK, _ACC, _PM, _PP, _CS
     _LK = lk
     _ACC = acc
     _PM = pm
     _PP = pp
+    _CS = cs
     _FN = fn
     AVAILABLE = True
 
@@ -156,6 +185,113 @@ def quad_octa_scan(cat: bytes, bounds: np.ndarray, quad_table,
         ovals, ooffs, ctypes.byref(no))
     return (qvals[:nq.value].copy(), qoffs[:nq.value].copy(),
             ovals[:no.value].copy(), ooffs[:no.value].copy())
+
+
+_cs_scratch: dict[str, np.ndarray] = {}
+
+
+def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
+                          octa_table, chunk_size: int,
+                          expected_1kb: np.ndarray, close_set: np.ndarray,
+                          hint_csr: np.ndarray, hint_flat: np.ndarray):
+    """Fused scan + chunk scoring: the whole _many_hits ->
+    score_chunks_multi chain in one C pass, per-hit arrays never
+    materialized. Returns per-chunk (lang1 i16, cbytes i64, s1 i64,
+    rel i64, span_of_chunk i64) — bit-equal to the numpy chain."""
+    n = len(cat)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    nb = len(bounds)
+    max_span = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
+    sc = _cs_scratch
+    if sc.get("span_cap", 0) < max_span + 8:
+        cap = max_span + 8
+        sc["qvals"] = np.empty(cap, dtype=np.uint64)
+        sc["qoffs"] = np.empty(cap, dtype=np.int64)
+        sc["ovals"] = np.empty(cap, dtype=np.uint64)
+        sc["ooffs"] = np.empty(cap, dtype=np.int64)
+        sc["span_cap"] = cap
+    if sc.get("nl", 0) < len(expected_1kb):
+        sc["scores"] = np.zeros(len(expected_1kb), dtype=np.int64)
+        sc["nl"] = len(expected_1kb)
+    out_cap = n // max(chunk_size, 1) + nb + 8
+    if sc.get("out_cap", 0) < out_cap:
+        sc["lang1"] = np.empty(out_cap, dtype=np.int16)
+        sc["cbytes"] = np.empty(out_cap, dtype=np.int64)
+        sc["s1"] = np.empty(out_cap, dtype=np.int64)
+        sc["rel"] = np.empty(out_cap, dtype=np.int64)
+        sc["span"] = np.empty(out_cap, dtype=np.int64)
+        sc["out_cap"] = out_cap
+    exp = np.ascontiguousarray(expected_1kb, dtype=np.int32)
+    cset = np.ascontiguousarray(close_set, dtype=np.int8)
+    csr = np.ascontiguousarray(hint_csr, dtype=np.int64)
+    flat = np.ascontiguousarray(hint_flat, dtype=np.int64)
+    if len(flat) == 0:
+        flat = np.zeros(1, dtype=np.int64)
+    nch = _CS(buf, n, bounds, nb,
+              quad_table.keys, quad_table.vals, int(quad_table.mask),
+              octa_table.keys, octa_table.vals, int(octa_table.mask),
+              chunk_size, exp, cset, len(exp),
+              csr, flat,
+              sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
+              sc["scores"],
+              sc["lang1"], sc["cbytes"], sc["s1"], sc["rel"], sc["span"])
+    return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),
+            sc["s1"][:nch].copy(), sc["rel"][:nch].copy(),
+            sc["span"][:nch].copy())
+
+
+def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
+                    pseudo_lens: np.ndarray, uni_table, bi_table,
+                    chunk_size: int, expected_1kb: np.ndarray,
+                    close_set: np.ndarray, hint_csr: np.ndarray,
+                    hint_flat: np.ndarray):
+    """Fused CJK uni+bi scan + chunk scoring (the cjk_candidates ->
+    lookup -> score_chunks_multi chain) in one C pass. bounds are END
+    byte offsets into cat; pseudo_lens are the per-span text_bytes used
+    for chunk extents (char positions scale x3, as in the numpy path)."""
+    n = len(cat)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    plens = np.ascontiguousarray(pseudo_lens, dtype=np.int64)
+    nb = len(bounds)
+    max_span = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
+    sc = _cs_scratch
+    if sc.get("span_cap", 0) < max_span + 8:
+        cap = max_span + 8
+        sc["qvals"] = np.empty(cap, dtype=np.uint64)
+        sc["qoffs"] = np.empty(cap, dtype=np.int64)
+        sc["ovals"] = np.empty(cap, dtype=np.uint64)
+        sc["ooffs"] = np.empty(cap, dtype=np.int64)
+        sc["span_cap"] = cap
+    if sc.get("nl", 0) < len(expected_1kb):
+        sc["scores"] = np.zeros(len(expected_1kb), dtype=np.int64)
+        sc["nl"] = len(expected_1kb)
+    out_cap = n // max(chunk_size, 1) + nb + 8
+    if sc.get("out_cap", 0) < out_cap:
+        sc["lang1"] = np.empty(out_cap, dtype=np.int16)
+        sc["cbytes"] = np.empty(out_cap, dtype=np.int64)
+        sc["s1"] = np.empty(out_cap, dtype=np.int64)
+        sc["rel"] = np.empty(out_cap, dtype=np.int64)
+        sc["span"] = np.empty(out_cap, dtype=np.int64)
+        sc["out_cap"] = out_cap
+    exp = np.ascontiguousarray(expected_1kb, dtype=np.int32)
+    cset = np.ascontiguousarray(close_set, dtype=np.int8)
+    csr = np.ascontiguousarray(hint_csr, dtype=np.int64)
+    flat = np.ascontiguousarray(hint_flat, dtype=np.int64)
+    if len(flat) == 0:
+        flat = np.zeros(1, dtype=np.int64)
+    nch = _CJ(buf, n, bounds, nb, plens,
+              uni_table.keys, uni_table.vals, int(uni_table.mask),
+              bi_table.keys, bi_table.vals, int(bi_table.mask),
+              chunk_size, exp, cset, len(exp),
+              csr, flat,
+              sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
+              sc["scores"],
+              sc["lang1"], sc["cbytes"], sc["s1"], sc["rel"], sc["span"])
+    return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),
+            sc["s1"][:nch].copy(), sc["rel"][:nch].copy(),
+            sc["span"][:nch].copy())
 
 
 def table_lookup(keys: np.ndarray, vals: np.ndarray, mask: int,

@@ -247,30 +247,30 @@ int fastlangid_score(const uint8_t *cat, const int64_t *bounds,
     return 0;
 }
 
-/* Scan concatenated spans. bounds: nb ascending END byte offsets, one
- * per span (bounds[nb-1] == n). Emits table HITS only (val != 0).
- * Output arrays sized >= n by the caller. Returns 0. */
-int quad_octa_scan(const uint8_t *buf, int64_t n,
-                   const int64_t *bounds, int64_t nb,
-                   const uint64_t *qkeys, const uint64_t *qvals, uint64_t qmask,
-                   const uint64_t *okeys, const uint64_t *ovals, uint64_t omask,
-                   uint64_t *out_qvals, int64_t *out_qoffs, int64_t *nq_out,
-                   uint64_t *out_ovals, int64_t *out_ooffs, int64_t *no_out) {
-    int64_t nq = 0, no = 0;
-    int64_t span_i = 0;
-    int64_t span_start = 0;
+/* Scan ONE span (framed " w1 w2 " utf-8 bytes). Appends table HITS
+ * (val != 0) to the output arrays at *nq_io / *no_io, with offsets
+ * biased by `base`. Ring-dedupe state is local (reset per span), same
+ * as the numpy path. */
+static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
+                          const uint64_t *qkeys, const uint64_t *qvals,
+                          uint64_t qmask,
+                          const uint64_t *okeys, const uint64_t *ovals,
+                          uint64_t omask,
+                          uint64_t *out_qvals, int64_t *out_qoffs,
+                          int64_t *nq_io,
+                          uint64_t *out_ovals, int64_t *out_ooffs,
+                          int64_t *no_io) {
+    int64_t nq = *nq_io, no = *no_io;
+    int64_t span_start = base;
 
     /* ring state, reset per span */
     uint32_t qr1 = 0, qr2 = 0; int qrn = 0;
     uint64_t or1 = 0, or2 = 0; int orn = 0;
 
-    for (span_i = 0; span_i < nb; span_i++) {
-        int64_t span_end = bounds[span_i];
-        int64_t len = span_end - span_start;
-        const uint8_t *sp = buf + span_start;
+    {
         qr1 = qr2 = 0; qrn = 0;
         or1 = or2 = 0; orn = 0;
-        if (len <= 0) { span_start = span_end; continue; }
+        if (len <= 0) { *nq_io = nq; *no_io = no; return; }
 
         /* --- one forward pass over chars: quads + octas ---
          * Spans are " w1 w2 " framed: byte 0 is a space, last char is
@@ -347,7 +347,7 @@ int quad_octa_scan(const uint8_t *buf, int64_t n,
                 int64_t nc = 0;
                 for (int64_t b = 0; b < len; b++)
                     if ((sp[b] & 0xC0) != 0x80) nc++;
-                if (nc < 3) { span_start = span_end; continue; }
+                if (nc < 3) { *nq_io = nq; *no_io = no; return; }
                 nchars_limit = nc - 1;   /* letters = ~is_space[:n-1] */
             }
             for (int64_t b = 0; b <= len; b++) {
@@ -445,9 +445,332 @@ int quad_octa_scan(const uint8_t *buf, int64_t n,
             }
             #undef WCAP
         }
+    }
+    (void)span_start;
+    *nq_io = nq;
+    *no_io = no;
+}
+
+/* Scan concatenated spans. bounds: nb ascending END byte offsets, one
+ * per span (bounds[nb-1] == n). Emits table HITS only (val != 0).
+ * Output arrays sized >= n by the caller. Returns 0. */
+int quad_octa_scan(const uint8_t *buf, int64_t n,
+                   const int64_t *bounds, int64_t nb,
+                   const uint64_t *qkeys, const uint64_t *qvals, uint64_t qmask,
+                   const uint64_t *okeys, const uint64_t *ovals, uint64_t omask,
+                   uint64_t *out_qvals, int64_t *out_qoffs, int64_t *nq_out,
+                   uint64_t *out_ovals, int64_t *out_ooffs, int64_t *no_out) {
+    int64_t nq = 0, no = 0;
+    int64_t span_start = 0;
+    for (int64_t span_i = 0; span_i < nb; span_i++) {
+        int64_t span_end = bounds[span_i];
+        scan_one_span(buf + span_start, span_end - span_start, span_start,
+                      qkeys, qvals, qmask, okeys, ovals, omask,
+                      out_qvals, out_qoffs, &nq,
+                      out_ovals, out_ooffs, &no);
         span_start = span_end;
     }
     *nq_out = nq;
     *no_out = no;
     return 0;
+}
+
+/* Fused scan + chunk scoring: the whole _many_hits ->
+ * score_chunks_multi chain (cld2_ray/functions/langid.py:_fill_totes,
+ * score.py:score_chunks_multi) in ONE C pass per span, emitting only
+ * per-CHUNK results — per-hit arrays never exist, which removes the
+ * ~100x memory-traffic amplification the numpy path pays (hits are
+ * ~1 per 2 text bytes; each flowed through concat/argsort/unpack/
+ * bincount as multiple int64 lanes).
+ *
+ * Bit-equal to the numpy chain (cross-checked in tests/test_native.py):
+ *  - quads before octas at equal offset (stable concat order)
+ *  - nchunks = max(1, nh/chunk_size); hit i -> chunk min(i/cs, nch-1)
+ *  - per-chunk lang scores = sum of decoded qprob lanes; UNKNOWN (0)
+ *    lane suppressed
+ *  - hint boost 12 + grams*12/16 to hinted langs with evidence
+ *  - deterministic top-2 (ties -> smaller lang id, = score.py _top2)
+ *  - ReliabilityDelta integer math + widened ReliabilityExpected ramps
+ *    in double (same expressions, same truncation)
+ *
+ * hint_csr: nb+1 offsets into hint_flat (per-span hinted lang ids).
+ * Scratch: sc_qvals/sc_qoffs/sc_ovals/sc_ooffs sized >= max span len+8;
+ * sc_scores int64[num_langs] ZEROED by caller (left zeroed on return).
+ * Outputs sized >= n/chunk_size + nb + 8. Returns chunk count. */
+/* Chunk-score ONE span's merged hit stream (primary a = quads/unis,
+ * secondary b = octas/bis; a-before-b at equal offsets — the stable
+ * concat order). Appends per-chunk rows at *nchunks_io; returns the
+ * number of chunks appended. Offsets are LOCAL to the span and already
+ * in the span's byte space (CJK callers pre-scale char positions x3).
+ * sc_scores: int64[num_langs] zeroed, left zeroed. */
+static int64_t chunk_score_merged(
+        const uint64_t *av, const int64_t *ao, int64_t na,
+        const uint64_t *bv, const int64_t *bo, int64_t nb_,
+        int64_t span_len, int64_t chunk_size,
+        const int32_t *expected_1kb, const int8_t *close_set,
+        int64_t num_langs,
+        const int64_t *hints, int64_t nhints,
+        int64_t *sc_scores, int64_t span_i,
+        int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
+        int64_t *out_rel, int64_t *out_span, int64_t *nchunks_io) {
+    int64_t nchunks_total = *nchunks_io;
+    int32_t touched[3 * 4096 + 64];   /* lanes touched per chunk */
+    int64_t nh = na + nb_;
+    if (nh == 0) return 0;
+    int64_t nch = nh / chunk_size;
+    if (nch < 1) nch = 1;
+
+    int64_t ai = 0, bi = 0;
+    int64_t hit_idx = 0;
+    int64_t prev_chunk_start = -1;   /* local byte offset */
+    for (int64_t c = 0; c < nch; c++) {
+        int64_t lo = c * chunk_size;
+        int64_t hi = (c == nch - 1) ? nh : lo + chunk_size;
+        int64_t grams = hi - lo;
+        int64_t first_off = -1;
+        int64_t nt = 0;
+        for (; hit_idx < hi; hit_idx++) {
+            uint64_t v; int64_t off;
+            if (ai < na && (bi >= nb_ || ao[ai] <= bo[bi])) {
+                v = av[ai]; off = ao[ai]; ai++;
+            } else {
+                v = bv[bi]; off = bo[bi]; bi++;
+            }
+            if (first_off < 0) first_off = off;
+            for (int lane = 0; lane < 3; lane++) {
+                int64_t l = (int64_t)((v >> (16 * lane)) & 0xFF);
+                int64_t q = (int64_t)((v >> (16 * lane + 8)) & 0xFF);
+                if (l == 0) continue;    /* UNKNOWN lane suppressed */
+                if (sc_scores[l] == 0) touched[nt++] = (int32_t)l;
+                sc_scores[l] += q;
+            }
+        }
+        /* hint boost (score.py:203-212) */
+        for (int64_t hj = 0; hj < nhints; hj++) {
+            int64_t hl = hints[hj];
+            if (sc_scores[hl] > 0)
+                sc_scores[hl] += 12 + (grams * 12) / 16;
+        }
+        /* deterministic top-2 (ties -> smaller id, = score.py _top2) */
+        int64_t s1 = sc_scores[0], s2 = sc_scores[1];
+        int64_t t1 = 0, t2 = 1;
+        if (s2 > s1) { int64_t tmp = t1; t1 = t2; t2 = tmp;
+                       int64_t ts = s1; s1 = s2; s2 = ts; }
+        for (int64_t l = 2; l < num_langs; l++) {
+            int64_t s = sc_scores[l];
+            if (s > s1) { s2 = s1; t2 = t1; s1 = s; t1 = l; }
+            else if (s > s2) { s2 = s; t2 = l; }
+        }
+        /* chunk byte extent: patch the previous chunk's end */
+        int64_t c_start = first_off;
+        if (c > 0) {
+            out_cbytes[nchunks_total - 1] =
+                c_start - prev_chunk_start > 0
+                    ? c_start - prev_chunk_start : 1;
+        }
+        prev_chunk_start = c_start;
+        /* reliability: delta part (cldutil.cc:553-571) */
+        int64_t max_rel = grams < 8 ? 12 * grams : 100;
+        int64_t thresh = (grams * 5) >> 3;
+        if (thresh < 3) thresh = 3;
+        if (thresh > 16) thresh = 16;
+        int64_t delta = s1 - s2;
+        int64_t rel_d;
+        if (delta >= thresh) rel_d = max_rel;
+        else if (delta <= 0) rel_d = 0;
+        else {
+            rel_d = (100 * delta) / thresh;
+            if (rel_d > max_rel) rel_d = max_rel;
+        }
+        int8_t cs1 = close_set[t1];
+        if (cs1 > 0 && cs1 == close_set[t2]) rel_d = 100;
+        out_lang1[nchunks_total] = (int16_t)t1;
+        out_s1[nchunks_total] = s1;
+        out_rel[nchunks_total] = rel_d;   /* rel_e folded in below */
+        out_span[nchunks_total] = span_i;
+        out_cbytes[nchunks_total] = -1;
+        nchunks_total++;
+        for (int64_t t = 0; t < nt; t++) sc_scores[touched[t]] = 0;
+    }
+    /* last chunk ends at span_len */
+    {
+        int64_t cb = span_len - prev_chunk_start;
+        out_cbytes[nchunks_total - 1] = cb > 0 ? cb : 1;
+    }
+    /* fold in ReliabilityExpected (widened ramps, score.py:66-102) */
+    for (int64_t c = nchunks_total - nch; c < nchunks_total; c++) {
+        int64_t s1 = out_s1[c];
+        int64_t cb = out_cbytes[c];
+        int64_t actual = (s1 << 10) / cb;
+        int32_t exp1kb = expected_1kb[out_lang1[c]];
+        int64_t rel_e = 100;
+        if (exp1kb != 0) {
+            if (actual == 0) rel_e = 0;
+            else {
+                double a = (double)actual, e = (double)exp1kb;
+                double sa = a > 1e-9 ? a : 1e-9;
+                double se = e > 1e-9 ? e : 1e-9;
+                if (e > a) {
+                    double ratio = se / sa;
+                    if (ratio > 2.0) {
+                        double pct = 100.0 * (8.0 - ratio) / 6.0;
+                        if (pct < 0) pct = 0;
+                        if (pct > 100) pct = 100;
+                        rel_e = (int64_t)pct;
+                    }
+                } else {
+                    double ratio = sa / se;
+                    if (ratio > 1.5) {
+                        double pct = 100.0 - (ratio - 1.5) * 8.0;
+                        if (pct < 0) pct = 0;
+                        if (pct > 100) pct = 100;
+                        rel_e = (int64_t)pct;
+                    }
+                }
+            }
+        }
+        if (rel_e < out_rel[c]) out_rel[c] = rel_e;
+    }
+    *nchunks_io = nchunks_total;
+    return nch;
+}
+
+int64_t quad_octa_chunk_score(
+        const uint8_t *buf, int64_t n,
+        const int64_t *bounds, int64_t nb,
+        const uint64_t *qkeys, const uint64_t *qvals, uint64_t qmask,
+        const uint64_t *okeys, const uint64_t *ovals, uint64_t omask,
+        int64_t chunk_size,
+        const int32_t *expected_1kb, const int8_t *close_set,
+        int64_t num_langs,
+        const int64_t *hint_csr, const int64_t *hint_flat,
+        uint64_t *sc_qvals, int64_t *sc_qoffs,
+        uint64_t *sc_ovals, int64_t *sc_ooffs,
+        int64_t *sc_scores,
+        int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
+        int64_t *out_rel, int64_t *out_span) {
+    int64_t nchunks_total = 0;
+    int64_t span_start = 0;
+    (void)n;
+    for (int64_t span_i = 0; span_i < nb; span_i++) {
+        int64_t span_end = bounds[span_i];
+        int64_t len = span_end - span_start;
+        const uint8_t *sp = buf + span_start;
+        int64_t nq = 0, no = 0;
+        scan_one_span(sp, len, 0, qkeys, qvals, qmask, okeys, ovals, omask,
+                      sc_qvals, sc_qoffs, &nq, sc_ovals, sc_ooffs, &no);
+        span_start = span_end;
+        chunk_score_merged(sc_qvals, sc_qoffs, nq, sc_ovals, sc_ooffs, no,
+                           len, chunk_size, expected_1kb, close_set,
+                           num_langs,
+                           hint_flat + hint_csr[span_i],
+                           hint_csr[span_i + 1] - hint_csr[span_i],
+                           sc_scores, span_i,
+                           out_lang1, out_cbytes, out_s1, out_rel,
+                           out_span, &nchunks_total);
+    }
+    return nchunks_total;
+}
+
+/* CJK fused scan + chunk scoring — the cjk_candidates -> uni/bi table
+ * lookup -> score_chunks_multi chain (hits.py:205-220,
+ * langid.py:_fill_totes cjk branch) in one C pass per span.
+ *
+ * cat: concatenated utf-8 of the CJK span texts; bounds: END byte
+ * offsets per span; pseudo_lens: per-span "byte length" used for
+ * chunk extents (sp.text_bytes — positions are char indices scaled
+ * x3, per the numpy path). Unigram key = codepoint (space cps
+ * skipped); bigram key = cp1<<21|cp2 for adjacent char positions;
+ * both streams ring-deduped independently BEFORE lookup, unis before
+ * bis at equal position. */
+int64_t cjk_chunk_score(
+        const uint8_t *cat, int64_t n,
+        const int64_t *bounds, int64_t nb,
+        const int64_t *pseudo_lens,
+        const uint64_t *ukeys, const uint64_t *uvals, uint64_t umask,
+        const uint64_t *bkeys, const uint64_t *bvals, uint64_t bmask,
+        int64_t chunk_size,
+        const int32_t *expected_1kb, const int8_t *close_set,
+        int64_t num_langs,
+        const int64_t *hint_csr, const int64_t *hint_flat,
+        uint64_t *sc_uvals, int64_t *sc_uoffs,
+        uint64_t *sc_bvals, int64_t *sc_boffs,
+        int64_t *sc_scores,
+        int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
+        int64_t *out_rel, int64_t *out_span) {
+    int64_t nchunks_total = 0;
+    int64_t span_start = 0;
+    (void)n;
+    for (int64_t span_i = 0; span_i < nb; span_i++) {
+        int64_t span_end = bounds[span_i];
+        const uint8_t *sp = cat + span_start;
+        int64_t len = span_end - span_start;
+        span_start = span_end;
+
+        int64_t nu = 0, nbi = 0;
+        /* uni + bi candidate walk with last-2 rings, lookup inline */
+        uint64_t ur1 = 0, ur2 = 0; int urn = 0;
+        uint64_t br1 = 0, br2 = 0; int brn = 0;
+        int64_t char_idx = 0;
+        int64_t prev_pos = -2;     /* char pos of previous NON-SPACE cp */
+        uint64_t prev_cp = 0;
+        for (int64_t i = 0; i < len; char_idx++) {
+            uint8_t lead = sp[i];
+            int l = lead < 0x80 ? 1 : (lead < 0xE0 ? 2
+                        : (lead < 0xF0 ? 3 : 4));
+            if (i + l > len) l = (int)(len - i);
+            uint32_t cp;
+            if (l == 1) cp = lead;
+            else if (l == 2)
+                cp = ((lead & 0x1Fu) << 6) | (sp[i + 1] & 0x3Fu);
+            else if (l == 3)
+                cp = ((lead & 0x0Fu) << 12) | ((sp[i + 1] & 0x3Fu) << 6)
+                     | (sp[i + 2] & 0x3Fu);
+            else
+                cp = ((lead & 0x07u) << 18) | ((sp[i + 1] & 0x3Fu) << 12)
+                     | ((sp[i + 2] & 0x3Fu) << 6) | (sp[i + 3] & 0x3Fu);
+            i += l;
+            if (cp == 32) continue;
+            /* unigram candidate */
+            uint64_t uk = (uint64_t)cp;
+            int udup = (urn >= 1 && uk == ur1) || (urn >= 2 && uk == ur2);
+            ur2 = ur1; ur1 = uk;
+            if (urn < 2) urn++;
+            if (!udup) {
+                uint64_t v = table_lookup(ukeys, uvals, umask, uk);
+                if (v) {
+                    sc_uvals[nu] = v;
+                    sc_uoffs[nu] = char_idx * 3;
+                    nu++;
+                }
+            }
+            /* bigram candidate (adjacent char positions) */
+            if (prev_pos == char_idx - 1) {
+                uint64_t bk = (prev_cp << 21) | (uint64_t)cp;
+                int bdup = (brn >= 1 && bk == br1) ||
+                           (brn >= 2 && bk == br2);
+                br2 = br1; br1 = bk;
+                if (brn < 2) brn++;
+                if (!bdup) {
+                    uint64_t v = table_lookup(bkeys, bvals, bmask, bk);
+                    if (v) {
+                        sc_bvals[nbi] = v;
+                        sc_boffs[nbi] = prev_pos * 3;
+                        nbi++;
+                    }
+                }
+            }
+            prev_pos = char_idx;
+            prev_cp = (uint64_t)cp;
+        }
+        chunk_score_merged(sc_uvals, sc_uoffs, nu, sc_bvals, sc_boffs, nbi,
+                           pseudo_lens[span_i], chunk_size,
+                           expected_1kb, close_set, num_langs,
+                           hint_flat + hint_csr[span_i],
+                           hint_csr[span_i + 1] - hint_csr[span_i],
+                           sc_scores, span_i,
+                           out_lang1, out_cbytes, out_s1, out_rel,
+                           out_span, &nchunks_total);
+    }
+    return nchunks_total;
 }
