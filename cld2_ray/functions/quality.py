@@ -84,31 +84,108 @@ def _stopword_counts_arrow(arr) -> np.ndarray:
     return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
-def word_stats(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized word-level statistics per document. Counting runs on
-    Arrow compute kernels (C++/RE2 — also what DuckDB uses, which keeps
-    the SQL oracle aligned); only the stopword count stays on Python re
-    (its token-boundary pattern needs lookarounds RE2 lacks)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+from functools import lru_cache
 
+
+@lru_cache(maxsize=1)
+def _letter_lut():
+    """uint8[0x30000]: 1 where unicodedata category is L* — the \\pL
+    analogue for the C quality scan (RE2's letter table agrees on every
+    codepoint the corpora exercise; equality with the Arrow path is
+    pinned by tests)."""
+    import unicodedata
+    lut = np.zeros(0x30000, dtype=np.uint8)
+    for cp in range(0x30000):
+        if unicodedata.category(chr(cp)).startswith("L"):
+            lut[cp] = 1
+    return lut
+
+
+@lru_cache(maxsize=1)
+def _fold_lut():
+    """uint32[0x500]: 1:1 lowercase (simple fold) for the stopword
+    alphabet range; cps with multi-char lowerings stay unmapped, which
+    matches RE2's SIMPLE case folding."""
+    lut = np.arange(0x500, dtype=np.uint32)
+    for cp in range(0x500):
+        low = chr(cp).lower()
+        if len(low) == 1 and ord(low) < 0x500:
+            lut[cp] = ord(low)
+    return lut
+
+
+@lru_cache(maxsize=1)
+def _stop_table():
+    """Open-addressed uint64 set of the stopwords, keyed by packed
+    little-endian utf-8 bytes (all <= 8 bytes), same probe as the C
+    model tables."""
+    words = set(_STOP_WORDS_ALT.split("|"))
+    cap = 256
+    tbl = np.zeros(cap, dtype=np.uint64)
+    for w in words:
+        b = w.encode("utf-8")
+        assert 0 < len(b) <= 8, w
+        key = int.from_bytes(b, "little")
+        h = (key * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 29
+        idx = h & (cap - 1)
+        while tbl[idx] != 0 and int(tbl[idx]) != key:
+            idx = (idx + 1) & (cap - 1)
+        tbl[idx] = key
+    return tbl
+
+
+def _scan_stats(stripped: pd.Series) -> np.ndarray | None:
+    """(n, 9) int64 [n_words, n_chars, n_ws, alpha_words, n_stop,
+    n_sentences, symbols, has_lorem, has_brace] via ONE C pass over
+    the concatenated stripped texts; None when the native kernel is
+    unavailable (callers then use the Arrow/RE2 kernels — equality
+    between the two paths is pinned by tests)."""
+    from cld2_ray import native
+    if not native.AVAILABLE:
+        return None
+    bufs = [t.encode("utf-8") for t in stripped]
+    bounds = np.cumsum(np.array([len(b) for b in bufs], dtype=np.int64))
+    cat = b"".join(bufs)
+    return native.quality_scan(cat, bounds, _letter_lut(), _fold_lut(),
+                               _stop_table())
+
+
+def word_stats(texts: pd.Series,
+               _scan: np.ndarray | None = None) -> pd.DataFrame:
+    """Vectorized word-level statistics per document. With the native
+    kernel, everything comes from the single-pass C scan; the fallback
+    runs Arrow compute kernels (C++/RE2 — also what DuckDB uses, which
+    keeps the SQL oracle aligned). The two paths are equal (tested)."""
     stripped = texts.fillna("").str.strip()
-    arr = pa.Array.from_pandas(stripped)
-    n_words = pd.Series(
-        pc.count_substring_regex(arr, r"\S+").to_numpy(zero_copy_only=False),
-        index=texts.index).astype(np.int64)
-    n_chars = pd.Series(
-        pc.utf8_length(arr).to_numpy(zero_copy_only=False),
-        index=texts.index).astype(np.int64)
-    n_ws = pd.Series(
-        pc.count_substring_regex(arr, r"\s").to_numpy(zero_copy_only=False),
-        index=texts.index).astype(np.int64)
+    scan = _scan if _scan is not None else _scan_stats(stripped)
+    if scan is not None:
+        n_words = pd.Series(scan[:, 0], index=texts.index)
+        n_chars = pd.Series(scan[:, 1], index=texts.index)
+        n_ws = pd.Series(scan[:, 2], index=texts.index)
+        alpha_words = pd.Series(scan[:, 3], index=texts.index)
+        n_stop = pd.Series(scan[:, 4], index=texts.index)
+    else:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.Array.from_pandas(stripped)
+        n_words = pd.Series(
+            pc.count_substring_regex(arr, r"\S+")
+            .to_numpy(zero_copy_only=False),
+            index=texts.index).astype(np.int64)
+        n_chars = pd.Series(
+            pc.utf8_length(arr).to_numpy(zero_copy_only=False),
+            index=texts.index).astype(np.int64)
+        n_ws = pd.Series(
+            pc.count_substring_regex(arr, r"\s")
+            .to_numpy(zero_copy_only=False),
+            index=texts.index).astype(np.int64)
+        alpha_words = pd.Series(
+            pc.count_substring_regex(arr, r"(^|\s)\S*\pL")
+            .to_numpy(zero_copy_only=False), index=texts.index)
+        n_stop = pd.Series(_stopword_counts_arrow(arr), index=texts.index)
     word_chars = n_chars - n_ws
     mean_wl = (word_chars / n_words.replace(0, np.nan)).fillna(0.0)
-    alpha_words = pd.Series(
-        pc.count_substring_regex(arr, r"(^|\s)\S*\pL")
-        .to_numpy(zero_copy_only=False), index=texts.index)
-    n_stop = pd.Series(_stopword_counts_arrow(arr), index=texts.index)
     return pd.DataFrame({
         "n_words": n_words,
         "n_chars": n_chars,
@@ -157,9 +234,10 @@ def apply_rules(texts: pd.Series,
     ``lang_codes`` (optional, aligned) marks spaceless-script documents,
     whose word-shape rules are evaluated on characters instead.
     """
-    ws = word_stats(texts)
-    ls = line_stats(texts)
     t = texts.fillna("")
+    scan = _scan_stats(t.str.strip())
+    ws = word_stats(texts, _scan=scan)
+    ls = line_stats(texts)
     if lang_codes is not None:
         lc = lang_codes.reset_index(drop=True)
         lc.index = t.index
@@ -172,23 +250,29 @@ def apply_rules(texts: pd.Series,
     # effective word count: chars/2.5 for spaceless scripts
     eff_words = ws.n_words.mask(spaceless,
                                 (ws.n_chars / 2.5).astype(np.int64))
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    arr = pa.Array.from_pandas(t)
+    if scan is not None:
+        n_sentences = pd.Series(scan[:, 5], index=t.index)
+        symbols = pd.Series(scan[:, 6], index=t.index)
+        has_lorem = pd.Series(scan[:, 7] != 0, index=t.index)
+        has_brace = pd.Series(scan[:, 8] != 0, index=t.index)
+    else:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.Array.from_pandas(t)
 
-    def _count(pattern, regex=False):
-        f = pc.count_substring_regex if regex else pc.count_substring
-        return pd.Series(f(arr, pattern).to_numpy(zero_copy_only=False),
-                         index=t.index).astype(np.int64)
+        def _count(pattern, regex=False):
+            f = pc.count_substring_regex if regex else pc.count_substring
+            return pd.Series(f(arr, pattern).to_numpy(zero_copy_only=False),
+                             index=t.index).astype(np.int64)
 
-    n_sentences = _count("[.!?。！？]", regex=True)
-    symbols = _count("#") + _count(r"\.\.\.", regex=True) + _count("…")
-    has_lorem = pd.Series(
-        pc.match_substring(arr, "lorem ipsum", ignore_case=True)
-        .to_numpy(zero_copy_only=False), index=t.index)
-    has_brace = pd.Series(
-        pc.match_substring(arr, "{").to_numpy(zero_copy_only=False),
-        index=t.index)
+        n_sentences = _count("[.!?。！？]", regex=True)
+        symbols = _count("#") + _count(r"\.\.\.", regex=True) + _count("…")
+        has_lorem = pd.Series(
+            pc.match_substring(arr, "lorem ipsum", ignore_case=True)
+            .to_numpy(zero_copy_only=False), index=t.index)
+        has_brace = pd.Series(
+            pc.match_substring(arr, "{").to_numpy(zero_copy_only=False),
+            index=t.index)
 
     rules = [
         ("too_few_words", eff_words < MIN_WORDS),

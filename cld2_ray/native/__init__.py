@@ -51,6 +51,7 @@ _PM = None
 _PP = None
 _CS = None
 _CJ = None
+_QS = None
 
 
 def _compile() -> str | None:
@@ -134,6 +135,15 @@ def _load() -> None:
     cj.restype = ctypes.c_int64
     global _CJ
     _CJ = cj
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    qs = lib.quality_scan
+    qs.argtypes = [u8p, i64p, ctypes.c_int64,
+                   u8p, ctypes.c_int64,
+                   u32p, ctypes.c_int64,
+                   u64p, ctypes.c_int64, i64p]
+    qs.restype = ctypes.c_int
+    global _QS
+    _QS = qs
     global _LK, _ACC, _PM, _PP, _CS
     _LK = lk
     _ACC = acc
@@ -292,6 +302,21 @@ def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
     return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),
             sc["s1"][:nch].copy(), sc["rel"][:nch].copy(),
             sc["span"][:nch].copy())
+
+
+def quality_scan(cat: bytes, bounds: np.ndarray, letter_lut: np.ndarray,
+                 fold_lut: np.ndarray, sw_table: np.ndarray) -> np.ndarray:
+    """One C pass over concatenated STRIPPED utf-8 docs -> (n_docs, 9)
+    int64 stats [n_words, n_chars, n_ws, alpha_words, n_stop,
+    n_sentences, symbols, has_lorem, has_brace] with RE2-pinned
+    semantics (see quadscan.c quality_scan)."""
+    n_docs = len(bounds)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    out = np.zeros((n_docs, 9), dtype=np.int64)
+    _QS(buf, bounds, n_docs, letter_lut, len(letter_lut),
+        fold_lut, len(fold_lut), sw_table, len(sw_table), out)
+    return out
 
 
 def table_lookup(keys: np.ndarray, vals: np.ndarray, mask: int,

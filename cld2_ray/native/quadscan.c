@@ -451,6 +451,182 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
     *no_io = no;
 }
 
+/* Single-pass quality statistics (cld2_ray/functions/quality.py
+ * word_stats + apply_rules counts): replaces five full RE2 scans +
+ * a token flatten/match pass with ONE walk over the concatenated
+ * STRIPPED utf-8 docs.  Semantics pinned to the Arrow/RE2 kernels:
+ *   - \s = [\t\n\f\r ] exactly (ASCII; NOT \v, NOT NBSP) — verified
+ *     against pyarrow.compute
+ *   - words = maximal \S+ runs; alpha word = contains >=1 cp with
+ *     is_letter[cp] (unicodedata L*, the \pL analogue)
+ *   - stopword token match = ^['"(]*(?:STOP)[.,;:!?'")]*$ ignore_case:
+ *     strip leading {'"(}, strip trailing {.,;:!?'")}, simple-fold
+ *     (fold[] = 1:1 str.lower for cp<0x500), compare against the
+ *     packed-utf8 stopword set (keys = folded bytes, <=8, LE uint64)
+ *   - sentences = cps {. ! ? 0x3002 0xFF01 0xFF1F}; symbols =
+ *     '#' + floor(dot_run/3) + 0x2026; lorem = case-insensitive
+ *     "lorem ipsum" substring; brace = '{'
+ * out: n_docs x 9 int64 rows:
+ *   [n_words, n_chars, n_ws, alpha_words, n_stop, n_sentences,
+ *    symbols, has_lorem, has_brace] */
+static inline int stop_token_match(const uint8_t *cat, int64_t ts,
+                                   int64_t te,
+                                   const uint32_t *fold, int64_t fold_lim,
+                                   const uint64_t *sw_keys, int64_t sw_cap) {
+    while (ts < te && (cat[ts] == '\'' || cat[ts] == '"'
+                       || cat[ts] == '(')) ts++;
+    while (te > ts) {
+        uint8_t c = cat[te - 1];
+        if (c == '.' || c == ',' || c == ';' || c == ':'
+            || c == '!' || c == '?' || c == '\'' || c == '"'
+            || c == ')') te--;
+        else break;
+    }
+    if (te <= ts || te - ts > 16) return 0;
+    uint8_t kb[8]; int kn = 0;
+    for (int64_t j = ts; j < te;) {
+        uint8_t ld = cat[j];
+        int jl = ld < 0x80 ? 1 : (ld < 0xE0 ? 2 : (ld < 0xF0 ? 3 : 4));
+        if (j + jl > te) jl = (int)(te - j);
+        uint32_t c2;
+        if (jl == 1) c2 = ld;
+        else if (jl == 2)
+            c2 = ((ld & 0x1Fu) << 6) | (cat[j+1] & 0x3Fu);
+        else if (jl == 3)
+            c2 = ((ld & 0x0Fu) << 12) | ((cat[j+1] & 0x3Fu) << 6)
+                 | (cat[j+2] & 0x3Fu);
+        else
+            c2 = ((ld & 0x07u) << 18) | ((cat[j+1] & 0x3Fu) << 12)
+                 | ((cat[j+2] & 0x3Fu) << 6) | (cat[j+3] & 0x3Fu);
+        if (c2 < (uint32_t)fold_lim) c2 = fold[c2];
+        if (c2 < 0x80) {
+            if (kn + 1 > 8) return 0;
+            kb[kn++] = (uint8_t)c2;
+        } else if (c2 < 0x800) {
+            if (kn + 2 > 8) return 0;
+            kb[kn++] = 0xC0 | (c2 >> 6);
+            kb[kn++] = 0x80 | (c2 & 0x3F);
+        } else if (c2 < 0x10000) {
+            if (kn + 3 > 8) return 0;
+            kb[kn++] = 0xE0 | (c2 >> 12);
+            kb[kn++] = 0x80 | ((c2 >> 6) & 0x3F);
+            kb[kn++] = 0x80 | (c2 & 0x3F);
+        } else {
+            if (kn + 4 > 8) return 0;
+            kb[kn++] = 0xF0 | (c2 >> 18);
+            kb[kn++] = 0x80 | ((c2 >> 12) & 0x3F);
+            kb[kn++] = 0x80 | ((c2 >> 6) & 0x3F);
+            kb[kn++] = 0x80 | (c2 & 0x3F);
+        }
+        j += jl;
+    }
+    if (kn == 0) return 0;
+    uint64_t key = 0;
+    for (int b2 = 0; b2 < kn; b2++)
+        key |= (uint64_t)kb[b2] << (8 * b2);
+    uint64_t m = (uint64_t)sw_cap - 1;
+    uint64_t h = key * 0x9E3779B97F4A7C15ull;
+    h ^= h >> 29;
+    uint64_t idx = h & m;
+    for (;;) {
+        uint64_t k2 = sw_keys[idx];
+        if (k2 == key) return 1;
+        if (k2 == 0) return 0;
+        idx = (idx + 1) & m;
+    }
+}
+
+static inline int is_re2_space(uint32_t cp) {
+    return cp == 32 || cp == 9 || cp == 10 || cp == 12 || cp == 13;
+}
+
+int quality_scan(const uint8_t *cat, const int64_t *bounds, int64_t n_docs,
+                 const uint8_t *is_letter, int64_t letter_lim,
+                 const uint32_t *fold, int64_t fold_lim,
+                 const uint64_t *sw_keys, int64_t sw_cap,
+                 int64_t *out) {
+    static const char lorem[] = "lorem ipsum";
+    int64_t start = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t end = bounds[d];
+        int64_t n_words = 0, n_chars = 0, n_ws = 0, alpha_words = 0;
+        int64_t n_stop = 0, n_sent = 0, symbols = 0;
+        int64_t has_lorem = 0, has_brace = 0;
+        int in_word = 0, word_has_letter = 0;
+        int64_t tok_start = -1;       /* byte offset of current token */
+        int64_t dot_run = 0;
+        int64_t lorem_pos = 0;        /* chars of "lorem ipsum" matched */
+        for (int64_t i = start; i < end;) {
+            uint8_t lead = cat[i];
+            int l = lead < 0x80 ? 1 : (lead < 0xE0 ? 2
+                        : (lead < 0xF0 ? 3 : 4));
+            if (i + l > end) l = (int)(end - i);
+            uint32_t cp;
+            if (l == 1) cp = lead;
+            else if (l == 2)
+                cp = ((lead & 0x1Fu) << 6) | (cat[i + 1] & 0x3Fu);
+            else if (l == 3)
+                cp = ((lead & 0x0Fu) << 12) | ((cat[i + 1] & 0x3Fu) << 6)
+                     | (cat[i + 2] & 0x3Fu);
+            else
+                cp = ((lead & 0x07u) << 18) | ((cat[i + 1] & 0x3Fu) << 12)
+                     | ((cat[i + 2] & 0x3Fu) << 6) | (cat[i + 3] & 0x3Fu);
+            n_chars++;
+            /* dot-run for the non-overlapping "..." count */
+            if (cp == '.') dot_run++;
+            else { symbols += dot_run / 3; dot_run = 0; }
+            if (cp == '#') symbols++;
+            else if (cp == 0x2026) symbols++;
+            if (cp == '.' || cp == '!' || cp == '?' || cp == 0x3002
+                || cp == 0xFF01 || cp == 0xFF1F) n_sent++;
+            if (cp == '{') has_brace = 1;
+            /* case-insensitive "lorem ipsum" tracker (ASCII needle) */
+            if (!has_lorem) {
+                uint32_t lc = (cp >= 'A' && cp <= 'Z') ? cp + 32 : cp;
+                if (lc == (uint32_t)lorem[lorem_pos]) {
+                    lorem_pos++;
+                    if (lorem[lorem_pos] == 0) has_lorem = 1;
+                } else {
+                    lorem_pos = lc == (uint32_t)lorem[0] ? 1 : 0;
+                }
+            }
+            if (is_re2_space(cp)) {
+                n_ws++;
+                if (in_word) {
+                    /* token [tok_start, i) ended */
+                    if (word_has_letter) alpha_words++;
+                    goto end_token;
+                }
+            } else {
+                if (!in_word) { in_word = 1; word_has_letter = 0;
+                                tok_start = i; n_words++; }
+                if (cp < (uint32_t)letter_lim && is_letter[cp])
+                    word_has_letter = 1;
+            }
+            i += l;
+            continue;
+        end_token:
+            n_stop += stop_token_match(cat, tok_start, i, fold,
+                                       fold_lim, sw_keys, sw_cap);
+            in_word = 0;
+            i += l;
+        }
+        /* flush tail state */
+        symbols += dot_run / 3;
+        if (in_word) {
+            if (word_has_letter) alpha_words++;
+            n_stop += stop_token_match(cat, tok_start, end, fold,
+                                       fold_lim, sw_keys, sw_cap);
+        }
+        int64_t *row = out + d * 9;
+        row[0] = n_words; row[1] = n_chars; row[2] = n_ws;
+        row[3] = alpha_words; row[4] = n_stop; row[5] = n_sent;
+        row[6] = symbols; row[7] = has_lorem; row[8] = has_brace;
+        start = end;
+    }
+    return 0;
+}
+
 /* Scan concatenated spans. bounds: nb ascending END byte offsets, one
  * per span (bounds[nb-1] == n). Emits table HITS only (val != 0).
  * Output arrays sized >= n by the caller. Returns 0. */

@@ -104,3 +104,166 @@ class TestFastlangidScore:
             l1, c1 = fastlangid.classify(t)
             assert l1 == bl[i]
             assert abs(c1 - bc[i]) < 1e-12
+
+
+def _page_texts(n=300):
+    from cld2_ray.sources.pages import page_batch
+    from cld2_ray.functions.extract import extract_text, valid_utf8_prefix
+    b = page_batch(0, n, seed=42)
+    out = []
+    for h in b["html"].to_pylist():
+        h = h or b""
+        vp = valid_utf8_prefix(h)
+        out.append(extract_text(h[:vp]) if vp else "")
+    return out
+
+
+class TestFusedChunkScore:
+    """quad_octa_chunk_score / cjk_chunk_score must be bit-equal to the
+    numpy chain (_many_hits -> unpack -> score_chunks_multi)."""
+
+    def test_many_spans_vs_numpy(self):
+        from cld2_ray.functions import langs, score
+        from cld2_ray.functions.langid import Detector
+        from cld2_ray.state.model import unpack_langprobs
+        det = Detector()
+        many = []
+        for t in _page_texts():
+            for sp in spans.script_spans(t):
+                if us.script_rtype(sp.script) == us.RTYPE_MANY:
+                    many.append(sp.text.encode("utf-8"))
+        bufs = many
+        lens = np.array([len(x) for x in bufs], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        bounds = np.cumsum(lens)
+        cat = b"".join(bufs)
+        hl_list = [None] * len(bufs)
+        hl_list[2] = [5, 9]  # exercise the hint-boost path
+        all_vals, all_off = det._many_hits(cat, bounds)
+        l3, q3 = unpack_langprobs(all_vals)
+        span_of = np.searchsorted(bounds, all_off, side="right")
+        c_np = score.score_chunks_multi(
+            l3, q3, all_off, span_of, starts, lens,
+            np.full(len(bufs), score.CHUNKSIZE_QUADS, dtype=np.int64),
+            det.model.expected_quad, hl_list)
+        hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+        flat = []
+        for k, hl in enumerate(hl_list):
+            if hl:
+                flat.extend(hl)
+            hint_csr[k + 1] = len(flat)
+        c_c = native.quad_octa_chunk_score(
+            cat, bounds, det.model.quad, det.model.octa,
+            score.CHUNKSIZE_QUADS, det.model.expected_quad,
+            langs.CLOSE_SET, hint_csr, np.asarray(flat, dtype=np.int64))
+        assert len(c_np[0]) > 100
+        for x, y in zip(c_np, c_c):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_cjk_spans_vs_numpy(self):
+        from cld2_ray.functions import langs, score
+        from cld2_ray.functions.langid import Detector
+        from cld2_ray.state.model import unpack_langprobs
+        det = Detector()
+        cjk = []
+        for t in _page_texts():
+            for sp in spans.script_spans(t):
+                if us.script_rtype(sp.script) == us.RTYPE_CJK:
+                    cjk.append(sp)
+        assert cjk, "corpus should contain CJK spans"
+        hl_list = [None] * len(cjk)
+        hl_list[0] = [7]
+        lens = np.array([sp.text_bytes for sp in cjk], dtype=np.int64)
+        keys_parts, pos_parts, span_idx_parts = [], [], []
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        for k, sp in enumerate(cjk):
+            uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
+            uvals = det.model.uni.lookup_numpy(uni)
+            bvals = det.model.bi.lookup_numpy(bi)
+            um, bm = uvals != 0, bvals != 0
+            av = np.concatenate([uvals[um], bvals[bm]])
+            ap = np.concatenate([upos[um], bpos[bm]])
+            o = np.argsort(ap, kind="stable")
+            keys_parts.append(av[o])
+            pos_parts.append(ap[o] * 3 + starts[k])
+            span_idx_parts.append(np.full(len(o), k, dtype=np.int64))
+        all_vals = np.concatenate(keys_parts)
+        all_off = np.concatenate(pos_parts)
+        span_of = np.concatenate(span_idx_parts)
+        l3, q3 = unpack_langprobs(all_vals)
+        c_np = score.score_chunks_multi(
+            l3, q3, all_off, span_of, starts, lens,
+            np.full(len(cjk), score.CHUNKSIZE_UNIS, dtype=np.int64),
+            det.model.expected_uni, hl_list)
+        bufs = [sp.text.encode("utf-8") for sp in cjk]
+        bounds = np.cumsum(np.array([len(x) for x in bufs],
+                                    dtype=np.int64))
+        cat = b"".join(bufs)
+        hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+        flat = []
+        for k, hl in enumerate(hl_list):
+            if hl:
+                flat.extend(hl)
+            hint_csr[k + 1] = len(flat)
+        c_c = native.cjk_chunk_score(
+            cat, bounds, lens, det.model.uni, det.model.bi,
+            score.CHUNKSIZE_UNIS, det.model.expected_uni,
+            langs.CLOSE_SET, hint_csr, np.asarray(flat, dtype=np.int64))
+        for x, y in zip(c_np, c_c):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestQualityScan:
+    """C quality_scan must equal the Arrow/RE2 kernel path exactly."""
+
+    EDGE = ["", "  ", "the'  (la. THE ''не,", "a b the",
+            "... .... # …… {", "Lorem\tIPSUM", "lorem ipsum",
+            "LOREM IPSUMx", "loreM ipsuM dolor", "NÃO com o",
+            "И В НЕ на с",
+            "'''the...... ", "word. Sentence! Q? 。！？",
+            "İN in the", "ab\x0bcd ef", "a b the of and",
+            "(((la))) 'de' \"und\".", None]
+
+    def test_pages_and_edges(self):
+        import pandas as pd
+        from cld2_ray.functions import quality
+        texts = _page_texts() + self.EDGE
+        tser = pd.Series(texts)
+        lang = pd.Series(["en"] * len(texts))
+        q_c = quality.apply_rules(tser, lang)
+        avail = native.AVAILABLE
+        try:
+            native.AVAILABLE = False
+            q_a = quality.apply_rules(tser, lang)
+        finally:
+            native.AVAILABLE = avail
+        for col in q_a.columns:
+            a, c = q_a[col], q_c[col]
+            if a.dtype.kind == "f":
+                assert np.array_equal(a.to_numpy(), c.to_numpy()), col
+            else:
+                assert (a == c).all(), col
+
+    @settings(deadline=None, max_examples=150)
+    @given(st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "Z", "S"),
+            max_codepoint=0x2FFF),
+        max_size=400))
+    def test_fuzz_word_stats(self, text):
+        import pandas as pd
+        from cld2_ray.functions import quality
+        tser = pd.Series([text, "the la de", ""])
+        q_c = quality.word_stats(tser)
+        avail = native.AVAILABLE
+        try:
+            native.AVAILABLE = False
+            q_a = quality.word_stats(tser)
+        finally:
+            native.AVAILABLE = avail
+        for col in q_a.columns:
+            a, c = q_a[col], q_c[col]
+            if a.dtype.kind == "f":
+                assert np.array_equal(a.to_numpy(), c.to_numpy()), (col, text)
+            else:
+                assert (a == c).all(), (col, text)
