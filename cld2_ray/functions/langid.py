@@ -39,11 +39,27 @@ class Detector:
     """Holds the immutable LangModel; one instance per Ray actor
     (stateful-stage pattern, SURVEY.md §2.3)."""
 
-    def __init__(self, model=None):
+    def __init__(self, model=None, score_as_quads: bool = False,
+                 echo: bool = False):
+        """score_as_quads: the kCLDFlagScoreAsQuads analogue
+        (compact_lang_det.h:342, scoreonescriptspan.cc:1318-1320) —
+        scripts normally detected solely by their Unicode script
+        (RTypeOne/None) are scored via quadgrams instead (CJK is
+        unaffected). echo: the kCLDFlagEcho analogue — write each
+        input's first 80 bytes to stderr before scoring."""
         if model is None:
             from cld2_ray.state.model import default_model
             model = default_model()
         self.model = model
+        self.score_as_quads = score_as_quads
+        self.echo = echo
+
+    def _rtype(self, script: int) -> int:
+        rt = us.script_rtype(script)
+        if (self.score_as_quads and rt != us.RTYPE_CJK
+                and rt != us.RTYPE_MANY):
+            return us.RTYPE_MANY
+        return rt
 
     # -- span scoring -------------------------------------------------------
 
@@ -71,7 +87,7 @@ class Detector:
 
     def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote,
                     hint_langs: list[int] | None = None) -> None:
-        rt = us.script_rtype(sp.script)
+        rt = self._rtype(sp.script)
         if rt == us.RTYPE_MANY:
             sb = sp.text.encode("utf-8")
             all_vals, all_off = self._many_hits(
@@ -119,7 +135,7 @@ class Detector:
         for di, sl in enumerate(doc_spans):
             hl = hints_list[di]
             for sp in sl:
-                rt = us.script_rtype(sp.script)
+                rt = self._rtype(sp.script)
                 if rt == us.RTYPE_MANY:
                     many.append((di, sp.text.encode("utf-8"), hl))
                 elif rt == us.RTYPE_CJK:
@@ -257,6 +273,11 @@ class Detector:
         n = len(texts)
         if hints_list is None:
             hints_list = [None] * n
+        if self.echo:
+            import sys
+            for t in texts:
+                print(f"[cld2_ray echo] {(t or '')[:80]!r}",
+                      file=sys.stderr)
         texts = [squeeze(t) if (t and len(t) > SQUEEZE_TEST_THRESH
                                 and squeeze_trigger(t)) else (t or "")
                  for t in texts]
@@ -323,18 +344,77 @@ class Detector:
             res.summary_lang = langs.ENGLISH
         return res
 
+    @staticmethod
+    def _sharpen_boundaries(lang1: np.ndarray, l3: np.ndarray,
+                            q3: np.ndarray, chunk_size: int,
+                            nh: int) -> np.ndarray:
+        """SharpenBoundaries / BetterBoundary port (reference:
+        scoreonescriptspan.cc:671-774 + :781-845): for each chunk whose
+        top language differs from the previous chunk's (and is not in
+        the same close set), slide an 8-hit window of per-hit
+        score(lang0)-score(lang1) differences over
+        [prior_start, next_start) and move the boundary to the point
+        maximizing (first-4 diffs) - (last-4 diffs), requiring both
+        positive and negative diffs in the window.
+
+        Returns the per-chunk boundary HIT index (default k*chunk_size).
+        """
+        nch = len(lang1)
+        bidx = np.minimum(np.arange(nch) * chunk_size, nh - 1)
+        prior_linear = 0
+        for k in range(1, nch):
+            this_linear = k * chunk_size
+            next_linear = (k + 1) * chunk_size if k + 1 < nch else nh
+            lang0, langk = int(lang1[k - 1]), int(lang1[k])
+            if langk == lang0:
+                prior_linear = this_linear
+                continue
+            cs0 = int(langs.CLOSE_SET[lang0])
+            if cs0 > 0 and cs0 == int(langs.CLOSE_SET[langk]):
+                prior_linear = this_linear
+                continue
+            linear0, linear2 = prior_linear, next_linear
+            if linear2 - linear0 > 8:
+                # per-hit score difference lang0 - lang1 from the
+                # decoded langprob lanes (GetLangScore analogue)
+                sl3 = l3[linear0:linear2]
+                sq3 = q3[linear0:linear2]
+                d = ((sq3 * (sl3 == lang0)).sum(axis=1)
+                     - (sq3 * (sl3 == langk)).sum(axis=1)).astype(np.int64)
+                c = np.concatenate([[0], np.cumsum(d)])
+                n = len(d)
+                # running[i] = sum(d[i:i+4]) - sum(d[i+4:i+8]),
+                # window start i in [0, n-8)
+                i_arr = np.arange(0, n - 8)
+                running = (c[i_arr + 4] - c[i_arr]) \
+                    - (c[i_arr + 8] - c[i_arr + 4])
+                pos = d > 0
+                neg = d < 0
+                cp = np.concatenate([[0], np.cumsum(pos)])
+                cn = np.concatenate([[0], np.cumsum(neg)])
+                has_pm = ((cp[i_arr + 8] - cp[i_arr]) > 0) \
+                    & ((cn[i_arr + 8] - cn[i_arr]) > 0)
+                # first strictly-better maximum, matching the
+                # sequential scan's "<" update rule
+                cand = np.where(has_pm, running, np.iinfo(np.int64).min)
+                best = int(np.argmax(cand))
+                if cand[best] > 0:
+                    this_linear = linear0 + best + 4
+            bidx[k] = this_linear
+            prior_linear = this_linear
+        return bidx
+
     def detect_ranges(self, text: str) -> list[tuple[int, int, str]]:
         """Per-document language ranges in ORIGINAL text BYTE offsets —
         the ResultChunkVector analogue (reference: SummaryBufferToVector,
         scoreonescriptspan.cc:389-509 + offset back-mapping
         getonescriptspan.cc:1076-1078).
 
-        MANY-script spans split at chunk granularity (a boundary lands
-        on the first hit of the next chunk — hits start at word/letter
-        starts, the ItemToVector back-up-to-word semantics; the
-        reference's 8-hit BetterBoundary slide :671-774 is approximated
-        by this word-aligned placement). Adjacent same-language ranges
-        merge; unreliable chunks report "un".
+        MANY-script spans split at chunk granularity, then boundaries
+        between different-language chunks are refined with the 8-hit
+        BetterBoundary slide (_sharpen_boundaries) and backed up to the
+        start of their word (ItemToVector semantics). Adjacent
+        same-language ranges merge; unreliable chunks report "un".
 
         Returns [(byte_offset, byte_len, lang_code), ...].
         """
@@ -344,7 +424,7 @@ class Detector:
         cum = np.concatenate([[0], np.cumsum(us.utf8_len_of(cps))])
         raw: list[tuple[int, int, str]] = []  # (start_char, end_char, code)
         for sp in spans.script_spans(text):
-            rt = us.script_rtype(sp.script)
+            rt = self._rtype(sp.script)
             if rt == us.RTYPE_MANY:
                 sb = sp.text.encode("utf-8")
                 vals, offs = self._many_hits(
@@ -357,7 +437,9 @@ class Detector:
                     l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
                     self.model.expected_quad)
                 nch = len(lang1)
-                starts_b = offs[::score.CHUNKSIZE_QUADS][:nch]
+                bidx = self._sharpen_boundaries(
+                    lang1, l3, q3, score.CHUNKSIZE_QUADS, len(offs))
+                starts_b = offs[bidx]
                 # span-byte position -> original char, via the span's
                 # letter positions (the in-span offset map)
                 arr = np.frombuffer(sb, dtype=np.uint8)

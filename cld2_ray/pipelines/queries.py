@@ -577,11 +577,101 @@ WHERE x.doc_id < y.doc_id AND bit_count(xor(x.s, y.s)) <= 3
 """
 
 
+# MinHash signature perms shared by the Ray path and the SQL oracle:
+# sig_i = min over shingles s of (a_i * (md5_64(s) % M61) + b_i) % M61.
+# a_i <= 7 keeps a*(h%M61) < 2^64, so DuckDB UBIGINT arithmetic and
+# numpy uint64 arithmetic agree bit-for-bit (no modular wrap).
+_MH_M61 = (1 << 61) - 1
+_MH_PERMS = [( [2, 3, 5, 6, 7][i % 5], 1000003 * i + 12345)
+             for i in range(16)]
+
+
+def q_minhash_signatures(sf_dir):
+    """Per-document MinHash signatures (16 perms, long format) with a
+    bit-exact SQL oracle — the hash-verified half of the MinHash-LSH
+    operator (the banding/grouping half is pinned by pytest). md5 is
+    used per shingle so DuckDB can replicate; the production
+    minhash_dedup path uses the faster blake2b hashing."""
+    from cld2_ray.pipelines.dedup import _shingle_hashes_md5
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    a = np.array([p[0] for p in _MH_PERMS], dtype=np.uint64)
+    b = np.array([p[1] for p in _MH_PERMS], dtype=np.uint64)
+    m61 = np.uint64(_MH_M61)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            sh = _shingle_hashes_md5(text or "") % m61
+            sig = (a[:, None] * sh[None, :] + b[:, None]) % m61
+            mn = sig.min(axis=1)
+            for i in range(len(a)):
+                rows.append((int(did), i, int(mn[i])))
+        return pd.DataFrame(rows, columns=["doc_id", "perm", "minhash"])
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return out
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = ''
+      THEN ['<pad>','<pad>','<pad>']
+      ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3 THEN t
+      WHEN len(t) = 2 THEN list_append(t, '<pad>')
+      ELSE [t[1], '<pad>', '<pad>'] END AS t
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM padded
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 16))::UBIGINT
+             % {_MH_M61}::UBIGINT AS h
+  FROM sh
+), perms(perm, a, b) AS (
+  VALUES {", ".join(f"({i}, {a}::UBIGINT, {b}::UBIGINT)"
+                    for i, (a, b) in enumerate(_MH_PERMS))}
+)
+SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+       CAST(min((a * h + b) % {_MH_M61}::UBIGINT) AS BIGINT) AS minhash
+FROM hashed, perms GROUP BY doc_id, perm
+"""
+
+
 def q_ivf_topk(sf_dir):
     from cld2_ray.pipelines.simsearch import ivf_topk
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, list(range(10)), k=5)[
         ["query_id", "rank", "neighbor_id"]]
+
+
+def q_ivf_topk_exact(sf_dir):
+    """IVF with n_probe = n_clusters: every cell probed, so the result
+    equals exact brute force — which makes the cluster-assign ->
+    cell-filter -> local-topk -> merge machinery SQL-checkable (the
+    approximate ivf_topk stays as the scale path, pytest-pinned)."""
+    from cld2_ray.pipelines.simsearch import ivf_topk
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, list(range(10)), k=5, n_clusters=16, n_probe=16)
+    return out[["query_id", "rank", "neighbor_id"]].astype("int64")
+
+
+SQL_IVF_TOPK_EXACT = """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id) AS BIGINT) AS rank
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
 
 
 def q_knn_classify(sf_dir):
@@ -718,6 +808,8 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "ann_top1": q_ann_top1,
     "embedding_near_pairs": q_embedding_near_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "ivf_topk_exact": q_ivf_topk_exact,
     # rows-only
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
@@ -752,6 +844,8 @@ ORACLE_SQL = {
     "ann_top1": SQL_ANN_TOP1,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "ivf_topk_exact": SQL_IVF_TOPK_EXACT,
     "knn_classify": SQL_KNN_CLASSIFY,
     "media_decode": SQL_MEDIA_DECODE,
     "media_audio": SQL_MEDIA_AUDIO,

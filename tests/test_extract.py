@@ -244,5 +244,9 @@ class TestRangesOnRawPage:
         assert [c for _, _, c in ranges] == ["en", "fr"]
         tb = text.encode("utf-8")
         a, n, _ = ranges[1]
-        # boundary is word-aligned: range starts at the word "Voici"
-        assert tb[a:a + 5] == b"Voici"
+        # BetterBoundary places the split within a word or so of the
+        # true en->fr transition (the 8-hit window has +-1-word fuzz,
+        # as in the reference), and the boundary is word-aligned
+        true_b = len(((HELDOUT["en"] + " ") * 4).encode("utf-8"))
+        assert abs(a - true_b) <= 16, (a, true_b)
+        assert a == 0 or tb[a - 1:a] == b" "

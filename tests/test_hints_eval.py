@@ -118,3 +118,35 @@ class TestEncodingHint:
             "https://x.com/",
             b'<html lang="ru"><meta charset="euc-kr">')
         assert h == [langs.lang_id("ru"), langs.lang_id("ko")]
+
+
+class TestBetterBoundary:
+    """SharpenBoundaries port (scoreonescriptspan.cc:671-845): the
+    boundary between two glued languages lands near the true
+    transition, not at chunk granularity."""
+
+    def test_boundary_sharpened_to_transition(self):
+        from cld2_ray.data.seeds import SEEDS
+        from cld2_ray.functions.langid import Detector
+        d = Detector()
+        en = SEEDS["en"][:600]
+        de = SEEDS["de"][:600]
+        text = en + " " + de
+        ranges = d.detect_ranges(text)
+        true_b = len(en.encode("utf-8"))
+        codes = [c for _, _, c in ranges]
+        assert "en" in codes and "de" in codes
+        # the en->de boundary: start of the first de range
+        de_start = next(off for off, _, c in ranges if c == "de")
+        # chunk-granular placement could be off by a whole chunk
+        # (~40 hits ~ 200+ bytes of dense sampling); sharpened must
+        # land within a couple of words of the true transition
+        assert abs(de_start - true_b) <= 48, (de_start, true_b)
+
+    def test_single_language_unchanged(self):
+        from cld2_ray.data.seeds import SEEDS
+        from cld2_ray.functions.langid import Detector
+        d = Detector()
+        ranges = d.detect_ranges(SEEDS["en"][:800])
+        assert len(ranges) == 1
+        assert ranges[0][2] == "en"

@@ -126,3 +126,38 @@ def test_frozen_goldens(det):
         assert list(r.percent3) == want["percent3"], code
         assert r.is_reliable == want["is_reliable"], code
         assert r.text_bytes == want["text_bytes"], code
+
+
+class TestFlagsSurface:
+    """Public-use flags parity (compact_lang_det.h:342-349)."""
+
+    def test_score_as_quads_reroutes_one_scripts(self):
+        """kCLDFlagScoreAsQuads: RTypeOne scripts score via quadgrams
+        instead of script identity. With tables that carry no quadgram
+        entries for those scripts the result is UNKNOWN — exactly the
+        reference's documented caveat ('The default tables do not
+        support this use', compact_lang_det.h:356-360)."""
+        from cld2_ray.data.seeds import HELDOUT, SEEDS
+        from cld2_ray.functions.langid import Detector
+        el = (HELDOUT.get("el") or SEEDS.get("el"))[:500]
+        d0 = Detector()
+        dq = Detector(score_as_quads=True)
+        assert d0.detect(el).summary_code == "el"
+        assert dq.detect(el).summary_code == "un"
+        # CJK is unaffected by the flag (scoreonescriptspan.cc:1318)
+        zh = (SEEDS.get("zh") or HELDOUT.get("zh"))[:500]
+        assert dq.detect(zh).summary_code == d0.detect(zh).summary_code
+
+    def test_echo_writes_stderr(self, capfd):
+        from cld2_ray.functions.langid import Detector
+        d = Detector(echo=True)
+        d.detect_batch(["hello world this is a test"])
+        err = capfd.readouterr().err
+        assert "cld2_ray echo" in err and "hello world" in err
+
+    def test_best_effort_short_text(self):
+        from cld2_ray.functions.langid import Detector
+        d = Detector()
+        # best_effort gives an answer below the 26% confidence floor
+        r = d.detect("ok", best_effort=True)
+        assert r is not None
