@@ -89,7 +89,7 @@ class Detector:
                     hint_langs: list[int] | None = None) -> None:
         rt = self._rtype(sp.script)
         if rt == us.RTYPE_MANY:
-            sb = sp.text.encode("utf-8")
+            sb = sp.text_utf8
             all_vals, all_off = self._many_hits(
                 sb, np.array([len(sb)], dtype=np.int64))
             l3, q3 = unpack_langprobs(all_vals)
@@ -137,7 +137,7 @@ class Detector:
             for sp in sl:
                 rt = self._rtype(sp.script)
                 if rt == us.RTYPE_MANY:
-                    many.append((di, sp.text.encode("utf-8"), hl))
+                    many.append((di, sp.text_utf8, hl))
                 elif rt == us.RTYPE_CJK:
                     cjk.append((di, sp, hl))
                 elif rt == us.RTYPE_ONE:
@@ -189,7 +189,7 @@ class Detector:
             lens = np.array([sp.text_bytes for _, sp, _ in cjk],
                             dtype=np.int64)
             if native.AVAILABLE:
-                bufs = [sp.text.encode("utf-8") for _, sp, _ in cjk]
+                bufs = [sp.text_utf8 for _, sp, _ in cjk]
                 blens = np.array([len(b) for b in bufs], dtype=np.int64)
                 bounds = np.cumsum(blens)
                 cat = b"".join(bufs)
@@ -333,7 +333,7 @@ class Detector:
         squeezed = [spans.ScriptSpan(remove_repeated_words(sp.text),
                                      sp.script, sp.offset, sp.text_bytes)
                     for sp in span_list]
-        total2 = sum(len(sp.text.encode("utf-8")) for sp in squeezed)
+        total2 = sum(len(sp.text_utf8) for sp in squeezed)
         res2 = self._detect_spans(squeezed, max(total2, 1), best_effort,
                                   hint_langs)
         # keep the retry result if it reached a conclusion (impl.cc accepts

@@ -23,8 +23,6 @@ only the (rare) script-run merge step is a Python loop over runs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from . import uscript as us
@@ -33,16 +31,49 @@ MAX_SCRIPT_BYTES = 40960      # kMaxScriptBuffer (getonescriptspan.h:29-33)
 TEXT_LIMIT = 160 * 1024       # FLAGS_cld_textlimit in KB (impl.cc:192,1811)
 
 
-@dataclass
 class ScriptSpan:
-    text: str          # " word word word " — lowercased, space-framed
-    script: int        # uscript id
-    offset: int        # char index of the first letter in the document
-    text_bytes: int    # UTF-8 length of the letters+spaces content
-    end_offset: int = 0            # char index one past the last letter
-    letter_pos: object = None      # int64[n_letters] original char index
-    #                                per span letter (offset-map back to
-    #                                the source text, OffsetMap analogue)
+    """One same-script letter run: ``text`` is " word word word " —
+    lowercased, space-framed. Backed by either a str or utf-8 bytes
+    (``text_utf8``); each representation is derived lazily from the
+    other, so the C segmenter can hand out bytes without paying a
+    decode that most consumers (the utf-8 scoring kernels) re-encode.
+
+    offset/end_offset: char index of the first letter / one past the
+    last letter in the document. text_bytes: UTF-8 length of the
+    letters+spaces content. letter_pos: int64[n_letters] original char
+    index per span letter (offset-map back to the source text)."""
+
+    __slots__ = ("_text", "_utf8", "script", "offset", "text_bytes",
+                 "end_offset", "letter_pos")
+
+    def __init__(self, text: str | None = None, script: int = 0,
+                 offset: int = 0, text_bytes: int = 0,
+                 end_offset: int = 0, letter_pos=None,
+                 text_utf8: bytes | None = None):
+        self._text = text
+        self._utf8 = text_utf8
+        self.script = script
+        self.offset = offset
+        self.text_bytes = text_bytes
+        self.end_offset = end_offset
+        self.letter_pos = letter_pos
+
+    @property
+    def text(self) -> str:
+        if self._text is None:
+            self._text = self._utf8.decode("utf-8")
+        return self._text
+
+    @property
+    def text_utf8(self) -> bytes:
+        if self._utf8 is None:
+            self._utf8 = self._text.encode("utf-8")
+        return self._utf8
+
+    def __repr__(self):
+        return (f"ScriptSpan(text={self.text!r}, script={self.script}, "
+                f"offset={self.offset}, text_bytes={self.text_bytes}, "
+                f"end_offset={self.end_offset})")
 
 
 def _absorb_single_foreign(letter_sc: np.ndarray,
@@ -85,7 +116,30 @@ def _absorb_single_foreign(letter_sc: np.ndarray,
 
 
 def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
-    """Split extracted text into same-script letter spans."""
+    """Split extracted text into same-script letter spans. One C pass
+    when the native kernel is available (bit-equal to the numpy path
+    below — cross-checked in tests)."""
+    from cld2_ray import native
+    if native.AVAILABLE and text:
+        meta, out_buf, lt_idx = native.script_spans_scan(
+            text.encode("utf-8"), us.script_lut(), us.lower_lut(),
+            text_limit, MAX_SCRIPT_BYTES)
+        out: list[ScriptSpan] = []
+        for r in range(meta.shape[0]):
+            sc_id, c0, c1, os_, ob, lp0, lp1 = (int(x) for x in meta[r])
+            out.append(ScriptSpan(
+                text_utf8=bytes(out_buf[os_:os_ + ob]),
+                script=sc_id, offset=c0, text_bytes=ob,
+                end_offset=c1,
+                letter_pos=lt_idx[lp0:lp1].copy(),
+            ))
+        return out
+    return _script_spans_numpy(text, text_limit)
+
+
+def _script_spans_numpy(text: str,
+                        text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
+    """Numpy fallback + cross-check reference for the C segmenter."""
     cps = us.codepoints(text)
     if cps.size == 0:
         return []

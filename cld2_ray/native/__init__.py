@@ -52,6 +52,7 @@ _PP = None
 _CS = None
 _CJ = None
 _QS = None
+_SS = None
 
 
 def _compile() -> str | None:
@@ -144,6 +145,18 @@ def _load() -> None:
     qs.restype = ctypes.c_int
     global _QS
     _QS = qs
+    u8wp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
+    u32wp = np.ctypeslib.ndpointer(np.uint32,
+                                   flags="C_CONTIGUOUS,WRITEABLE")
+    ss = lib.script_spans_scan
+    ss.argtypes = [u8p, ctypes.c_int64,
+                   u8p, u32p, ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_int64,
+                   i64p, u8wp, u32wp, u8wp,
+                   u8wp, i64p]
+    ss.restype = ctypes.c_int64
+    global _SS
+    _SS = ss
     global _LK, _ACC, _PM, _PP, _CS
     _LK = lk
     _ACC = acc
@@ -302,6 +315,37 @@ def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
     return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),
             sc["s1"][:nch].copy(), sc["rel"][:nch].copy(),
             sc["span"][:nch].copy())
+
+
+_ss_scratch: dict[str, np.ndarray] = {}
+
+
+def script_spans_scan(utf8_text: bytes, script_lut: np.ndarray,
+                      lower_lut: np.ndarray, text_limit: int,
+                      max_span_bytes: int):
+    """One C pass for script-run segmentation (spans.script_spans
+    semantics, bit-equal — tested). Returns (meta int64[nspans, 7],
+    out_buf uint8 view, lt_idx int64 view); meta rows are
+    [script, char_off, char_end, out_start, out_bytes, lp_start,
+    lp_end] with lp_* indexing lt_idx."""
+    n = len(utf8_text)
+    buf = np.frombuffer(utf8_text, dtype=np.uint8)
+    sc = _ss_scratch
+    if sc.get("cap", 0) < n + 8:
+        cap = max(n + 8, 1 << 14)
+        sc["lt_idx"] = np.empty(cap, dtype=np.int64)
+        sc["lt_sc"] = np.empty(cap, dtype=np.uint8)
+        sc["lt_low"] = np.empty(cap, dtype=np.uint32)
+        sc["lt_len"] = np.empty(cap, dtype=np.uint8)
+        sc["out_buf"] = np.empty(8 * cap + 64, dtype=np.uint8)
+        sc["meta"] = np.empty((cap + 8) * 7, dtype=np.int64)
+        sc["cap"] = cap
+    ns = _SS(buf, n, script_lut, lower_lut, len(script_lut),
+             text_limit, max_span_bytes,
+             sc["lt_idx"], sc["lt_sc"], sc["lt_low"], sc["lt_len"],
+             sc["out_buf"], sc["meta"])
+    meta = sc["meta"][:ns * 7].reshape(ns, 7)
+    return meta, sc["out_buf"], sc["lt_idx"]
 
 
 def quality_scan(cat: bytes, bounds: np.ndarray, letter_lut: np.ndarray,

@@ -950,3 +950,198 @@ int64_t cjk_chunk_score(
     }
     return nchunks_total;
 }
+
+/* Script-run segmentation (cld2_ray/functions/spans.py script_spans)
+ * in ONE C pass: utf-8 decode, script LUT, pinned 1:1 lowercase,
+ * 160KB letter budget, single-foreign-letter absorption, word gaps,
+ * span breaks, giant-run splitting at word gaps near MAX_SCRIPT_BYTES
+ * multiples, and framed " w1 w2 " utf-8 emission — bit-equal to the
+ * numpy path (cross-checked in tests).
+ *
+ * Scratch (caller-alloc, reused; capacities >= n_chars+8):
+ *   lt_idx  int64  — original char index per kept letter
+ *   lt_sc   uint8  — RAW script per letter (absorption applied in place)
+ *   lt_low  uint32 — lowered codepoint per letter
+ *   lt_len  uint8  — utf8 length of the LOWERED codepoint
+ * Outputs:
+ *   out_buf  uint8, cap >= 4*n + 2*(n+2)    framed span texts
+ *   meta     int64 x 7 per span: [script, char_off, char_end,
+ *            out_start, out_bytes, lp_start, lp_end]
+ *            (lp_* index into lt_idx; out_bytes == text_bytes)
+ * Returns the span count. */
+static inline int utf8_enc_len(uint32_t cp) {
+    return cp < 0x80 ? 1 : (cp < 0x800 ? 2 : (cp < 0x10000 ? 3 : 4));
+}
+
+int64_t script_spans_scan(const uint8_t *text, int64_t n,
+                          const uint8_t *script_lut,
+                          const uint32_t *lower_lut, int64_t lut_size,
+                          int64_t text_limit, int64_t max_span_bytes,
+                          int64_t *lt_idx, uint8_t *lt_sc,
+                          uint32_t *lt_low, uint8_t *lt_len,
+                          uint8_t *out_buf, int64_t *meta) {
+    /* ---- pass 1: letters ---- */
+    int64_t nl = 0;
+    int64_t ci = 0;
+    int64_t lb_sum = 0;
+    int64_t budget_keep = -1;     /* letter count at the 160KB budget */
+    for (int64_t i = 0; i < n; ci++) {
+        uint8_t lead = text[i];
+        int l = lead < 0x80 ? 1 : (lead < 0xE0 ? 2
+                    : (lead < 0xF0 ? 3 : 4));
+        if (i + l > n) l = (int)(n - i);
+        uint32_t cp;
+        if (l == 1) cp = lead;
+        else if (l == 2)
+            cp = ((lead & 0x1Fu) << 6) | (text[i + 1] & 0x3Fu);
+        else if (l == 3)
+            cp = ((lead & 0x0Fu) << 12) | ((text[i + 1] & 0x3Fu) << 6)
+                 | (text[i + 2] & 0x3Fu);
+        else
+            cp = ((lead & 0x07u) << 18) | ((text[i + 1] & 0x3Fu) << 12)
+                 | ((text[i + 2] & 0x3Fu) << 6) | (text[i + 3] & 0x3Fu);
+        i += l;
+        uint8_t sc = cp < (uint32_t)lut_size ? script_lut[cp] : 0;
+        if (sc == 0) continue;
+        uint32_t low = cp < (uint32_t)lut_size ? lower_lut[cp] : cp;
+        int ll = utf8_enc_len(low);
+        lt_idx[nl] = ci;
+        lt_sc[nl] = sc;
+        lt_low[nl] = low;
+        lt_len[nl] = (uint8_t)ll;
+        nl++;
+        if (budget_keep < 0) {
+            lb_sum += ll;
+            if (lb_sum > text_limit) budget_keep = nl - 1;
+        }
+    }
+    if (nl == 0) return 0;
+    /* numpy: keep = searchsorted(cumsum(lb), limit, 'right'), min 1 —
+     * the first letter index whose cumulative length exceeds limit */
+    if (budget_keep >= 0) {
+        nl = budget_keep > 0 ? budget_keep : 1;
+    }
+
+    /* ---- pass 2: single-foreign-letter absorption (in place) ---- */
+    {
+        /* find raw runs; replicate _absorb_single_foreign */
+        int64_t run_start = 0;
+        uint8_t cur_s = lt_sc[0];
+        int64_t cur_a = 0;
+        /* iterate run by run */
+        int64_t k = 0;
+        while (k < nl) {
+            int64_t a = k;
+            uint8_t s = lt_sc[a];
+            while (k < nl && lt_sc[k] == s) k++;
+            int64_t b = k;
+            if (a == 0) { cur_s = s; cur_a = a; continue; }
+            if (s == cur_s) continue;     /* same-script: extend */
+            if (b - a == 1) {
+                int64_t j = a;
+                int follows_nonletter = (j == nl - 1)
+                    || (lt_idx[j + 1] != lt_idx[j] + 1);
+                if (follows_nonletter
+                    || (j + 1 < nl && lt_sc[j + 1] == cur_s)) {
+                    lt_sc[j] = cur_s;     /* absorbed */
+                    continue;
+                }
+            }
+            /* break: previous run [cur_a, a) keeps cur_s (already) */
+            cur_s = s;
+            cur_a = a;
+        }
+        (void)run_start; (void)cur_a;
+    }
+
+    /* ---- pass 3: spans ---- */
+    int64_t nspans = 0;
+    int64_t out_pos = 0;
+    int64_t s = 0;
+    while (s < nl) {
+        int64_t e = s + 1;
+        while (e < nl && lt_sc[e] == lt_sc[s]) e++;
+        /* segment [s, e): split at ~max_span_bytes on word gaps.
+         * approx[j] = cumulative (lb + gap) within the segment, where
+         * gap excludes position 0 (seg_gap[0] = False) */
+        int64_t total = 0;
+        for (int64_t j = s; j < e; j++) {
+            int gapj = (j > s) && (lt_idx[j] != lt_idx[j - 1] + 1);
+            total += lt_len[j] + gapj;
+        }
+        int64_t n_chunks = total / max_span_bytes + 1;
+        /* bounds (indices local to segment) */
+        int64_t b_prev = 0;
+        int64_t emitted_end = 0;
+        for (int64_t chunk = 1; chunk <= n_chunks; chunk++) {
+            int64_t b1;
+            if (chunk == n_chunks) {
+                b1 = e - s;
+            } else {
+                /* target = first local idx with approx >= chunk*max;
+                 * pos = last gap position <= target (local), else
+                 * target */
+                int64_t want = chunk * max_span_bytes;
+                int64_t acc = 0;
+                int64_t target = e - s;    /* if never reached */
+                int64_t last_gap_le = -1;
+                for (int64_t j = s; j < e; j++) {
+                    int gapj = (j > s) && (lt_idx[j] != lt_idx[j - 1] + 1);
+                    acc += lt_len[j] + gapj;
+                    if (acc >= want) { target = j - s; break; }
+                }
+                /* last gap position STRICTLY before target (numpy:
+                 * gap_pos[searchsorted(gap_pos, target) - 1]) */
+                int64_t start_j = target - 1 < e - s - 1
+                    ? target - 1 : e - s - 1;
+                for (int64_t j = s + start_j; j > s; j--) {
+                    if (lt_idx[j] != lt_idx[j - 1] + 1) {
+                        last_gap_le = j - s;
+                        break;
+                    }
+                }
+                b1 = last_gap_le >= 0 ? last_gap_le : target;
+                if (b1 <= b_prev) continue;   /* numpy: only if > last */
+            }
+            if (chunk == n_chunks && b1 <= b_prev) break;
+            /* emit piece [s+b_prev, s+b1) */
+            int64_t p0 = s + b_prev, p1 = s + b1;
+            int64_t os = out_pos;
+            out_buf[out_pos++] = 0x20;
+            for (int64_t j = p0; j < p1; j++) {
+                if (j > p0 && lt_idx[j] != lt_idx[j - 1] + 1)
+                    out_buf[out_pos++] = 0x20;
+                uint32_t cp = lt_low[j];
+                if (cp < 0x80) out_buf[out_pos++] = (uint8_t)cp;
+                else if (cp < 0x800) {
+                    out_buf[out_pos++] = 0xC0 | (cp >> 6);
+                    out_buf[out_pos++] = 0x80 | (cp & 0x3F);
+                } else if (cp < 0x10000) {
+                    out_buf[out_pos++] = 0xE0 | (cp >> 12);
+                    out_buf[out_pos++] = 0x80 | ((cp >> 6) & 0x3F);
+                    out_buf[out_pos++] = 0x80 | (cp & 0x3F);
+                } else {
+                    out_buf[out_pos++] = 0xF0 | (cp >> 18);
+                    out_buf[out_pos++] = 0x80 | ((cp >> 12) & 0x3F);
+                    out_buf[out_pos++] = 0x80 | ((cp >> 6) & 0x3F);
+                    out_buf[out_pos++] = 0x80 | (cp & 0x3F);
+                }
+            }
+            out_buf[out_pos++] = 0x20;
+            int64_t *m = meta + nspans * 7;
+            m[0] = lt_sc[s];
+            m[1] = lt_idx[p0];
+            m[2] = lt_idx[p1 - 1] + 1;
+            m[3] = os;
+            m[4] = out_pos - os;
+            m[5] = p0;
+            m[6] = p1;
+            nspans++;
+            emitted_end = b1;
+            b_prev = b1;
+        }
+        (void)emitted_end;
+        s = e;
+    }
+    return nspans;
+}

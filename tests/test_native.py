@@ -267,3 +267,46 @@ class TestQualityScan:
                 assert np.array_equal(a.to_numpy(), c.to_numpy()), (col, text)
             else:
                 assert (a == c).all(), (col, text)
+
+
+class TestScriptSpansScan:
+    """C script_spans must be bit-equal to the numpy segmenter."""
+
+    CASES = ["", " ", "a", "Hello, World! 123", "hello мир κόσμος",
+             "one two и three four", "ж z ж z ж", "абв где ёж",
+             ("w" * 30 + " ") * 2000,          # giant-run split
+             "x" * 99 + "и" + "y" * 99,        # absorption mid-word
+             "αβγ δε ζ 12 η"]
+
+    @staticmethod
+    def _eq(t):
+        from cld2_ray.functions import spans
+        c = spans.script_spans(t)
+        n = spans._script_spans_numpy(t)
+        assert len(c) == len(n), t[:60]
+        for x, y in zip(c, n):
+            assert x.text == y.text
+            assert x.script == y.script
+            assert x.offset == y.offset
+            assert x.text_bytes == y.text_bytes
+            assert x.end_offset == y.end_offset
+            assert np.array_equal(np.asarray(x.letter_pos),
+                                  np.asarray(y.letter_pos))
+
+    def test_cases_and_corpus(self):
+        for t in self.CASES + _page_texts(200):
+            self._eq(t)
+
+    def test_text_limit_truncation(self):
+        from cld2_ray.functions import spans
+        t = "word " * 50000  # > 160KB of letters
+        c = spans.script_spans(t)
+        n = spans._script_spans_numpy(t)
+        assert len(c) == len(n)
+        assert sum(s.text_bytes for s in c) == sum(s.text_bytes for s in n)
+
+    @settings(deadline=None, max_examples=150)
+    @given(st.text(alphabet=st.characters(max_codepoint=0x2FFF),
+                   max_size=300))
+    def test_fuzz(self, t):
+        self._eq(t)
