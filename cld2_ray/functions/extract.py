@@ -240,21 +240,56 @@ def valid_utf8_prefix(b: bytes) -> int:
         return e.start
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _ent_table():
+    """Open-addressed uint64 entity-name table + int32 values for the
+    C extractor (names are <= 8 bytes, packed little-endian), plus the
+    FixUnicodeValue low map as uint32[256]."""
+    import numpy as np
+    cap = 1024
+    keys = np.zeros(cap, dtype=np.uint64)
+    vals = np.zeros(cap, dtype=np.int32)
+    for name, v in NAME_TO_ENTITY.items():
+        bts = name.encode("ascii")
+        assert 0 < len(bts) <= 8
+        key = int.from_bytes(bts, "little")
+        h = (key * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 29
+        idx = h & (cap - 1)
+        while keys[idx] != 0:
+            idx = (idx + 1) & (cap - 1)
+        keys[idx] = key
+        vals[idx] = v
+    low = np.asarray(_LOW_MAP, dtype=np.uint32)
+    return keys, vals, low
+
+
 def extract_text(html: bytes, is_plain_text: bool = False) -> str:
     """Extract visible text from HTML bytes per the reference semantics.
 
     Returns the processed text (no artificial leading/trailing span
     framing). Input must be valid UTF-8 — gate with
-    ``valid_utf8_prefix`` first.
-    """
+    ``valid_utf8_prefix`` first. One C pass when the native kernel is
+    available (bit-equal to the Python path below — tested)."""
     b = html
     if b.find(b"\r") >= 0:
         b = b.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
-
     if is_plain_text:
         out = _WS_RUN.sub(rb"\1", b)
         return out.decode("utf-8")
+    from cld2_ray import native
+    if native.AVAILABLE and b:
+        keys, vals, low = _ent_table()
+        return native.extract_scan(b, keys, vals, low).decode("utf-8")
+    return _extract_text_py(b)
 
+
+def _extract_text_py(b: bytes) -> str:
+    """Python fallback + cross-check reference for the C extractor.
+    Input is already \\r-normalized."""
     n = len(b)
     pieces: list[bytes] = []
     seg = bytearray()

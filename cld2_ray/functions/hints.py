@@ -104,24 +104,36 @@ def hints_from_page(url: str, html: bytes) -> list[int]:
     meta, tld)."""
     out: list[int] = []
 
-    head = _SKIP_TAG_RE.sub(b" ", html[:MAX_SCAN_BYTES])
-    for m in _LANG_ATTR_RE.finditer(head):
-        lid = langs.lang_id(m.group(1).decode("ascii").lower())
-        if lid:
-            out.append(lid)
-    m = _CONTENT_LANG_RE.search(head)
-    if m:
-        lid = langs.lang_id(m.group(1).decode("ascii").lower())
-        if lid:
-            out.append(lid)
-    m = _CHARSET_RE.search(head)
-    if m:
-        enc = m.group(1).decode("ascii").lower()
-        code = ENCODING_HINTS.get(enc, "")
-        if code:
-            lid = langs.lang_id(code)
-            if lid:
-                out.append(lid)
+    raw_head = html[:MAX_SCAN_BYTES]
+    # fast substring pre-filter: the three regexes each scan the full
+    # 8KB head; a lowercase copy + find is ~10x cheaper than one regex
+    # pass, and most pages carry no content-language/charset at all
+    low = raw_head.lower()
+    has_lang = b"lang" in low
+    has_cl = b"content-language" in low
+    has_cs = b"charset" in low
+    if has_lang or has_cl or has_cs:
+        head = _SKIP_TAG_RE.sub(b" ", raw_head)
+        if has_lang:
+            for m in _LANG_ATTR_RE.finditer(head):
+                lid = langs.lang_id(m.group(1).decode("ascii").lower())
+                if lid:
+                    out.append(lid)
+        if has_cl:
+            m = _CONTENT_LANG_RE.search(head)
+            if m:
+                lid = langs.lang_id(m.group(1).decode("ascii").lower())
+                if lid:
+                    out.append(lid)
+        if has_cs:
+            m = _CHARSET_RE.search(head)
+            if m:
+                enc = m.group(1).decode("ascii").lower()
+                code = ENCODING_HINTS.get(enc, "")
+                if code:
+                    lid = langs.lang_id(code)
+                    if lid:
+                        out.append(lid)
     code = TLD_HINTS.get(tld_of(url), "")
     if code:
         lid = langs.lang_id(code)

@@ -53,6 +53,7 @@ _CS = None
 _CJ = None
 _QS = None
 _SS = None
+_EX = None
 
 
 def _compile() -> str | None:
@@ -157,6 +158,12 @@ def _load() -> None:
     ss.restype = ctypes.c_int64
     global _SS
     _SS = ss
+    ex = lib.extract_scan
+    ex.argtypes = [u8p, ctypes.c_int64,
+                   u64p, i32p, ctypes.c_int64, u32p, u8wp]
+    ex.restype = ctypes.c_int64
+    global _EX
+    _EX = ex
     global _LK, _ACC, _PM, _PP, _CS
     _LK = lk
     _ACC = acc
@@ -315,6 +322,25 @@ def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
     return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),
             sc["s1"][:nch].copy(), sc["rel"][:nch].copy(),
             sc["span"][:nch].copy())
+
+
+_ex_scratch: dict[str, np.ndarray] = {}
+
+
+def extract_scan(html: bytes, ent_keys: np.ndarray, ent_vals: np.ndarray,
+                 low_map: np.ndarray) -> bytes:
+    """One C pass of extract_text's tag-skip / ws-compress / entity
+    chain over \\r-normalized valid-UTF-8 html. Returns the extracted
+    utf-8 bytes (bit-equal to the Python path — tested)."""
+    n = len(html)
+    buf = np.frombuffer(html, dtype=np.uint8)
+    sc = _ex_scratch
+    if sc.get("cap", 0) < n + 8:
+        cap = max(n + 8, 1 << 14)
+        sc["out"] = np.empty(cap, dtype=np.uint8)
+        sc["cap"] = cap
+    m = _EX(buf, n, ent_keys, ent_vals, len(ent_keys), low_map, sc["out"])
+    return sc["out"][:m].tobytes()
 
 
 _ss_scratch: dict[str, np.ndarray] = {}

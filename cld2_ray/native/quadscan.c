@@ -1145,3 +1145,246 @@ int64_t script_spans_scan(const uint8_t *text, int64_t n,
     }
     return nspans;
 }
+
+/* HTML visible-text extraction (cld2_ray/functions/extract.py
+ * extract_text) in ONE C pass — bit-equal to the Python path
+ * (cross-checked in tests): whitespace-run compression to the run's
+ * FIRST char with cross-segment state, tag skipping with the
+ * reference's comment / script / style / quoted-attribute / unmatched-
+ * '<' semantics, <p|<br|<tr newline substitution, and entity
+ * expansion (numeric with FixUnicodeValue via low_map, named via the
+ * packed-name table with the IE6 ';' rule). Input must be valid UTF-8
+ * with \r already normalized to \n (the shim does both).
+ *
+ * ent table: open-addressed uint64 keys (name bytes LE, <= 8) with
+ * int32 values; low_map: uint32[256] FixUnicodeValue low mapping.
+ * out cap >= n + 8. Returns output length. */
+static inline int ext_is_alnum(uint8_t c) {
+    return (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+        || (c >= 'a' && c <= 'z');
+}
+
+static inline int64_t ext_fix_uv(int64_t uv, const uint32_t *low_map) {
+    if (uv < 0) return 0xFFFD;
+    if (uv < 0x100) return low_map[uv];
+    if (uv < 0xD800) return uv;
+    if ((uv & ~0x0FLL) == 0xFDD0 || (uv & ~0x0FLL) == 0xFDE0)
+        return 0xFFFD;
+    if ((uv & 0xFFFE) == 0xFFFE) return 0xFFFD;
+    if (uv >= 0xE000 && uv <= 0x10FFFF) return uv;
+    return 0xFFFD;
+}
+
+/* returns codepoint (or -1) and sets *consumed; b[i] == '&' */
+static int64_t ext_read_entity(const uint8_t *b, int64_t n, int64_t i,
+                               const uint64_t *ekeys, const int32_t *evals,
+                               int64_t ecap, const uint32_t *low_map,
+                               int64_t *consumed) {
+    int64_t j = i + 1;
+    int64_t val;
+    if (j < n && b[j] == '#') {
+        int hex = (j + 1 < n && (b[j + 1] == 'x' || b[j + 1] == 'X'));
+        int64_t d0 = j + 1 + (hex ? 1 : 0);
+        int64_t k = d0;
+        if (hex) {
+            while (k < n && ((b[k] >= '0' && b[k] <= '9')
+                             || (b[k] >= 'a' && b[k] <= 'f')
+                             || (b[k] >= 'A' && b[k] <= 'F'))) k++;
+        } else {
+            while (k < n && b[k] >= '0' && b[k] <= '9') k++;
+        }
+        if (k == d0) { *consumed = 1; return -1; }
+        /* strip leading zeros */
+        int64_t s = d0;
+        while (s < k - 1 && b[s] == '0') s++;
+        int64_t nd = k - s;
+        if (hex) {
+            if (nd > 8 || (nd == 8 && b[s] >= '8')) val = 0xFFFD;
+            else {
+                int64_t v = 0;
+                for (int64_t t = s; t < k; t++) {
+                    uint8_t c = b[t];
+                    int64_t d = c <= '9' ? c - '0'
+                        : (c <= 'F' ? c - 'A' + 10 : c - 'a' + 10);
+                    v = v * 16 + d;
+                }
+                val = ext_fix_uv(v, low_map);
+            }
+        } else {
+            if (nd > 10) val = 0xFFFD;
+            else {
+                /* compare against 2147483647 at 10 digits */
+                int over = 0;
+                if (nd == 10) {
+                    static const char lim[] = "2147483647";
+                    for (int64_t t = 0; t < 10; t++) {
+                        if (b[s + t] != (uint8_t)lim[t]) {
+                            over = b[s + t] > (uint8_t)lim[t];
+                            break;
+                        }
+                    }
+                }
+                if (over) val = 0xFFFD;
+                else {
+                    int64_t v = 0;
+                    for (int64_t t = s; t < k; t++)
+                        v = v * 10 + (b[t] - '0');
+                    val = ext_fix_uv(v, low_map);
+                }
+            }
+        }
+        int64_t end = k;
+        if (end < n && b[end] == ';') end++;
+        *consumed = end - i;
+        return val;
+    }
+    /* named entity */
+    int64_t k = j;
+    while (k < n && ext_is_alnum(b[k])) k++;
+    if (k == j) { *consumed = 1; return -1; }
+    int64_t nlen = k - j;
+    if (nlen > 8) { *consumed = 1; return -1; }
+    uint64_t key = 0;
+    for (int64_t t = 0; t < nlen; t++)
+        key |= (uint64_t)b[j + t] << (8 * t);
+    uint64_t m = (uint64_t)ecap - 1;
+    uint64_t h = key * 0x9E3779B97F4A7C15ull;
+    h ^= h >> 29;
+    uint64_t idx = h & m;
+    int64_t v = -1;
+    for (;;) {
+        uint64_t k2 = ekeys[idx];
+        if (k2 == key) { v = evals[idx]; break; }
+        if (k2 == 0) break;
+        idx = (idx + 1) & m;
+    }
+    if (v < 0) { *consumed = 1; return -1; }
+    int terminated = (k < n && b[k] == ';');
+    if (v >= 256 && !terminated) { *consumed = 1; return -1; }
+    int64_t end = k + (terminated ? 1 : 0);
+    *consumed = end - i;
+    return v;
+}
+
+/* ci-compare b[i..] against lowercase name; returns 1 on match */
+static inline int ext_ci_match(const uint8_t *b, int64_t n, int64_t i,
+                               const char *name, int len) {
+    if (i + len > n) return 0;
+    for (int t = 0; t < len; t++)
+        if ((b[i + t] | 0x20) != (uint8_t)name[t]) return 0;
+    return 1;
+}
+
+/* find "</" [\x00-\x20]* name(ci) ">" starting at or after j */
+static int64_t ext_find_close(const uint8_t *b, int64_t n, int64_t j,
+                              const char *name, int len) {
+    for (; j + 1 < n; j++) {
+        if (b[j] != '<' || b[j + 1] != '/') continue;
+        int64_t k = j + 2;
+        while (k < n && b[k] <= 0x20) k++;
+        if (ext_ci_match(b, n, k, name, len) && k + len < n
+            && b[k + len] == '>')
+            return k + len + 1;
+    }
+    return -1;
+}
+
+static int64_t ext_scan_tag_end(const uint8_t *b, int64_t n, int64_t i) {
+    if (i + 3 < n && b[i + 1] == '!' && b[i + 2] == '-' && b[i + 3] == '-') {
+        for (int64_t j = i + 4; j + 2 < n; j++)
+            if (b[j] == '-' && b[j + 1] == '-' && b[j + 2] == '>')
+                return j + 3;
+        return n;
+    }
+    if (ext_ci_match(b, n, i + 1, "script", 6) && i + 7 < n
+        && (b[i + 7] == '>' || b[i + 7] <= 0x20)) {
+        int64_t e = ext_find_close(b, n, i + 8, "script", 6);
+        return e < 0 ? n : e;
+    }
+    if (ext_ci_match(b, n, i + 1, "style", 5) && i + 6 < n
+        && (b[i + 6] == '>' || b[i + 6] <= 0x20)) {
+        int64_t e = ext_find_close(b, n, i + 7, "style", 5);
+        return e < 0 ? n : e;
+    }
+    int64_t j = i + 1;
+    while (j < n) {
+        uint8_t c = b[j];
+        if (c == '>') return j + 1;
+        if (c == '<') return i + 1;
+        if (c == '"' || c == '\'') {
+            int64_t q = j + 1;
+            while (q < n && b[q] != c && b[q] != '\n') q++;
+            if (q >= n) return n;
+            if (b[q] == c) { j = q + 1; continue; }
+            /* newline inside quote: only > or < end the tag */
+            int64_t r = q + 1;
+            while (r < n && b[r] != '>' && b[r] != '<') r++;
+            if (r >= n) return n;
+            if (b[r] == '>') return r + 1;
+            return i + 1;
+        }
+        j++;
+    }
+    return n;
+}
+
+static inline int ext_newline_tag(const uint8_t *b, int64_t n, int64_t i) {
+    if (i >= n - 3) return 0;
+    uint8_t c1 = b[i + 1] | 0x20;
+    if (c1 == 'p' && b[i + 2] < 0x40) return 1;
+    uint8_t c2 = b[i + 2] | 0x20;
+    if (c1 == 'b' && c2 == 'r' && b[i + 3] < 0x40) return 1;
+    if (c1 == 't' && c2 == 'r' && b[i + 3] < 0x40) return 1;
+    return 0;
+}
+
+int64_t extract_scan(const uint8_t *b, int64_t n,
+                     const uint64_t *ekeys, const int32_t *evals,
+                     int64_t ecap, const uint32_t *low_map,
+                     uint8_t *out) {
+    int64_t op = 0;
+    int last_ws = 0;
+    int64_t pos = 0;
+    while (pos < n) {
+        uint8_t c = b[pos];
+        if (c == '<') {
+            uint8_t rep = ext_newline_tag(b, n, pos) ? 0x0A : 0x20;
+            if (!last_ws) { out[op++] = rep; last_ws = 1; }
+            pos = ext_scan_tag_end(b, n, pos);
+        } else if (c == '>') {
+            out[op++] = '>';   /* stray '>': last_ws untouched (quirk) */
+            pos++;
+        } else if (c == '&') {
+            int64_t consumed;
+            int64_t v = ext_read_entity(b, n, pos, ekeys, evals, ecap,
+                                        low_map, &consumed);
+            if (v >= 0) {
+                /* utf-8 emit; last_ws bypassed (reference quirk) */
+                uint32_t cp = (uint32_t)v;
+                if (cp < 0x80) out[op++] = (uint8_t)cp;
+                else if (cp < 0x800) {
+                    out[op++] = 0xC0 | (cp >> 6);
+                    out[op++] = 0x80 | (cp & 0x3F);
+                } else if (cp < 0x10000) {
+                    out[op++] = 0xE0 | (cp >> 12);
+                    out[op++] = 0x80 | ((cp >> 6) & 0x3F);
+                    out[op++] = 0x80 | (cp & 0x3F);
+                } else {
+                    out[op++] = 0xF0 | (cp >> 18);
+                    out[op++] = 0x80 | ((cp >> 12) & 0x3F);
+                    out[op++] = 0x80 | ((cp >> 6) & 0x3F);
+                    out[op++] = 0x80 | (cp & 0x3F);
+                }
+            }
+            pos += consumed;
+        } else if (c == 0x20 || c == 0x0A) {
+            if (!last_ws) { out[op++] = c; last_ws = 1; }
+            pos++;
+        } else {
+            out[op++] = c;
+            last_ws = 0;
+            pos++;
+        }
+    }
+    return op;
+}

@@ -310,3 +310,52 @@ class TestScriptSpansScan:
                    max_size=300))
     def test_fuzz(self, t):
         self._eq(t)
+
+
+class TestExtractScan:
+    """C extract_scan must be byte-equal to the Python extractor."""
+
+    EDGES = [b"", b"<", b">", b"&", b"&amp", b"&amp;x", b"&lt",
+             b"&Aacute", b"&Aacute;", b"&#65;&#x41;&#;&#x;",
+             b"&#0;&#00065;", b"&#2147483647;&#2147483648;",
+             b"&#xD800;&#xFFFE;&#x10FFFF;&#x110000;",
+             b"&thetasym;&notathing;", b"a  b\n\n c \n d",
+             b"<p>x</p><br>y<tr>z", b"<P >a<BR/>b",
+             b"<script>ignored<b></script>kept",
+             b"<style x=1>zap</style>ok",
+             b"<SCRIPT\x01>x</ScRiPt  >no</ SCRIPT>yes",
+             b"<!-- comment <p> -->after", b"<!-- unterminated",
+             b"<tag attr='val>ue'>x", b'<tag a="v>v">y',
+             b"<tag a='broken\nline>after", b"<tag a='broken\nline<after",
+             b"<unclosed attr", b"a < b", b"a<b>c", b"5 > 4 & 3",
+             b"&#xAG;", b"&#x0000041;",
+             b"\xc3\xa9t\xc3\xa9 <i>caf\xc3\xa9</i>", b"<p", b"<br",
+             b"&frac12;x", b"&frac12x", b"&quot stop", b"text<",
+             b"tail&", b"&#x7fffffff;", b"&#xffffffffff;",
+             b"&#99999999999;", b"<t '>x", b'<t ">y',
+             b"<script >a</script>b", b"<stylex>keep</stylex>"]
+
+    @staticmethod
+    def _eq(h):
+        from cld2_ray.functions import extract as E
+        assert E.extract_text(h) == E._extract_text_py(h), h[:80]
+
+    def test_edges_and_corpus(self):
+        from cld2_ray.functions import extract as E
+        from cld2_ray.sources.pages import page_batch
+        b = page_batch(0, 300, seed=42)
+        for h in b["html"].to_pylist():
+            h = h or b""
+            if b"\r" in h:
+                h = h.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+            self._eq(h[:E.valid_utf8_prefix(h)])
+        for h in self.EDGES:
+            self._eq(h)
+
+    @settings(deadline=None, max_examples=200)
+    @given(st.text(alphabet=st.sampled_from(
+        list("<>&;#xX09aAzZ '\"\n\t-!/=pbrstyleSCRIPT&amp&lt.é漢")),
+        max_size=200))
+    def test_fuzz_htmlish(self, t):
+        h = t.encode("utf-8").replace(b"\r", b"\n")
+        self._eq(h)
