@@ -36,15 +36,28 @@ _M61 = (1 << 61) - 1
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (uint64)."""
+    """Hashes of word k-shingles (uint64): one blake2b per DISTINCT
+    token, then a vectorized positional polynomial mix per window —
+    O(distinct tokens) strong hashes instead of O(shingles), with the
+    windowing itself numpy."""
     words = text.split()
     if len(words) < k:
         words = words + ["<pad>"] * (k - len(words))
-    joined = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little") for s in joined),
-        dtype=np.uint64, count=len(joined))
+    uniq: dict[str, int] = {}
+    th = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = uniq.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                "little")
+            uniq[w] = h
+        th[i] = h
+    n_sh = len(words) - k + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(n_sh, dtype=np.uint64)
+        for j in range(k):
+            out = out * np.uint64(0x100000001B3) + th[j:n_sh + j]
     return out
 
 
@@ -55,7 +68,12 @@ _B = (_RNG.integers(0, _M61, size=64, dtype=np.uint64))
 
 def minhash_signature(text: str) -> np.ndarray:
     """64 minhashes (uint64) of the word-3-shingle set."""
-    sh = _shingle_hashes(text)
+    return minhash_signature_from(_shingle_hashes(text))
+
+
+def minhash_signature_from(sh: np.ndarray) -> np.ndarray:
+    """64 minhashes from precomputed shingle hashes (lets callers
+    share one _shingle_hashes pass between signature and verify set)."""
     if len(sh) == 0:
         return np.zeros(64, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -159,15 +177,22 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     reach the driver (bounded by true near-dup structure), where
     union-find labels components.
     """
+    n_parts = 64   # shuffle granularity: O(cluster) keyed partitions,
+    #                not O(corpus) per-bucket groups — each map_groups
+    #                call handles all its buckets at once (a per-bucket
+    #                groupby().map_groups paid Ray per-group dispatch
+    #                ~100us x 16*n_docs buckets, dominating wall time)
+
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, text in zip(df[id_col], df[text_col].fillna("")):
-            sig = minhash_signature(text)
-            sh = np.unique(_shingle_hashes(text))
+            sh_raw = _shingle_hashes(text)
+            sig = minhash_signature_from(sh_raw)
+            sh = np.unique(sh_raw)
             for band_id, key in enumerate(minhash_bands(sig)):
-                rows.append((did, band_id, key, sh))
+                rows.append((did, band_id, key, key % n_parts, sh))
         return pd.DataFrame(rows, columns=[id_col, "band_id", "band_key",
-                                           "shingles"])
+                                           "part", "shingles"])
 
     bands = ds.map_batches(to_bands, batch_format="pandas")
 
@@ -202,8 +227,16 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "a": np.full(int(ok.sum()), ids[0], dtype=np.int64),
             "b": ids[1:][ok].astype(np.int64)})
 
-    edges_df = bands.groupby(["band_id", "band_key"]).map_groups(
-        bucket_verify, batch_format="pandas").to_pandas().drop_duplicates()
+    def part_verify(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})]
+        for _, gg in g.groupby(["band_id", "band_key"], sort=False):
+            if len(gg) >= 2:
+                outs.append(bucket_verify(gg))
+        return pd.concat(outs, ignore_index=True)
+
+    edges_df = bands.groupby("part").map_groups(
+        part_verify, batch_format="pandas").to_pandas().drop_duplicates()
     if len(edges_df) == 0:
         return pd.DataFrame({id_col: [], "group_id": []})
 
@@ -225,14 +258,17 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     sims = ds.map_batches(add_sim, batch_format="pandas")
 
+    n_parts = 64   # bounded keyed shuffle; see minhash_dedup
+
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, sh in zip(df[id_col], df["simhash"]):
             sh = int(sh)
             for band in range(4):
-                rows.append((did, sh, band, (sh >> (band * 16)) & 0xFFFF))
+                key = (sh >> (band * 16)) & 0xFFFF
+                rows.append((did, sh, band, key, key % n_parts))
         return pd.DataFrame(rows, columns=[id_col, "simhash", "band_id",
-                                           "band_key"])
+                                           "band_key", "part"])
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
@@ -245,9 +281,18 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                     rows.append((vals[i][0], vals[j][0], h))
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})]
+        for _, gg in g.groupby(["band_id", "band_key"], sort=False):
+            if len(gg) >= 2:
+                outs.append(bucket_pairs(gg))
+        return pd.concat(outs, ignore_index=True)
+
     pairs = sims.map_batches(to_bands, batch_format="pandas") \
-        .groupby(["band_id", "band_key"]).map_groups(
-            bucket_pairs, batch_format="pandas").to_pandas()
+        .groupby("part").map_groups(
+            part_pairs, batch_format="pandas").to_pandas()
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
         .reset_index(drop=True)
 
