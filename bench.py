@@ -49,26 +49,24 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     # untimed warm-up pass over a slice: pre-imports the worker-side
-    # modules, compiles the C kernel once, and exercises the plasma
-    # paths, so the timed run measures steady-state throughput (what a
-    # long 100 TB job sees), not one-time session ramp
+    # modules, compiles the C kernel once, loads the mmap-shared model
+    # tables into every task worker (workers are REUSED across Dataset
+    # executions), so the timed run measures steady-state throughput
+    # (what a long 100 TB job sees), not one-time session ramp
     warm = rd.read_parquet(cache, override_num_blocks=num_cpus)\
         .limit(num_cpus * 1200)
-    _ = flagship.metrics(flagship.build_fused(
-        warm, concurrency=max(2, (num_cpus * 3) // 4))).to_pandas()
+    _ = flagship.metrics(flagship.build_fused(warm))
 
-    # headline: flagship pipeline incl. the metrics shuffle, using the
-    # fused single-pool build (no inter-stage imbalance; fixed pool
-    # size because autoscaling from 1 wastes the ramp-up).
-    # pool sized proportionally to CPUs (so an N -> 4N comparison scales
-    # the actor count by exactly 4x), leaving headroom for read/metrics
-    pool = max(2, (num_cpus * 3) // 4)
+    # headline: flagship pipeline incl. the metrics combine, using the
+    # fused task-form build: the fused kernel runs as plain tasks over
+    # pre-warmed reused workers, elastically filling all CPUs (no pool
+    # sizing; an N -> 4N comparison scales worker count by exactly 4x)
     t0 = time.time()
-    # enough blocks for even packing across the pool (the parquet cache
+    # enough blocks for even packing across the CPUs (the parquet cache
     # is 2 files; default splitting gives too few, too-large tasks)
-    pages = rd.read_parquet(cache, override_num_blocks=pool * 8)
-    ann = flagship.build_fused(pages, concurrency=pool)
-    m = flagship.metrics(ann).to_pandas()
+    pages = rd.read_parquet(cache, override_num_blocks=num_cpus * 6)
+    ann = flagship.build_fused(pages)
+    m = flagship.metrics(ann)
     headline = time.time() - t0
     timings["flagship_pipeline"] = round(headline, 3)
     kept = int(m[m.keep].n_docs.sum())

@@ -52,7 +52,8 @@ def weights() -> np.ndarray:
     """Compact bucket->weight table; loads the committed artifact when
     present (actor init fast path), else trains from seeds."""
     if os.path.exists(ARTIFACT):
-        z = np.load(ARTIFACT)
+        from cld2_ray.state import mmapcache
+        z = mmapcache.load_shared(ARTIFACT)  # one copy per node, not per actor
         weights.bucket_index = z["bucket_index"]  # type: ignore[attr-defined]
         return z["table"]
     return _train()

@@ -79,7 +79,8 @@ def _train_counts(text: str, lang_id: int, acc: dict) -> None:
 def models() -> _PplModel:
     if os.path.exists(ARTIFACT):
         from cld2_ray.state.model import HashTable
-        z = np.load(ARTIFACT)
+        from cld2_ray.state import mmapcache
+        z = mmapcache.load_shared(ARTIFACT)  # one copy per node, not per actor
         keys = z["keys"]
         table = HashTable(keys, z["vals"], np.uint64(len(keys) - 1))
         return _PplModel(table, z["uni"], z["thresholds"])

@@ -18,8 +18,8 @@ Sizing notes for the 100 TB case (see also state/checkpoint.py):
 from __future__ import annotations
 
 from cld2_ray.stages.core import (
-    FusedPipelineStage, LangidStage, QualityScrubStage, extract_batch,
-    partial_metrics)
+    FusedPipelineStage, LangidStage, QualityScrubStage, combine_metrics,
+    extract_batch, fused_batch, partial_metrics)
 
 OUT_COLUMNS = [
     "url", "warc_ts", "lang", "extracted_text", "utf8_valid",
@@ -44,31 +44,66 @@ def build(pages_ds, langid_concurrency=(1, 8), quality_concurrency=(1, 8),
     return ds.select_columns(OUT_COLUMNS)
 
 
-def build_fused(pages_ds, concurrency: int = 8, batch_size: int = 256):
-    """Single-pool fused pipeline (see FusedPipelineStage): best
-    utilization / scaling; same row-level semantics as build()."""
-    ds = pages_ds.map_batches(FusedPipelineStage, batch_format="pyarrow",
-                              batch_size=batch_size,
-                              concurrency=concurrency, num_cpus=1)
+def build_fused(pages_ds, concurrency: int | None = None,
+                batch_size: int = 256):
+    """Single-stage fused pipeline (see FusedPipelineStage): best
+    utilization / scaling; same row-level semantics as build().
+
+    ``concurrency=None`` (default) runs the fused kernel as plain Ray
+    TASKS with a lazy per-worker model cache (stages/core.fused_batch):
+    worker processes are reused across executions, so model setup is
+    paid once per worker per session and the stage elastically fills
+    every free CPU — no pool sizing.  Pass an int to pin a fixed actor
+    pool instead (needed when the stage must reserve >1 CPU or GPUs)."""
+    if concurrency is None:
+        ds = pages_ds.map_batches(fused_batch, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    else:
+        ds = pages_ds.map_batches(FusedPipelineStage, batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=concurrency, num_cpus=1)
     return ds.select_columns(OUT_COLUMNS)
 
 
 def metrics(annotated_ds):
-    """Per-language / per-outcome metrics: partial per-batch combine,
-    then a small keyed groupby (the only shuffle in the pipeline).
-    Columns are projected BEFORE the pandas conversion so the partial
-    tasks never deserialize the text payloads."""
-    from ray.data.aggregate import Sum
+    """Per-language / per-outcome metrics -> pandas DataFrame.
+
+    Shape: per-batch partial aggregation (partial_metrics, FUSED by Ray
+    Data into the main map op — its input never leaves the worker),
+    then a streaming driver-side fold of the tiny pre-aggregated
+    blocks.  The group-key cardinality is small (languages x outcomes,
+    ~100 rows), so any distributed combine is pure overhead here:
+    - a sort-based ``groupby().aggregate()`` shuffle costs ~65 s of
+      CPU for 8,794 partial rows and its all-to-all reservation
+      starves the expensive map op (26.3 s vs 16.5 s measured span);
+    - even a fusion-separated bundling ``map_batches`` combine level
+      adds an operator reservation worth ~3.5 s on a 14 s run;
+    - and a NON-separated combine level is a trap: Ray fuses the whole
+      task chain into one op, so its large ``batch_size`` becomes the
+      fused op's min-rows-per-bundle and collapses parallelism to
+      n_rows/batch_size tasks (measured 70 s vs 14 s).
+    The driver fold processes each ~45-row partial block as it
+    streams in and compacts whenever the buffer tops 64k rows, so
+    driver memory is bounded by groups + 64k rows regardless of
+    corpus size (at 100 TB / ~1M blocks: ~45M tiny rows trickle to
+    the driver over the life of the job — a few KB/s)."""
+    import pandas as pd
 
     slim = annotated_ds.select_columns(
         ["url", "lang_summary", "keep", "drop_reason", "text_bytes",
          "n_pii"])
     partial = slim.map_batches(partial_metrics, batch_format="pandas")
-    return partial.groupby(["lang_summary", "keep", "drop_reason"]).aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("bytes", alias_name="bytes"),
-        Sum("pii", alias_name="n_pii"),
-    )
+    buf: list[pd.DataFrame] = []
+    buffered = 0
+    for b in partial.iter_batches(batch_format="pandas", batch_size=None):
+        buf.append(b)
+        buffered += len(b)
+        if buffered >= 65536:
+            buf = [combine_metrics(pd.concat(buf, ignore_index=True))]
+            buffered = len(buf[0])
+    if not buf:
+        return partial_metrics(slim.limit(0).to_pandas())
+    return combine_metrics(pd.concat(buf, ignore_index=True))
 
 
 def run(pages_ds, out_dir: str | None = None, **kw):
@@ -81,5 +116,5 @@ def run(pages_ds, out_dir: str | None = None, **kw):
         import ray
         ds = ray.data.read_parquet(out_dir)
         return ds, None
-    m = metrics(ds).to_pandas()
+    m = metrics(ds)
     return ds, m

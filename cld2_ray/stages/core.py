@@ -176,8 +176,16 @@ def partial_metrics(df: pd.DataFrame) -> pd.DataFrame:
     inside map_batches before the shuffle — SURVEY.md §2.5 A4)."""
     g = df.groupby(["lang_summary", "keep", "drop_reason"], as_index=False)
     out = g.agg(n_docs=("url", "count"), bytes=("text_bytes", "sum"),
-                pii=("n_pii", "sum"))
+                n_pii=("n_pii", "sum"))
     return out
+
+
+def combine_metrics(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge partial_metrics outputs (associative; used at every level
+    of the tree combine in pipelines/flagship.metrics)."""
+    g = df.groupby(["lang_summary", "keep", "drop_reason"], as_index=False)
+    return g.agg(n_docs=("n_docs", "sum"), bytes=("bytes", "sum"),
+                 n_pii=("n_pii", "sum"))
 
 
 class FusedPipelineStage:
@@ -291,3 +299,24 @@ class FusedPipelineStage:
             "keep": pa.array((reason == "").to_numpy()),
             "drop_reason": pa.array(reason.tolist()),
         })
+
+
+_FUSED_SINGLETON: "FusedPipelineStage | None" = None
+
+
+def fused_batch(batch: pa.Table) -> pa.Table:
+    """Task-form of FusedPipelineStage: identical semantics, but runs
+    as plain Ray tasks with a lazy process-global model cache instead
+    of a fixed actor pool.
+
+    Ray reuses task worker processes across Dataset executions, so the
+    one-time setup (imports, mmap'd table load — see state/mmapcache)
+    is paid once per worker per NODE lifetime, not once per actor per
+    execution, and the stage elastically fills every CPU the scheduler
+    offers rather than a pre-sized pool.  Use the class form when the
+    stage needs per-actor resources (num_cpus>1, GPUs); use this form
+    for the common 1-CPU case."""
+    global _FUSED_SINGLETON
+    if _FUSED_SINGLETON is None:
+        _FUSED_SINGLETON = FusedPipelineStage()
+    return _FUSED_SINGLETON(batch)

@@ -145,7 +145,12 @@ class LangModel:
 
     @classmethod
     def load(cls, path: str = ARTIFACT) -> "LangModel":
-        z = np.load(path, allow_pickle=False)
+        # mmap-shared across all worker processes on the node — one
+        # physical copy of the probe tables in page cache, not one per
+        # actor (see state/mmapcache.py; analogue of the reference's
+        # mmap'd dynamic-data file, cld2_dynamic_data_loader.cc)
+        from cld2_ray.state import mmapcache
+        z = mmapcache.load_shared(path)
         codes = [str(c) for c in z["lang_codes"]]
         if codes != langs.CODES:
             raise ValueError("langmodel artifact does not match the language "

@@ -111,7 +111,7 @@ class TestPipelineShape:
     def test_metrics_sum_to_total(self, ray_session):
         from cld2_ray.pipelines import flagship
         ds = pages_dataset(60, seed=7)
-        m = flagship.metrics(flagship.build(ds)).to_pandas()
+        m = flagship.metrics(flagship.build(ds))
         assert int(m.n_docs.sum()) == 60
 
 
