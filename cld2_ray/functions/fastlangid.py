@@ -23,6 +23,26 @@ from . import langs
 N_BUCKETS = 1 << 18
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
+# Score only the first 1KB of each document: hashed-n-gram LID
+# converges within a few hundred bytes, and per-gram weight-row
+# accumulation is the single most bandwidth-hungry part of the fused
+# pipeline (73 floats per distinct gram).  The analogue of the
+# reference's own scan cap (FLAGS_cld_textlimit = 160KB of letters,
+# reference: internal/compact_lang_det_impl.cc:192) at the scale this
+# classifier needs.  Applied before BOTH the native and numpy paths so
+# they stay bit-identical.
+CAP_BYTES = 1024
+
+
+def _cap_text(t: str) -> str:
+    b = t.encode("utf-8")
+    if len(b) <= CAP_BYTES:
+        return t
+    cut = CAP_BYTES
+    while cut > 0 and (b[cut] & 0xC0) == 0x80:
+        cut -= 1  # back off to a UTF-8 character boundary
+    return b[:cut].decode("utf-8")
+
 
 def _features(text: str) -> np.ndarray:
     """Hashed char 2-4 gram bucket ids for one document."""
@@ -139,7 +159,7 @@ def classify_batch(texts) -> tuple[list[str], list[float]]:
     accumulation order, same results)."""
     from cld2_ray import native
     from . import uscript as us
-    texts = [t or "" for t in texts]
+    texts = [_cap_text(t) if t else "" for t in texts]
     n = len(texts)
     out_l, out_c = ["un"] * n, [0.0] * n
     todo: list[int] = []
