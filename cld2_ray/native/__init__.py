@@ -149,18 +149,22 @@ def _load() -> None:
     u8wp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")
     u32wp = np.ctypeslib.ndpointer(np.uint32,
                                    flags="C_CONTIGUOUS,WRITEABLE")
+    # the two hottest per-PAGE entry points take raw void* pointers:
+    # ndpointer.from_param validation costs ~5us/arg/call, which at
+    # ~11 array args x 2 calls/page is ~6% of the whole fused kernel
+    vp = ctypes.c_void_p
     ss = lib.script_spans_scan
-    ss.argtypes = [u8p, ctypes.c_int64,
-                   u8p, u32p, ctypes.c_int64,
+    ss.argtypes = [vp, ctypes.c_int64,
+                   vp, vp, ctypes.c_int64,
                    ctypes.c_int64, ctypes.c_int64,
-                   i64p, u8wp, u32wp, u8wp,
-                   u8wp, i64p]
+                   vp, vp, vp, vp,
+                   vp, vp]
     ss.restype = ctypes.c_int64
     global _SS
     _SS = ss
     ex = lib.extract_scan
-    ex.argtypes = [u8p, ctypes.c_int64,
-                   u64p, i32p, ctypes.c_int64, u32p, u8wp]
+    ex.argtypes = [vp, ctypes.c_int64,
+                   vp, vp, ctypes.c_int64, vp, vp]
     ex.restype = ctypes.c_int64
     global _EX
     _EX = ex
@@ -333,13 +337,16 @@ def extract_scan(html: bytes, ent_keys: np.ndarray, ent_vals: np.ndarray,
     chain over \\r-normalized valid-UTF-8 html. Returns the extracted
     utf-8 bytes (bit-equal to the Python path — tested)."""
     n = len(html)
-    buf = np.frombuffer(html, dtype=np.uint8)
     sc = _ex_scratch
     if sc.get("cap", 0) < n + 8:
         cap = max(n + 8, 1 << 14)
         sc["out"] = np.empty(cap, dtype=np.uint8)
+        sc["out_ptr"] = sc["out"].ctypes.data
         sc["cap"] = cap
-    m = _EX(buf, n, ent_keys, ent_vals, len(ent_keys), low_map, sc["out"])
+    # bytes objects pass as raw const pointers; arrays by .ctypes.data
+    # (argtypes are c_void_p - no per-call ndpointer validation)
+    m = _EX(html, n, ent_keys.ctypes.data, ent_vals.ctypes.data,
+            len(ent_keys), low_map.ctypes.data, sc["out_ptr"])
     return sc["out"][:m].tobytes()
 
 
@@ -355,7 +362,6 @@ def script_spans_scan(utf8_text: bytes, script_lut: np.ndarray,
     [script, char_off, char_end, out_start, out_bytes, lp_start,
     lp_end] with lp_* indexing lt_idx."""
     n = len(utf8_text)
-    buf = np.frombuffer(utf8_text, dtype=np.uint8)
     sc = _ss_scratch
     if sc.get("cap", 0) < n + 8:
         cap = max(n + 8, 1 << 14)
@@ -365,11 +371,14 @@ def script_spans_scan(utf8_text: bytes, script_lut: np.ndarray,
         sc["lt_len"] = np.empty(cap, dtype=np.uint8)
         sc["out_buf"] = np.empty(8 * cap + 64, dtype=np.uint8)
         sc["meta"] = np.empty((cap + 8) * 7, dtype=np.int64)
+        sc["ptrs"] = tuple(sc[k].ctypes.data for k in
+                           ("lt_idx", "lt_sc", "lt_low", "lt_len",
+                            "out_buf", "meta"))
         sc["cap"] = cap
-    ns = _SS(buf, n, script_lut, lower_lut, len(script_lut),
-             text_limit, max_span_bytes,
-             sc["lt_idx"], sc["lt_sc"], sc["lt_low"], sc["lt_len"],
-             sc["out_buf"], sc["meta"])
+    # bytes objects pass as raw const pointers; arrays by .ctypes.data
+    # (argtypes are c_void_p - no per-call ndpointer validation)
+    ns = _SS(utf8_text, n, script_lut.ctypes.data, lower_lut.ctypes.data,
+             len(script_lut), text_limit, max_span_bytes, *sc["ptrs"])
     meta = sc["meta"][:ns * 7].reshape(ns, 7)
     return meta, sc["out_buf"], sc["lt_idx"]
 
