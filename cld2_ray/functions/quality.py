@@ -195,7 +195,24 @@ def word_stats(texts: pd.Series,
     })
 
 
-def line_stats(texts: pd.Series) -> pd.DataFrame:
+def line_stats(texts: pd.Series,
+               _scan: np.ndarray | None = None) -> pd.DataFrame:
+    """Per-document line statistics. The native path reads them from
+    the same single C pass as word_stats (scan cols 9-12); the pandas
+    path below is the semantic pin (tested equal). Line stats are
+    invariant to whole-doc strip(), so the stripped scan input is fine:
+    per-line strip + empty-line drop subsume the outer strip."""
+    scan = _scan
+    if scan is None:
+        scan = _scan_stats(texts.fillna("").str.strip())
+    if scan is not None:
+        n_lines = np.maximum(scan[:, 9], 1)
+        return pd.DataFrame({
+            "n_lines": n_lines,
+            "bullet_ratio": scan[:, 10] / n_lines,
+            "ellipsis_ratio": scan[:, 11] / n_lines,
+            "dup_line_ratio": scan[:, 12] / n_lines,
+        }, index=texts.index)
     lines = texts.fillna("").str.split("\n")
     lines = lines.map(lambda ls: [l.strip() for l in ls if l.strip()])
     n_lines = lines.map(len).replace(0, 1)
@@ -237,7 +254,7 @@ def apply_rules(texts: pd.Series,
     t = texts.fillna("")
     scan = _scan_stats(t.str.strip())
     ws = word_stats(texts, _scan=scan)
-    ls = line_stats(texts)
+    ls = line_stats(texts, _scan=scan)
     if lang_codes is not None:
         lc = lang_codes.reset_index(drop=True)
         lc.index = t.index

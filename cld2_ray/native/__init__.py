@@ -385,14 +385,15 @@ def script_spans_scan(utf8_text: bytes, script_lut: np.ndarray,
 
 def quality_scan(cat: bytes, bounds: np.ndarray, letter_lut: np.ndarray,
                  fold_lut: np.ndarray, sw_table: np.ndarray) -> np.ndarray:
-    """One C pass over concatenated STRIPPED utf-8 docs -> (n_docs, 9)
+    """One C pass over concatenated STRIPPED utf-8 docs -> (n_docs, 13)
     int64 stats [n_words, n_chars, n_ws, alpha_words, n_stop,
-    n_sentences, symbols, has_lorem, has_brace] with RE2-pinned
-    semantics (see quadscan.c quality_scan)."""
+    n_sentences, symbols, has_lorem, has_brace, n_lines(non-empty),
+    bullet_lines, ellipsis_lines, dup_lines] with RE2/pandas-pinned
+    semantics (see quadscan.c quality_scan / line_scan_doc)."""
     n_docs = len(bounds)
     buf = np.frombuffer(cat, dtype=np.uint8)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
-    out = np.zeros((n_docs, 9), dtype=np.int64)
+    out = np.zeros((n_docs, 13), dtype=np.int64)
     _QS(buf, bounds, n_docs, letter_lut, len(letter_lut),
         fold_lut, len(fold_lut), sw_table, len(sw_table), out)
     return out

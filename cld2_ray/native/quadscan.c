@@ -16,6 +16,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 
 static const uint32_t kWordMask0[4] = {0xFFFFFFFFu, 0x000000FFu,
                                        0x0000FFFFu, 0x00FFFFFFu};
@@ -540,6 +541,104 @@ static inline int is_re2_space(uint32_t cp) {
     return cp == 32 || cp == 9 || cp == 10 || cp == 12 || cp == 13;
 }
 
+/* Python str.isspace() / str.strip() whitespace set */
+static inline int is_py_space(uint32_t cp) {
+    return (cp >= 9 && cp <= 13) || (cp >= 0x1C && cp <= 0x20)
+        || cp == 0x85 || cp == 0xA0 || cp == 0x1680
+        || (cp >= 0x2000 && cp <= 0x200A)
+        || cp == 0x2028 || cp == 0x2029 || cp == 0x202F
+        || cp == 0x205F || cp == 0x3000;
+}
+
+/* per-process dup-line hash table with epoch tags (no per-doc clear) */
+static uint64_t *g_line_h = NULL;
+static uint64_t *g_line_ep = NULL;
+static int64_t g_line_cap = 0;   /* power of two */
+
+/* one stripped non-empty line [ts, te): update bullet/ellipsis/dup.
+ * first_cp is the first codepoint at ts; returns 1 if it was a dup. */
+static inline int line_commit(const uint8_t *cat, int64_t ts, int64_t te,
+                              uint32_t first_cp, uint64_t ep,
+                              int64_t *bullets, int64_t *ellipsis) {
+    if (first_cp == '-' || first_cp == '*' || first_cp == 0x2022
+        || first_cp == 0x00B7) (*bullets)++;
+    if ((te - ts >= 3 && cat[te-1] == '.' && cat[te-2] == '.'
+         && cat[te-3] == '.')
+        || (te - ts >= 3 && cat[te-1] == 0xA6 && cat[te-2] == 0x80
+            && cat[te-3] == 0xE2)) (*ellipsis)++;
+    uint64_t h = 0xCBF29CE484222325ull;             /* FNV-1a 64 */
+    for (int64_t i = ts; i < te; i++)
+        h = (h ^ cat[i]) * 0x100000001B3ull;
+    uint64_t m = (uint64_t)g_line_cap - 1;
+    uint64_t idx = h & m;
+    for (;;) {
+        if (g_line_ep[idx] != ep) {
+            g_line_ep[idx] = ep; g_line_h[idx] = h; return 0;
+        }
+        if (g_line_h[idx] == h) return 1;
+        idx = (idx + 1) & m;
+    }
+}
+
+/* line stats for one doc [start, end): split on '\n', strip each line
+ * (Python str.strip() semantics), drop empties; count non-empty lines,
+ * bullet starts, "..."/ellipsis ends, and duplicate lines (64-bit FNV
+ * equality - collision odds negligible). Mirrors quality.line_stats. */
+static void line_scan_doc(const uint8_t *cat, int64_t start, int64_t end,
+                          int64_t *row) {
+    static uint64_t epoch = 0;
+    int64_t need = ((end - start) / 2 + 8) * 2;
+    if (need > g_line_cap) {
+        int64_t cap = g_line_cap > 64 ? g_line_cap : 64;
+        while (cap < need) cap <<= 1;
+        free(g_line_h); free(g_line_ep);
+        g_line_h = (uint64_t *)malloc((size_t)cap * 8);
+        g_line_ep = (uint64_t *)calloc((size_t)cap, 8);
+        g_line_cap = cap;
+    }
+    epoch++;
+    int64_t n_lines = 0, bullets = 0, ellipsis = 0, dups = 0;
+    int64_t i = start;
+    while (i <= end) {
+        /* line = [i, next \n or end) */
+        int64_t le = i;
+        while (le < end && cat[le] != '\n') le++;
+        /* strip: find first/last non-space codepoints */
+        int64_t ts = -1, te = -1;
+        uint32_t first_cp = 0;
+        for (int64_t j = i; j < le;) {
+            uint8_t lead = cat[j];
+            int l = lead < 0x80 ? 1 : (lead < 0xE0 ? 2
+                        : (lead < 0xF0 ? 3 : 4));
+            if (j + l > le) l = (int)(le - j);
+            uint32_t cp;
+            if (l == 1) cp = lead;
+            else if (l == 2)
+                cp = ((lead & 0x1Fu) << 6) | (cat[j+1] & 0x3Fu);
+            else if (l == 3)
+                cp = ((lead & 0x0Fu) << 12) | ((cat[j+1] & 0x3Fu) << 6)
+                     | (cat[j+2] & 0x3Fu);
+            else
+                cp = ((lead & 0x07u) << 18) | ((cat[j+1] & 0x3Fu) << 12)
+                     | ((cat[j+2] & 0x3Fu) << 6) | (cat[j+3] & 0x3Fu);
+            if (!is_py_space(cp)) {
+                if (ts < 0) { ts = j; first_cp = cp; }
+                te = j + l;
+            }
+            j += l;
+        }
+        if (ts >= 0) {
+            n_lines++;
+            dups += line_commit(cat, ts, te, first_cp, epoch,
+                                &bullets, &ellipsis);
+        }
+        if (le >= end) break;
+        i = le + 1;
+    }
+    row[9] = n_lines; row[10] = bullets;
+    row[11] = ellipsis; row[12] = dups;
+}
+
 int quality_scan(const uint8_t *cat, const int64_t *bounds, int64_t n_docs,
                  const uint8_t *is_letter, int64_t letter_lim,
                  const uint32_t *fold, int64_t fold_lim,
@@ -618,10 +717,11 @@ int quality_scan(const uint8_t *cat, const int64_t *bounds, int64_t n_docs,
             n_stop += stop_token_match(cat, tok_start, end, fold,
                                        fold_lim, sw_keys, sw_cap);
         }
-        int64_t *row = out + d * 9;
+        int64_t *row = out + d * 13;
         row[0] = n_words; row[1] = n_chars; row[2] = n_ws;
         row[3] = alpha_words; row[4] = n_stop; row[5] = n_sent;
         row[6] = symbols; row[7] = has_lorem; row[8] = has_brace;
+        line_scan_doc(cat, start, end, row);
         start = end;
     }
     return 0;

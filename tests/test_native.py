@@ -222,7 +222,14 @@ class TestQualityScan:
             "И В НЕ на с",
             "'''the...... ", "word. Sentence! Q? 。！？",
             "İN in the", "ab\x0bcd ef", "a b the of and",
-            "(((la))) 'de' \"und\".", None]
+            "(((la))) 'de' \"und\".", None,
+            # line-stats edges (C line_scan_doc vs pandas pin)
+            "\n\n\n", "a\nb\na\nb\na", "- b\n* s\n• u\n· d\nx",
+            "e...\ne…\ne....\nn..\n...",
+            " nbsp\t　\n   \n- x\n- x",
+            "l one\nl one  \n  l one\nl ONE",
+            "日本語。\n日本語。\n日本語…", "one line", "trailing\n",
+            "- \n* ...\n…\n·", "x\n" * 300 + "y"]
 
     def test_pages_and_edges(self):
         import pandas as pd
@@ -259,6 +266,31 @@ class TestQualityScan:
         try:
             native.AVAILABLE = False
             q_a = quality.word_stats(tser)
+        finally:
+            native.AVAILABLE = avail
+        for col in q_a.columns:
+            a, c = q_a[col], q_c[col]
+            if a.dtype.kind == "f":
+                assert np.array_equal(a.to_numpy(), c.to_numpy()), (col, text)
+            else:
+                assert (a == c).all(), (col, text)
+
+    @settings(deadline=None, max_examples=150)
+    @given(st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "Z", "S", "Cc"),
+            whitelist_characters="\n\t•·…-* .",
+            max_codepoint=0x3000),
+        max_size=400))
+    def test_fuzz_line_stats(self, text):
+        import pandas as pd
+        from cld2_ray.functions import quality
+        tser = pd.Series([text, "a\nb\na", ""])
+        q_c = quality.line_stats(tser)
+        avail = native.AVAILABLE
+        try:
+            native.AVAILABLE = False
+            q_a = quality.line_stats(tser)
         finally:
             native.AVAILABLE = avail
         for col in q_a.columns:
