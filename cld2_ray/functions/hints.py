@@ -78,6 +78,46 @@ _TLD_RE = re.compile(r"^[a-z]+://[^/]*?([a-z0-9-]+\.)?([a-z]{2,6})(?::\d+)?/",
 _LANG_ATTR_RE = re.compile(
     rb"""(?<![A-Za-z-])(?:lang|xml:lang)\s*=\s*["']?\s*([A-Za-z]{2,3})(?:[-_][A-Za-z]{2,8})?""",
     re.IGNORECASE)
+# anchored form for the find()-seeded scan in hints_from_page (the
+# lookbehind is checked manually there; scanning the full 8KB head
+# with a variable lookbehind at every byte was ~90% of hint cost)
+_LANG_ATTR_AT_RE = re.compile(
+    rb"""(?:lang|xml:lang)\s*=\s*["']?\s*([A-Za-z]{2,3})(?:[-_][A-Za-z]{2,8})?""",
+    re.IGNORECASE)
+
+
+def _iter_lang_attrs(head: bytes):
+    """Exactly _LANG_ATTR_RE.finditer(head), seeded by substring find:
+    every match starts at a literal 'lang' or 'xml:lang', so anchored
+    probes at each 'lang' occurrence (trying the 'xml:lang' start
+    first, as leftmost-first does) enumerate the same matches in the
+    same order. last_end reproduces finditer's non-overlap rule —
+    candidates inside a previous match (e.g. a value like 'xml' or
+    'lan' followed by '=') are skipped, as the engine resumes scanning
+    at the previous match's end."""
+    low = head.lower()
+    pos = 0
+    last_end = 0
+    while True:
+        p = low.find(b"lang", pos)
+        if p < 0:
+            return
+        starts = []
+        if p >= 4 and low[p - 4:p] == b"xml:":
+            starts.append(p - 4)
+        starts.append(p)
+        for s in starts:
+            if s < last_end:
+                continue
+            prev = head[s - 1:s]
+            if prev and (prev.isalpha() or prev == b"-"):
+                continue  # the (?<![A-Za-z-]) boundary
+            m = _LANG_ATTR_AT_RE.match(head, s)
+            if m:
+                yield m
+                last_end = m.end()
+                break
+        pos = p + 4
 _CONTENT_LANG_RE = re.compile(
     rb"""content-language["']?\s+content\s*=\s*["']?\s*([A-Za-z]{2,3})""",
     re.IGNORECASE)
@@ -115,7 +155,7 @@ def hints_from_page(url: str, html: bytes) -> list[int]:
     if has_lang or has_cl or has_cs:
         head = _SKIP_TAG_RE.sub(b" ", raw_head)
         if has_lang:
-            for m in _LANG_ATTR_RE.finditer(head):
+            for m in _iter_lang_attrs(head):
                 lid = langs.lang_id(m.group(1).decode("ascii").lower())
                 if lid:
                     out.append(lid)

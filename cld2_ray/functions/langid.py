@@ -35,6 +35,61 @@ class Hints:
     language: str = ""
 
 
+def _bulk_tote_add(totes: list, doc_of_chunk: np.ndarray,
+                   lang1: np.ndarray, cbytes: np.ndarray,
+                   s1: np.ndarray, rel: np.ndarray) -> None:
+    """Vectorized DocTote fill: chunk streams aggregate per (doc, lang)
+    with numpy, then land in each tote in first-seen order. Equivalent
+    to per-chunk DocTote.add because add() is pure accumulation until
+    the 24-slot cap; any doc whose entry count could reach the cap
+    (where eviction order matters) falls back to the sequential loop."""
+    m = lang1 != langs.UNKNOWN
+    if not m.any():
+        return
+    doc = doc_of_chunk[m].astype(np.int64)
+    lang = lang1[m].astype(np.int64)
+    nb = cbytes[m].astype(np.int64)
+    sc = s1[m].astype(np.int64)
+    rl = rel[m].astype(np.int64)
+    rb = rl * nb
+    key = doc * np.int64(langs.NUM_LANGS) + lang
+    uniq, first_idx, inv = np.unique(key, return_index=True,
+                                     return_inverse=True)
+    k = len(uniq)
+    b_sum = np.zeros(k, np.int64)
+    s_sum = np.zeros(k, np.int64)
+    r_sum = np.zeros(k, np.int64)
+    np.add.at(b_sum, inv, nb)
+    np.add.at(s_sum, inv, sc)
+    np.add.at(r_sum, inv, rb)
+    # first-seen order inside each doc (same dict insertion order as
+    # the sequential loop)
+    order = np.argsort(first_idx, kind="stable")
+    u_doc = (uniq // langs.NUM_LANGS)[order]
+    u_lang = (uniq % langs.NUM_LANGS)[order]
+    b_sum, s_sum, r_sum = b_sum[order], s_sum[order], r_sum[order]
+    n_new = np.bincount(u_doc, minlength=len(totes))
+    seq_docs = set()
+    for d in np.nonzero(n_new)[0].tolist():
+        if len(totes[d].bytes_) + int(n_new[d]) > score.DOC_TOTE_SLOTS:
+            seq_docs.add(d)
+    if seq_docs:
+        for i in range(len(doc)):
+            d = int(doc[i])
+            if d in seq_docs:
+                totes[d].add(int(lang[i]), int(nb[i]), int(sc[i]),
+                             int(rl[i]))
+    for j in range(k):
+        d = int(u_doc[j])
+        if d in seq_docs:
+            continue
+        t = totes[d]
+        li = int(u_lang[j])
+        t.bytes_[li] = t.bytes_.get(li, 0) + int(b_sum[j])
+        t.score[li] = t.score.get(li, 0) + int(s_sum[j])
+        t.rel[li] = t.rel.get(li, 0) + int(r_sum[j])
+
+
 class Detector:
     """Holds the immutable LangModel; one instance per Ray actor
     (stateful-stage pattern, SURVEY.md §2.3)."""
@@ -178,11 +233,7 @@ class Detector:
             lang1, cbytes, s1, rel, span_of_chunk = c
             docs_of_span = np.array([di for di, _, _ in many])
             doc_of_chunk = docs_of_span[span_of_chunk]
-            for i in range(len(lang1)):
-                li = int(lang1[i])
-                if li != langs.UNKNOWN:
-                    totes[int(doc_of_chunk[i])].add(
-                        li, int(cbytes[i]), int(s1[i]), int(rel[i]))
+            _bulk_tote_add(totes, doc_of_chunk, lang1, cbytes, s1, rel)
 
         if cjk:
             hl_list = [hl for _, _, hl in cjk]
@@ -231,11 +282,7 @@ class Detector:
             lang1, cbytes, s1, rel, span_of_chunk = c
             docs_of_span = np.array([di for di, _, _ in cjk])
             doc_of_chunk = docs_of_span[span_of_chunk]
-            for i in range(len(lang1)):
-                li = int(lang1[i])
-                if li != langs.UNKNOWN:
-                    totes[int(doc_of_chunk[i])].add(
-                        li, int(cbytes[i]), int(s1[i]), int(rel[i]))
+            _bulk_tote_add(totes, doc_of_chunk, lang1, cbytes, s1, rel)
         return totes
 
     def _finalize(self, tote: score.DocTote, total_letter_bytes: int,
@@ -285,6 +332,7 @@ class Detector:
         totals = [sum(sp.text_bytes for sp in sl) for sl in doc_spans]
         totes = self._fill_totes(doc_spans, hints_list)
         out: list[score.DetectResult] = []
+        retry: list[int] = []
         for i in range(n):
             res = self._finalize(totes[i], totals[i], best_effort)
             good = (totals[i] <= score.SHORT_TEXT_THRESH
@@ -294,12 +342,44 @@ class Detector:
                         and res.percent3[0] + res.percent3[1]
                         >= score.GOOD_LANG1AND2_PERCENT))
             if not good:
-                # slow path: per-document Repeats retry (rare)
-                res = self.detect(texts[i] or "", best_effort,
-                                  hints_list[i], default_to_english)
+                retry.append(i)
             elif default_to_english and res.summary_lang == langs.UNKNOWN:
                 res.summary_lang = langs.ENGLISH
             out.append(res)
+        if retry:
+            # Repeats retry (impl.cc:1979-2106) for every not-good doc
+            # in ONE more batch pass. texts[] is already squeezed, so
+            # this equals per-doc detect() — except the rare doc where
+            # squeeze_trigger fires AGAIN on its own output; those take
+            # the per-doc path to stay bit-identical.
+            batched: list[int] = []
+            for i in retry:
+                t = texts[i] or ""
+                if len(t) > SQUEEZE_TEST_THRESH and squeeze_trigger(t):
+                    out[i] = self.detect(t, best_effort, hints_list[i],
+                                         default_to_english)
+                else:
+                    batched.append(i)
+            if batched:
+                spans2 = [[spans.ScriptSpan(remove_repeated_words(sp.text),
+                                            sp.script, sp.offset,
+                                            sp.text_bytes)
+                           for sp in doc_spans[i]] for i in batched]
+                totals2 = [max(sum(len(sp.text_utf8) for sp in sl), 1)
+                           for sl in spans2]
+                totes2 = self._fill_totes(
+                    spans2, [hints_list[i] for i in batched])
+                for k, i in enumerate(batched):
+                    res2 = self._finalize(totes2[k], totals2[k],
+                                          best_effort)
+                    res = out[i]
+                    res = res2 if (res2.summary_lang != langs.UNKNOWN
+                                   or res.summary_lang == langs.UNKNOWN) \
+                        else res
+                    if default_to_english and \
+                            res.summary_lang == langs.UNKNOWN:
+                        res.summary_lang = langs.ENGLISH
+                    out[i] = res
         return out
 
     def detect(self, text: str, best_effort: bool = False,

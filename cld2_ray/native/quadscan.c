@@ -235,6 +235,11 @@ int fastlangid_score(const uint8_t *cat, const int64_t *bounds,
         }
         float *s = scores + d * k_langs;
         for (int64_t t = 0; t < nt; t++) {
+            if (t + 8 < nt) {   /* hide the random weight-row latency */
+                const float *pf = w + (int64_t)touched[t + 8] * k_langs;
+                __builtin_prefetch(pf, 0, 1);
+                __builtin_prefetch(pf + 64, 0, 1);
+            }
             int32_t r = touched[t];
             float c = (float)cnt[r];
             const float *wr = w + (int64_t)r * k_langs;

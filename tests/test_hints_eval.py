@@ -150,3 +150,25 @@ class TestBetterBoundary:
         ranges = d.detect_ranges(SEEDS["en"][:800])
         assert len(ranges) == 1
         assert ranges[0][2] == "en"
+
+
+class TestLangAttrScanEquivalence:
+    """The find()-seeded anchored lang-attr scan must reproduce
+    _LANG_ATTR_RE.finditer exactly, including non-overlap resume
+    semantics (values like 'xml'/'lan' followed by '=' nest matches)."""
+
+    def test_fuzz_vs_finditer(self):
+        import random
+        from cld2_ray.functions.hints import _LANG_ATTR_RE, _iter_lang_attrs
+        random.seed(7)
+        alphabet = [b"lang", b"xml:lang", b"=", b'"', b"'", b" ", b"en",
+                    b"de-DE", b"xx_abcdefgh", b"hreflang", b"language",
+                    b"<link hreflang='es'>", b"LANG", b"XML:LANG", b"a",
+                    b"-", b"_", b":", b"langlang=fr", b"\n",
+                    b"content-language", b"xml", b"lan="]
+        for _ in range(8000):
+            s = b"".join(random.choice(alphabet)
+                         for _ in range(random.randint(1, 14)))
+            a = [(m.span(), m.group(1)) for m in _LANG_ATTR_RE.finditer(s)]
+            b = [(m.span(), m.group(1)) for m in _iter_lang_attrs(s)]
+            assert a == b, s
