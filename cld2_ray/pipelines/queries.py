@@ -644,10 +644,12 @@ FROM hashed, perms GROUP BY doc_id, perm
 
 
 def q_ivf_topk(sf_dir):
+    """IVF at default n_probe=4 — exact nonetheless (cell-bound pruned
+    expansion), hence SQL-hash-checked against brute force."""
     from cld2_ray.pipelines.simsearch import ivf_topk
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, list(range(10)), k=5)[
-        ["query_id", "rank", "neighbor_id"]]
+    out = ivf_topk(ds, list(range(10)), k=5)
+    return out[["query_id", "rank", "neighbor_id"]].astype("int64")
 
 
 def q_ivf_topk_exact(sf_dir):
@@ -810,11 +812,11 @@ QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "minhash_signatures": q_minhash_signatures,
     "ivf_topk_exact": q_ivf_topk_exact,
+    "ivf_topk": q_ivf_topk,
     # rows-only
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
-    "ivf_topk": q_ivf_topk,
     "knn_classify": q_knn_classify,
     "flagship_pages": q_flagship_pages,
     "eval_confusion": q_eval_confusion,
@@ -846,6 +848,9 @@ ORACLE_SQL = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "ivf_topk_exact": SQL_IVF_TOPK_EXACT,
+    # ivf_topk is pruned-EXACT (triangle-inequality cell bound), so the
+    # brute-force SQL is its oracle too
+    "ivf_topk": SQL_IVF_TOPK_EXACT,
     "knn_classify": SQL_KNN_CLASSIFY,
     "media_decode": SQL_MEDIA_DECODE,
     "media_audio": SQL_MEDIA_AUDIO,

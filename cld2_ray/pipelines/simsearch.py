@@ -5,10 +5,14 @@
   and emits its LOCAL top-k per query; a tiny driver-side merge
   reduces per-batch top-k lists to the global top-k. No shuffle; the
   reduction input is O(n_batches * n_queries * k), not O(rows).
-* ``ivf_topk``      — the scale path: deterministic k-means (fixed
-  seed, few iterations over a sample) builds centroids; rows are
-  assigned to their nearest centroid in one map_batches; queries probe
-  only the ``n_probe`` nearest centroid partitions.
+* ``ivf_topk``      — the scale path, EXACT: deterministic k-means
+  (fixed seed, few iterations over a sample) builds centroids; one
+  map_batches pass searches the ``n_probe`` nearest cells per query
+  and simultaneously folds each cell's angular radius; cells whose
+  best-possible cosine (spherical triangle inequality:
+  cos(max(0, angle(q, centroid) - radius))) cannot beat the
+  provisional kth-best are pruned, the rare rest get a second
+  filtered scan. Result is identical to ``brute_force_topk``.
 * ``knn_classify``  — majority label of the exact top-k.
 """
 
@@ -95,30 +99,124 @@ def kmeans_fit(mat: np.ndarray, n_clusters: int, n_iter: int = 10,
 def ivf_topk(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pd.DataFrame:
-    """Approximate top-k: centroids from a deterministic sample, rows
-    filtered to the probed clusters, then exact search within them."""
+    """EXACT top-k with IVF pruning.
+
+    Pass 1 (one full scan): each batch assigns rows to their nearest
+    centroid and emits (a) local top-k over rows in the per-query
+    probed cells and (b) a per-cell running min of member-centroid
+    cosine — both tiny. Pass 2 runs only for (query, cell) pairs whose
+    geometric upper bound cos(max(0, theta_qc - radius_c)) could still
+    beat that query's provisional kth-best; at realistic n_probe the
+    expansion set is empty or a few cells, so the common cost equals
+    classic approximate IVF while the result is guaranteed equal to
+    ``brute_force_topk``."""
     import ray
 
     sample = ds.limit(2000).select_columns([vec_col]).to_pandas()
     cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), n_clusters)
-    cref = ray.put(cent)
 
     qdf = _filter_ids(ds.select_columns([id_col, vec_col]),
                       id_col, query_ids).to_pandas().sort_values(id_col)
+    qids_arr = qdf[id_col].to_numpy()
     qmat = _norm_rows(np.stack(qdf[vec_col].to_numpy()))
-    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    q_cell_cos = qmat @ cent.T                   # (nq, n_cells)
+    probe = np.argsort(-q_cell_cos, axis=1)[:, :n_probe]
     probed_clusters = set(probe.ravel().tolist())
+    ref = ray.put((qids_arr, qmat, cent, probed_clusters))
 
-    def assign_and_filter(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cref)
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        bq_ids, bq, c, probed = ray.get(ref)
         mat = _norm_rows(np.stack(df[vec_col].to_numpy()))
-        df = df.copy()
-        df["cluster"] = np.argmax(mat @ c.T, axis=1)
-        return df[df["cluster"].isin(probed_clusters)]
+        ids = df[id_col].to_numpy()
+        cell_cos = mat @ c.T
+        assign = np.argmax(cell_cos, axis=1)
+        member_cos = cell_cos[np.arange(len(mat)), assign]
+        rows = []
+        # (b) per-cell radius partial: one row per cell in this batch
+        for cell in np.unique(assign):
+            rows.append((1, -1.0, int(cell),
+                         float(member_cos[assign == cell].min())))
+        # (a) local top-k within probed cells
+        keep = np.isin(assign, list(probed))
+        if keep.any():
+            sims = bq @ mat[keep].T
+            kids = ids[keep]
+            for i, qid in enumerate(bq_ids):
+                s = sims[i].copy()
+                s[kids == qid] = -np.inf
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                for j in top:
+                    if np.isfinite(s[j]):
+                        rows.append((0, float(s[j]), int(qid),
+                                     int(kids[j])))
+        return pd.DataFrame(rows, columns=["kind", "cos", "a", "b"])
 
-    shard = ds.map_batches(assign_and_filter, batch_format="pandas")
-    return brute_force_topk(shard, query_ids, k=k, id_col=id_col,
-                            vec_col=vec_col)
+    part = ds.map_batches(pass1, batch_format="pandas",
+                          batch_size=4096).to_pandas()
+    radii = part[part["kind"] == 1].groupby("a")["b"].min()
+    cand = part[part["kind"] == 0].rename(
+        columns={"a": "query_id", "b": "neighbor_id"})
+
+    # provisional kth-best per query (driver-side, nq*k rows)
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    topk = cand.groupby("query_id").head(k)
+    kth = topk.groupby("query_id").agg(
+        n=("cos", "size"), kth=("cos", "min"))
+
+    # expansion: cells where the bound can still beat the kth-best
+    cell_r = np.zeros(len(cent))
+    cell_r[radii.index.astype(int)] = np.arccos(
+        np.clip(radii.to_numpy(), -1.0, 1.0))
+    theta = np.arccos(np.clip(q_cell_cos, -1.0, 1.0))
+    bound = np.cos(np.maximum(0.0, theta - cell_r[None, :]))
+    expand: set[int] = set()
+    for i, qid in enumerate(qids_arr):
+        if qid in kth.index and kth.loc[qid, "n"] >= k:
+            thresh = kth.loc[qid, "kth"] - 1e-9
+        else:
+            thresh = -np.inf                     # not enough candidates
+        for cell in np.flatnonzero(bound[i] >= thresh):
+            if int(cell) not in probed_clusters:
+                expand.add(int(cell))
+
+    if expand:
+        def pass2(df: pd.DataFrame) -> pd.DataFrame:
+            bq_ids, bq, c, _ = ray.get(ref)
+            mat = _norm_rows(np.stack(df[vec_col].to_numpy()))
+            assign = np.argmax(mat @ c.T, axis=1)
+            df = df[np.isin(assign, list(expand))]
+            if not len(df):
+                return pd.DataFrame(
+                    columns=["cos", "query_id", "neighbor_id"])
+            mat = _norm_rows(np.stack(df[vec_col].to_numpy()))
+            ids = df[id_col].to_numpy()
+            sims = bq @ mat.T
+            rows = []
+            for i, qid in enumerate(bq_ids):
+                s = sims[i].copy()
+                s[ids == qid] = -np.inf
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                for j in top:
+                    if np.isfinite(s[j]):
+                        rows.append((float(s[j]), int(qid), int(ids[j])))
+            return pd.DataFrame(rows,
+                                columns=["cos", "query_id", "neighbor_id"])
+
+        extra = ds.map_batches(pass2, batch_format="pandas",
+                               batch_size=4096).to_pandas()
+        cand = pd.concat([cand[["cos", "query_id", "neighbor_id"]], extra],
+                         ignore_index=True)
+
+    # a/b held cell ids + radius partials too, so they came back float
+    cand = cand.astype({"query_id": "int64", "neighbor_id": "int64"})
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id").head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "neighbor_id", "cos"]]
 
 
 def knn_classify(ds, query_ids: list[int], k: int = 5,
