@@ -67,6 +67,38 @@ def decode_bmp(data: bytes):
     return int(w), int(height), int(nch), float(rows.mean() / 255.0)
 
 
+def decode_bmp_pixels(data: bytes):
+    """BMP bytes -> (h, w, 3) uint8 RGB array (top-down) or None.
+    Same format support as decode_bmp; 32-bit BGRA drops alpha."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    try:
+        offset = struct.unpack_from("<I", data, 10)[0]
+        dib_size = struct.unpack_from("<I", data, 14)[0]
+        if dib_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", data, 18)
+        planes, bpp = struct.unpack_from("<HH", data, 26)
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error:
+        return None
+    if planes != 1 or compression != 0 or bpp not in (24, 32) \
+            or w <= 0 or abs(h) == 0:
+        return None
+    nch = bpp // 8
+    height = abs(h)
+    row_size = (w * nch + 3) & ~3
+    if len(data) < offset + row_size * height:
+        return None
+    rows = np.frombuffer(data, dtype=np.uint8,
+                         count=row_size * height, offset=offset)
+    px = rows.reshape(height, row_size)[:, : w * nch]
+    px = px.reshape(height, w, nch)[:, :, :3][:, :, ::-1]  # BGR(A)->RGB
+    if h > 0:                                   # bottom-up storage
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
 # --------------------------------------------------------------------------
 # WAV (RIFF / PCM16)
 # --------------------------------------------------------------------------

@@ -9,11 +9,13 @@ external codec libraries (JPEG/PNG/MP3/video) are not available in
 this environment; unparseable payloads surface as ``decode_ok=False``
 rows rather than crashing the stage.
 
-The EMBED stage remains an honest stub (``STUB_EMBED``): there is no
-pretrained vision model here, so it emits a deterministic
-pseudo-embedding derived from the DECODED pixel statistics — the
-actor-pool plumbing (model-load-once in __init__, batched inference
-per __call__) is the real deliverable.
+The EMBED stage computes a REAL embedding with no pretrained weights:
+decoded pixels are area-pooled to a fixed GxGx3 grid and projected by
+a fixed-seed Gaussian random-projection matrix (Johnson-Lindenstrauss
+features — distances between images are approximately preserved), then
+L2-normalized. The projection matrix is built once per actor in
+__init__ (the model-load-once pattern); undecodable payloads emit a
+zero vector with ``embed_ok=False``.
 
 Batch-size guidance (memory-aware): media rows are MBs each, so these
 stages run with small ``batch_size`` (e.g. 8-32) and
@@ -22,23 +24,26 @@ stages run with small ``batch_size`` (e.g. 8-32) and
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from cld2_ray.functions import media
 
 STUB_DECODE = False  # BMP/WAV decode parses real bytes
-STUB_EMBED = True    # no pretrained vision model in this environment
+STUB_EMBED = False   # random-projection features over decoded pixels
 
 
-def _stable_floats(data: bytes, n: int, scale: float = 1.0) -> np.ndarray:
-    """Deterministic pseudo-signal derived from the payload bytes."""
-    h = hashlib.blake2b(data, digest_size=32).digest()
-    seed = int.from_bytes(h[:8], "little")
-    rng = np.random.default_rng(seed)
-    return (rng.random(n, dtype=np.float64) * scale).astype(np.float32)
+def _pool_grid(px: np.ndarray, g: int) -> np.ndarray:
+    """Area-pool (h, w, 3) uint8 pixels to a (g, g, 3) float mean grid
+    (vectorized bucket sums; cells never empty for h, w >= 1)."""
+    h, w, _ = px.shape
+    yi = np.arange(h) * g // max(h, 1)
+    xi = np.arange(w) * g // max(w, 1)
+    pool = np.zeros((g, g, 3), np.float64)
+    cnt = np.zeros((g, g), np.float64)
+    np.add.at(pool, (yi[:, None], xi[None, :]), px.astype(np.float64))
+    np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+    return pool / np.maximum(cnt, 1.0)[:, :, None]
 
 
 class ImageDecodeStage:
@@ -69,23 +74,42 @@ class ImageDecodeStage:
 
 
 class ImageEmbedStage:
-    """decoded image -> embedding list<float32>[dim].
+    """image bytes -> embedding list<float32>[dim] + embed_ok.
 
-    Stands in for batched model inference (STUB_EMBED): the model
-    handle would be loaded once in __init__ (the actor-pool pattern);
-    the stub emits a stable pseudo-embedding seeded from the payload.
-    """
+    Real, model-free image features: decode pixels (BMP), area-pool to
+    a grid x grid x 3 mean-color tensor, project through a fixed-seed
+    Gaussian matrix (built ONCE per actor in __init__ — the stateful
+    actor-pool pattern a learned encoder would use), L2-normalize.
+    Nearby images map to nearby vectors (JL random projection), so the
+    output feeds the simsearch/near-dup operators directly."""
 
-    def __init__(self, image_col: str = "image", dim: int = 64):
+    def __init__(self, image_col: str = "image", dim: int = 64,
+                 grid: int = 8, seed: int = 1234):
         self.image_col = image_col
         self.dim = dim
+        self.grid = grid
+        rng = np.random.default_rng(seed)
+        n_feat = grid * grid * 3
+        self.proj = rng.standard_normal((n_feat, dim)) / np.sqrt(dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.image_col].to_pylist()
-        embs = [_stable_floats(b or b"", self.dim) for b in payloads]
-        arr = pa.array([e.tolist() for e in embs],
+        n = len(payloads)
+        feats = np.zeros((n, self.grid * self.grid * 3), np.float64)
+        ok = np.zeros(n, bool)
+        for i, b in enumerate(payloads):
+            px = media.decode_bmp_pixels(b or b"")
+            if px is not None:
+                feats[i] = (_pool_grid(px, self.grid).ravel()
+                            / 255.0 - 0.5)
+                ok[i] = True
+        emb = feats @ self.proj                 # one matmul per batch
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = np.where(ok[:, None], emb / np.maximum(norm, 1e-12), 0.0)
+        arr = pa.array(emb.astype(np.float32).tolist(),
                        type=pa.list_(pa.float32()))
-        return batch.append_column("embedding", arr)
+        return (batch.append_column("embedding", arr)
+                .append_column("embed_ok", pa.array(ok)))
 
 
 class AudioFrameStage:

@@ -137,6 +137,7 @@ class TestMultimodal:
         emb = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
                              batch_size=8, concurrency=1).to_pandas()
         assert len(emb.embedding[0]) == 64
+        assert emb.embed_ok.all()
         # non-BMP payloads surface as decode_ok=False, not a crash
         bad = rd.from_items([{"media_id": 0, "image": b"not a bmp"}]) \
             .map_batches(ImageDecodeStage, batch_format="pyarrow",
@@ -151,3 +152,32 @@ class TestMultimodal:
         assert a.sample_rate[0] == sr and a.n_samples[0] == n
         assert a.n_frames[0] == n // (sr * 25 // 1000)
         assert a.decode_ok[0] and 0.0 < a.rms[0] < 1.0
+
+    def test_image_embedding_is_real(self):
+        """Random-projection features: unit-norm, metric-preserving
+        (a perturbed copy of an image stays closer than a different
+        image), zero vector for undecodable payloads."""
+        import numpy as np
+        from cld2_ray.functions.media import decode_bmp_pixels, encode_bmp
+        from cld2_ray.stages.multimodal import ImageEmbedStage
+        import pyarrow as pa
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        near = base.copy()
+        near[::7, ::5] = (near[::7, ::5].astype(int) + 12) % 256
+        far = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        # pixel decode round-trips the encoder exactly
+        assert (decode_bmp_pixels(encode_bmp(base)) == base).all()
+        stage = ImageEmbedStage()
+        t = pa.table({"image": [encode_bmp(base), encode_bmp(near),
+                                encode_bmp(far), b"junk"]})
+        out = stage(t)
+        e = np.array(out["embedding"].to_pylist())
+        ok = out["embed_ok"].to_pylist()
+        assert ok == [True, True, True, False]
+        assert np.allclose(np.linalg.norm(e[:3], axis=1), 1.0, atol=1e-5)
+        assert (e[3] == 0).all()
+        assert e[0] @ e[1] > e[0] @ e[2] + 0.1
+        # deterministic across actor instances (fixed seed)
+        e2 = np.array(ImageEmbedStage()(t)["embedding"].to_pylist())
+        assert (e == e2).all()
