@@ -93,6 +93,27 @@ def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
     return out
 
 
+# SQL-mirrored MinHash parameters (shared with the DuckDB oracles in
+# pipelines/queries.py): 16 affine perms (a*h+b) mod M61 over md5-based
+# shingle hashes. a*h stays < 2^64 because a <= 7 and h < 2^61.
+MH_M61 = _M61
+MH_PERMS = [([2, 3, 5, 6, 7][i % 5], 1000003 * i + 12345)
+            for i in range(16)]
+_MH_A = np.array([p[0] for p in MH_PERMS], dtype=np.uint64)
+_MH_B = np.array([p[1] for p in MH_PERMS], dtype=np.uint64)
+
+
+def minhash_signature_md5(sh: np.ndarray) -> np.ndarray:
+    """16 minhashes over md5-shingle hashes already reduced mod M61 —
+    bit-equal to the SQL oracle's min((a*h+b) % M61) per perm."""
+    if len(sh) == 0:
+        return np.zeros(len(_MH_A), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        prods = (_MH_A[:, None] * sh[None, :] + _MH_B[:, None]) \
+            % np.uint64(MH_M61)
+    return prods.min(axis=1)
+
+
 def _shingle_hashes_md5(text: str, k: int = 3) -> np.ndarray:
     """md5-based shingle hashes (first 8 big-endian digest bytes) —
     chosen for simhash so a DuckDB oracle can replicate bit-for-bit:
@@ -163,9 +184,18 @@ _CLIQUE_CUTOFF = 64
 
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.8) -> pd.DataFrame:
+                  threshold: float = 0.8, variant: str = "fast",
+                  clique_cutoff: int = _CLIQUE_CUTOFF) -> pd.DataFrame:
     """Near-duplicate groups via MinHash-LSH. Returns a pandas frame
     (doc_id, group_id) for docs in near-dup groups of size > 1.
+
+    ``variant="fast"`` (default): blake2b token hashing, 64 hashes in
+    16 bands — the production path. ``variant="sql"``: md5 shingle
+    hashing + the 16 MH_PERMS in 4 bands, every band key and Jaccard
+    value bit-reproducible in DuckDB — the config the hash-checked
+    registry query runs (with ``clique_cutoff`` large enough that
+    every co-bucket pair is verified, exactly like the oracle's
+    candidate self-join).
 
     Fully distributed: each band row carries the doc's shingle-hash
     signature (a bounded 16x duplication of the shingle sets — no
@@ -186,11 +216,21 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, text in zip(df[id_col], df[text_col].fillna("")):
-            sh_raw = _shingle_hashes(text)
-            sig = minhash_signature_from(sh_raw)
+            if variant == "sql":
+                sh_raw = _shingle_hashes_md5(text) % np.uint64(MH_M61)
+                sig = minhash_signature_md5(sh_raw)
+                keys = ["_".join(str(int(v)) for v in sig[b * 4:b * 4 + 4])
+                        for b in range(4)]
+            else:
+                sh_raw = _shingle_hashes(text)
+                sig = minhash_signature_from(sh_raw)
+                keys = minhash_bands(sig)
             sh = np.unique(sh_raw)
-            for band_id, key in enumerate(minhash_bands(sig)):
-                rows.append((did, band_id, key, key % n_parts, sh))
+            for band_id, key in enumerate(keys):
+                part = int.from_bytes(
+                    hashlib.md5(str(key).encode()).digest()[:4],
+                    "little") % n_parts
+                rows.append((did, band_id, key, part, sh))
         return pd.DataFrame(rows, columns=[id_col, "band_id", "band_key",
                                            "part", "shingles"])
 
@@ -212,7 +252,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         m = np.zeros((n, len(union_v)), dtype=np.int32)
         for i, s in enumerate(sets):
             m[i, np.searchsorted(union_v, s)] = 1
-        if n <= _CLIQUE_CUTOFF:
+        if n <= clique_cutoff:
             inter = m @ m.T
             uni = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
             iu = np.triu_indices(n, 1)
@@ -238,7 +278,8 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     edges_df = bands.groupby("part").map_groups(
         part_verify, batch_format="pandas").to_pandas().drop_duplicates()
     if len(edges_df) == 0:
-        return pd.DataFrame({id_col: [], "group_id": []})
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "group_id": pd.Series([], dtype="int64")})
 
     nodes = sorted(set(edges_df.a) | set(edges_df.b))
     edges = [(int(a), int(b)) for a, b in zip(edges_df.a, edges_df.b)]

@@ -527,8 +527,16 @@ def q_langid_documents(sf_dir):
 
 
 def q_minhash_dedup(sf_dir):
+    """MinHash-LSH near-dup groups, SQL-hash-checked end to end: the
+    md5/M61 variant makes every stage — shingle hashes, 16-perm
+    signatures, 4-band keys, candidate pairs, exact-Jaccard verify,
+    connected components — bit-reproducible by the DuckDB oracle
+    below (components via recursive-CTE transitive closure). The
+    blake2b production variant is pinned by pytest."""
     from cld2_ray.pipelines.dedup import minhash_dedup
-    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        variant="sql", clique_cutoff=1 << 30)
+    return out.astype({"doc_id": "int64", "group_id": "int64"})
 
 
 def q_simhash_pairs(sf_dir):
@@ -581,9 +589,8 @@ WHERE x.doc_id < y.doc_id AND bit_count(xor(x.s, y.s)) <= 3
 # sig_i = min over shingles s of (a_i * (md5_64(s) % M61) + b_i) % M61.
 # a_i <= 7 keeps a*(h%M61) < 2^64, so DuckDB UBIGINT arithmetic and
 # numpy uint64 arithmetic agree bit-for-bit (no modular wrap).
-_MH_M61 = (1 << 61) - 1
-_MH_PERMS = [( [2, 3, 5, 6, 7][i % 5], 1000003 * i + 12345)
-             for i in range(16)]
+from cld2_ray.pipelines.dedup import (MH_M61 as _MH_M61,
+                                       MH_PERMS as _MH_PERMS)
 
 
 def q_minhash_signatures(sf_dir):
@@ -640,6 +647,72 @@ WITH toks AS (
 SELECT doc_id, CAST(perm AS BIGINT) AS perm,
        CAST(min((a * h + b) % {_MH_M61}::UBIGINT) AS BIGINT) AS minhash
 FROM hashed, perms GROUP BY doc_id, perm
+"""
+
+
+# minhash_dedup oracle: same shingle/signature math as above, then
+# band keys (4 bands x 4 perms), all co-bucket candidate pairs, exact
+# Jaccard >= 0.8 on distinct shingle hashes, and connected components
+# by recursive-CTE transitive closure with min-id labels.
+SQL_MINHASH_DEDUP = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = ''
+      THEN ['<pad>','<pad>','<pad>']
+      ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3 THEN t
+      WHEN len(t) = 2 THEN list_append(t, '<pad>')
+      ELSE [t[1], '<pad>', '<pad>'] END AS t
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM padded
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 16))::UBIGINT
+             % {_MH_M61}::UBIGINT AS h
+  FROM sh
+), perms(perm, a, b) AS (
+  VALUES {", ".join(f"({i}, {a}::UBIGINT, {b}::UBIGINT)"
+                    for i, (a, b) in enumerate(_MH_PERMS))}
+), sigs AS (
+  SELECT doc_id, perm, min((a * h + b) % {_MH_M61}::UBIGINT) AS minhash
+  FROM hashed, perms GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, perm // 4 AS band_id,
+         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY perm) AS bkey
+  FROM sigs GROUP BY doc_id, perm // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+), shing AS (
+  SELECT DISTINCT doc_id, h FROM hashed
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id
+), isect AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shing s1 ON s1.doc_id = c.a
+  JOIN shing s2 ON s2.doc_id = c.b AND s2.h = s1.h
+  GROUP BY c.a, c.b
+), edges AS (
+  SELECT n.a, n.b FROM isect n
+  JOIN sizes sa ON sa.doc_id = n.a
+  JOIN sizes sb ON sb.doc_id = n.b
+  WHERE CAST(n.i AS DOUBLE) / (sa.sz + sb.sz - n.i) >= 0.8
+), und AS (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+), reach(n, m) AS (
+  SELECT a AS n, b AS m FROM und
+  UNION
+  SELECT r.n, u.b AS m FROM reach r JOIN und u ON u.a = r.m
+)
+SELECT n AS doc_id, CAST(least(n, min(m)) AS BIGINT) AS group_id
+FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
@@ -813,9 +886,9 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "ivf_topk_exact": q_ivf_topk_exact,
     "ivf_topk": q_ivf_topk,
+    "minhash_dedup": q_minhash_dedup,
     # rows-only
     "langid_documents": q_langid_documents,
-    "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "knn_classify": q_knn_classify,
     "flagship_pages": q_flagship_pages,
@@ -847,6 +920,7 @@ ORACLE_SQL = {
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
     "ivf_topk_exact": SQL_IVF_TOPK_EXACT,
     # ivf_topk is pruned-EXACT (triangle-inequality cell bound), so the
     # brute-force SQL is its oracle too

@@ -48,11 +48,16 @@ class TestEmbeddingNearPairs:
 @pytest.mark.skipif(not os.path.exists(SF), reason="no testdata")
 class TestMinhashGroupsPinned:
     def test_groups_stable(self, ray_session):
-        """Frozen snapshot of the sf0.001 near-dup groups (clique
-        verification inside band buckets; regenerate deliberately if
-        the banding scheme changes)."""
-        from cld2_ray.pipelines.queries import q_minhash_dedup
-        g = q_minhash_dedup(SF)
+        """Frozen snapshot of the sf0.001 near-dup groups for the
+        PRODUCTION blake2b/64-hash variant (the registry query runs
+        the md5 SQL-mirrored variant, verified against the DuckDB
+        oracle instead; regenerate deliberately if the banding scheme
+        changes)."""
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import minhash_dedup
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        g = minhash_dedup(ds)
         assert len(g) == 45
         assert g.group_id.nunique() == 21
         digest = hashlib.md5(
