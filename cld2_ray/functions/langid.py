@@ -328,7 +328,7 @@ class Detector:
         texts = [squeeze(t) if (t and len(t) > SQUEEZE_TEST_THRESH
                                 and squeeze_trigger(t)) else (t or "")
                  for t in texts]
-        doc_spans = [spans.script_spans(t) for t in texts]
+        doc_spans = spans.script_spans_batch(texts)
         totals = [sum(sp.text_bytes for sp in sl) for sl in doc_spans]
         totes = self._fill_totes(doc_spans, hints_list)
         out: list[score.DetectResult] = []

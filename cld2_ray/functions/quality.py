@@ -243,6 +243,75 @@ SPACELESS_LANGS = frozenset(["zh", "zh-Hant", "ja", "th", "km", "lo", "my"])
 STOPWORD_LANGS = frozenset(["en", "fr", "de", "es", "pt", "ru"])
 
 
+def _apply_rules_scan(t: pd.Series, scan: np.ndarray,
+                      lang_codes: pd.Series | None) -> pd.DataFrame:
+    """apply_rules fast path: every stat already sits in the single C
+    scan, so the rule cascade runs on plain numpy arrays (the pandas
+    Series/mask machinery was ~70% of apply_rules' wall time). Output
+    is equal to the pandas path — pinned by tests/test_native.py."""
+    n = len(t)
+    n_words = scan[:, 0]
+    n_chars = scan[:, 1]
+    word_chars = n_chars - scan[:, 2]
+    alpha_words = scan[:, 3]
+    n_stop = scan[:, 4]
+    n_sentences = scan[:, 5]
+    symbols = scan[:, 6]
+    has_lorem = scan[:, 7] != 0
+    has_brace = scan[:, 8] != 0
+    n_lines = np.maximum(scan[:, 9], 1)
+    bullet_ratio = scan[:, 10] / n_lines
+    ellipsis_ratio = scan[:, 11] / n_lines
+    dup_line_ratio = scan[:, 12] / n_lines
+    nz_words = np.maximum(n_words, 1)
+    mean_wl = np.where(n_words > 0, word_chars / nz_words, 0.0)
+    alpha_ratio = np.where(n_words > 0, alpha_words / nz_words, 0.0)
+
+    if lang_codes is not None:
+        lc = np.asarray(lang_codes, dtype=object)
+        spaceless = np.isin(lc, list(SPACELESS_LANGS))
+        stopword_gated = np.isin(lc, list(STOPWORD_LANGS))
+    else:
+        spaceless = np.zeros(n, bool)
+        stopword_gated = np.zeros(n, bool)
+    eff_words = np.where(spaceless, (n_chars / 2.5).astype(np.int64),
+                         n_words)
+
+    names = np.array([
+        "too_few_words", "too_many_words", "mean_word_len",
+        "symbol_ratio", "bullet_lines", "ellipsis_lines", "alpha_ratio",
+        "too_few_stopwords", "dup_lines", "lorem_ipsum",
+        "brace_source_code", "too_few_sentences", ""], dtype=object)
+    masks = [
+        eff_words < MIN_WORDS,
+        eff_words > MAX_WORDS,
+        ~spaceless & ((mean_wl < MIN_MEAN_WORD_LEN)
+                      | (mean_wl > MAX_MEAN_WORD_LEN)),
+        (symbols / np.where(eff_words == 0, 1, eff_words))
+        > MAX_SYMBOL_WORD_RATIO,
+        bullet_ratio > MAX_BULLET_LINE_RATIO,
+        ellipsis_ratio > MAX_ELLIPSIS_LINE_RATIO,
+        ~spaceless & (alpha_ratio < MIN_ALPHA_WORD_RATIO),
+        stopword_gated & (n_stop < MIN_STOPWORDS),
+        dup_line_ratio > MAX_DUP_LINE_RATIO,
+        has_lorem,
+        has_brace,
+        n_sentences < MIN_SENTENCES,
+    ]
+    ridx = np.full(n, len(names) - 1, dtype=np.int64)  # default: kept
+    for i in range(len(masks) - 1, -1, -1):            # first match wins
+        ridx[masks[i]] = i
+    reason = names[ridx]
+    return pd.DataFrame({
+        "n_words": n_words, "n_chars": n_chars, "mean_word_len": mean_wl,
+        "alpha_ratio": alpha_ratio, "n_stopwords": n_stop,
+        "n_lines": n_lines, "bullet_ratio": bullet_ratio,
+        "ellipsis_ratio": ellipsis_ratio,
+        "dup_line_ratio": dup_line_ratio,
+        "n_sentences": n_sentences, "keep": ridx == len(names) - 1,
+        "drop_reason": reason}, index=t.index)
+
+
 def apply_rules(texts: pd.Series,
                 lang_codes: pd.Series | None = None) -> pd.DataFrame:
     """Returns keep: bool, drop_reason: str ('' if kept) + the stats.
@@ -253,6 +322,8 @@ def apply_rules(texts: pd.Series,
     """
     t = texts.fillna("")
     scan = _scan_stats(t.str.strip())
+    if scan is not None:
+        return _apply_rules_scan(t, scan, lang_codes)
     ws = word_stats(texts, _scan=scan)
     ls = line_stats(texts, _scan=scan)
     if lang_codes is not None:

@@ -137,6 +137,38 @@ def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
     return _script_spans_numpy(text, text_limit)
 
 
+def script_spans_batch(texts: list[str],
+                       text_limit: int = TEXT_LIMIT
+                       ) -> list[list[ScriptSpan]]:
+    """script_spans for a whole batch in ONE C call (the per-doc
+    ctypes marshaling was ~15% of the fused stage). Bit-equal to
+    [script_spans(t) for t in texts] — cross-checked in tests."""
+    from cld2_ray import native
+    if not native.AVAILABLE:
+        return [script_spans(t, text_limit) for t in texts]
+    bufs = [t.encode("utf-8") for t in texts]
+    bounds = np.cumsum(np.array([len(b) for b in bufs], dtype=np.int64))
+    cat = b"".join(bufs)
+    meta, ns_doc, out_buf, lt_idx = native.script_spans_scan_multi(
+        cat, bounds, us.script_lut(), us.lower_lut(),
+        text_limit, MAX_SCRIPT_BYTES)
+    out: list[list[ScriptSpan]] = []
+    row = 0
+    for d in range(len(texts)):
+        spans_d: list[ScriptSpan] = []
+        for r in range(row, row + int(ns_doc[d])):
+            sc_id, c0, c1, os_, ob, lp0, lp1 = (int(x) for x in meta[r])
+            spans_d.append(ScriptSpan(
+                text_utf8=bytes(out_buf[os_:os_ + ob]),
+                script=sc_id, offset=c0, text_bytes=ob,
+                end_offset=c1,
+                letter_pos=lt_idx[lp0:lp1].copy(),
+            ))
+        row += int(ns_doc[d])
+        out.append(spans_d)
+    return out
+
+
 def _script_spans_numpy(text: str,
                         text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
     """Numpy fallback + cross-check reference for the C segmenter."""

@@ -53,6 +53,7 @@ _CS = None
 _CJ = None
 _QS = None
 _SS = None
+_SSM = None
 _EX = None
 
 
@@ -168,6 +169,15 @@ def _load() -> None:
     ss.restype = ctypes.c_int64
     global _SS
     _SS = ss
+    ssm = lib.script_spans_scan_multi
+    ssm.argtypes = [vp, vp, ctypes.c_int64,
+                    vp, vp, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64,
+                    vp, vp, vp, vp,
+                    vp, vp, vp]
+    ssm.restype = ctypes.c_int64
+    global _SSM
+    _SSM = ssm
     ex = lib.extract_scan
     ex.argtypes = [vp, ctypes.c_int64,
                    vp, vp, ctypes.c_int64, vp, vp]
@@ -387,6 +397,43 @@ def script_spans_scan(utf8_text: bytes, script_lut: np.ndarray,
              len(script_lut), text_limit, max_span_bytes, *sc["ptrs"])
     meta = sc["meta"][:ns * 7].reshape(ns, 7)
     return meta, sc["out_buf"], sc["lt_idx"]
+
+
+_ssm_scratch: dict[str, np.ndarray] = {}
+
+
+def script_spans_scan_multi(cat: bytes, bounds: np.ndarray,
+                            script_lut: np.ndarray, lower_lut: np.ndarray,
+                            text_limit: int, max_span_bytes: int):
+    """Batched script_spans_scan: one C call for all docs. ``bounds``
+    are cumulative end offsets into ``cat``. Returns (meta, ns_doc,
+    out_buf view, lt_idx view); meta rows as in script_spans_scan with
+    out/lp indexes already rebased to the shared buffers; doc d owns
+    meta rows [sum(ns_doc[:d]), sum(ns_doc[:d+1]))."""
+    n = len(cat)
+    n_docs = len(bounds)
+    sc = _ssm_scratch
+    lt_need = n + 8 * n_docs + 8
+    if sc.get("lt_cap", 0) < lt_need or sc.get("nd_cap", 0) < n_docs:
+        lt_cap = max(lt_need, 1 << 14)
+        nd_cap = max(n_docs, 256)
+        sc["lt_idx"] = np.empty(lt_cap, dtype=np.int64)
+        sc["lt_sc"] = np.empty(lt_cap, dtype=np.uint8)
+        sc["lt_low"] = np.empty(lt_cap, dtype=np.uint32)
+        sc["lt_len"] = np.empty(lt_cap, dtype=np.uint8)
+        sc["out_buf"] = np.empty(8 * lt_cap + 64, dtype=np.uint8)
+        sc["meta"] = np.empty((lt_cap + 8) * 7, dtype=np.int64)
+        sc["ns_doc"] = np.empty(nd_cap, dtype=np.int64)
+        sc["ptrs"] = tuple(sc[k].ctypes.data for k in
+                           ("lt_idx", "lt_sc", "lt_low", "lt_len",
+                            "out_buf", "meta", "ns_doc"))
+        sc["lt_cap"] = lt_cap
+        sc["nd_cap"] = nd_cap
+    ns = _SSM(cat, bounds.ctypes.data, n_docs,
+              script_lut.ctypes.data, lower_lut.ctypes.data,
+              len(script_lut), text_limit, max_span_bytes, *sc["ptrs"])
+    meta = sc["meta"][:ns * 7].reshape(ns, 7)
+    return meta, sc["ns_doc"][:n_docs], sc["out_buf"], sc["lt_idx"]
 
 
 def quality_scan(cat: bytes, bounds: np.ndarray, letter_lut: np.ndarray,

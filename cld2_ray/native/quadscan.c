@@ -1493,3 +1493,40 @@ int64_t extract_scan(const uint8_t *b, int64_t n,
     }
     return op;
 }
+
+/* Batched script_spans_scan: one call per BATCH instead of per doc
+ * (the per-call ctypes marshaling was ~15% of the fused stage).
+ * Per-doc scratch regions are pre-partitioned with the same margins
+ * the single-call Python wrapper uses (lt: len+8, out: 8*len+64), so
+ * the inner calls never overlap. meta rows get their out/lp indexes
+ * rebased to the shared buffers; ns_doc[d] = span count of doc d. */
+int64_t script_spans_scan_multi(
+        const uint8_t *cat, const int64_t *bounds, int64_t n_docs,
+        const uint8_t *script_lut, const uint32_t *lower_lut,
+        int64_t lut_size, int64_t text_limit, int64_t max_span_bytes,
+        int64_t *lt_idx, uint8_t *lt_sc, uint32_t *lt_low,
+        uint8_t *lt_len, uint8_t *out_buf, int64_t *meta,
+        int64_t *ns_doc) {
+    int64_t meta_total = 0, lt_base = 0, out_base = 0, prev = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t len = bounds[d] - prev;
+        int64_t ns = script_spans_scan(
+            cat + prev, len, script_lut, lower_lut, lut_size,
+            text_limit, max_span_bytes,
+            lt_idx + lt_base, lt_sc + lt_base, lt_low + lt_base,
+            lt_len + lt_base, out_buf + out_base,
+            meta + meta_total * 7);
+        for (int64_t r = 0; r < ns; r++) {
+            int64_t *m = meta + (meta_total + r) * 7;
+            m[3] += out_base;
+            m[5] += lt_base;
+            m[6] += lt_base;
+        }
+        meta_total += ns;
+        ns_doc[d] = ns;
+        lt_base += len + 8;
+        out_base += 8 * len + 64;
+        prev = bounds[d];
+    }
+    return meta_total;
+}

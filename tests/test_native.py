@@ -337,6 +337,25 @@ class TestScriptSpansScan:
         assert len(c) == len(n)
         assert sum(s.text_bytes for s in c) == sum(s.text_bytes for s in n)
 
+    def test_batched_equals_per_doc(self):
+        """script_spans_batch (one C call per batch, rebased shared
+        buffers) must reproduce per-doc script_spans exactly —
+        including empty docs between non-empty ones."""
+        from cld2_ray.functions import spans
+        texts = self.CASES + _page_texts(150) + [""]
+        batch = spans.script_spans_batch(texts)
+        assert len(batch) == len(texts)
+        for t, got in zip(texts, batch):
+            ref = spans.script_spans(t)
+            assert len(got) == len(ref), t[:60]
+            for x, y in zip(got, ref):
+                assert x.text_utf8 == y.text_utf8
+                assert (x.script, x.offset, x.end_offset,
+                        x.text_bytes) == (y.script, y.offset,
+                                          y.end_offset, y.text_bytes)
+                assert np.array_equal(np.asarray(x.letter_pos),
+                                      np.asarray(y.letter_pos))
+
     @settings(deadline=None, max_examples=150)
     @given(st.text(alphabet=st.characters(max_codepoint=0x2FFF),
                    max_size=300))
