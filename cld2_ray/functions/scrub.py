@@ -35,6 +35,13 @@ TOXICITY_WORDS = ["badword1", "badword2", "slurword"]
 _TOX = re.compile("|".join(re.escape(w) for w in TOXICITY_WORDS),
                   re.IGNORECASE)
 
+# prescreen: one alternation pass selects the docs where ANY pattern
+# can match; the others skip the 10 count/replace passes. Sound
+# because the replacement tokens (<EMAIL> etc.) contain no digits or
+# '@', so a replacement can never CREATE a match for a later pattern —
+# a doc the alternation misses is untouched by the sequential scrub.
+_ANY_PII = "(?:" + ")|(?:".join(p for _, p in PII_PATTERNS) + ")"
+
 
 def scrub_series(texts: pd.Series) -> pd.DataFrame:
     """Vectorized scrub on Arrow compute kernels (C++/RE2 — the patterns
@@ -47,11 +54,21 @@ def scrub_series(texts: pd.Series) -> pd.DataFrame:
     filled = texts.fillna("")
     arr = pa.Array.from_pandas(filled)
     n_pii = np.zeros(len(filled), dtype=np.int64)
-    for token, pat in PII_PATTERNS:
-        n_pii += pc.count_substring_regex(arr, pat) \
-            .to_numpy(zero_copy_only=False)
-        arr = pc.replace_substring_regex(arr, pattern=pat,
-                                         replacement=token)
+    hit = pc.match_substring_regex(arr, _ANY_PII) \
+        .to_numpy(zero_copy_only=False)
+    hit_idx = np.flatnonzero(hit)
+    if len(hit_idx):
+        sub = pc.take(arr, pa.array(hit_idx))
+        n_sub = np.zeros(len(hit_idx), dtype=np.int64)
+        for token, pat in PII_PATTERNS:
+            n_sub += pc.count_substring_regex(sub, pat) \
+                .to_numpy(zero_copy_only=False)
+            sub = pc.replace_substring_regex(sub, pattern=pat,
+                                             replacement=token)
+        n_pii[hit_idx] = n_sub
+        scrubbed = filled.to_numpy(copy=True)
+        scrubbed[hit_idx] = sub.to_pandas().values
+        arr = pa.array(scrubbed)
     has_tox = pd.Series(
         pc.match_substring_regex(arr, _TOX.pattern, ignore_case=True)
         .to_numpy(zero_copy_only=False), index=texts.index)
