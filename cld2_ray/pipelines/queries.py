@@ -332,6 +332,87 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_q3(sf_dir):
+    """TPC-H Q3-style: top-10 orders by revenue for one market segment
+    — a LARGE x LARGE distributed hash-shuffle join (Dataset.join),
+    complementing the broadcast joins: customer->orders on custkey,
+    then orders->lineitem on orderkey, with filters pushed below both
+    joins so only qualifying rows shuffle. Revenue is summed in integer
+    cents (floor(x*100 + 0.5) per row on BOTH sides) so the aggregate
+    is order-independent and hash-stable."""
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    # partition count scales with the cluster; fractional-CPU
+    # aggregators so a small session can still schedule them all
+    # (16 full-CPU aggregators on a 4-CPU test session deadlocks)
+    n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    join_kw = dict(num_partitions=n_part,
+                   aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    cutoff = pd.Timestamp("1998-06-01")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1 - d) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_cents": cents})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+    line = line.map_batches(line_prep, batch_format="pyarrow")
+
+    oc = orders.join(cust, join_type="inner", on=("o_custkey",),
+                     right_on=("c_custkey",), **join_kw)
+    oc = oc.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_date": pc.cast(pc.divide(pc.cast(
+                t["o_orderdate"], pa.int64()), 10**6), pa.int64())}),
+        batch_format="pyarrow")
+    ol = line.join(oc, join_type="inner", on=("l_orderkey",),
+                   right_on=("o_orderkey",), **join_kw)
+    agg = ol.groupby(["l_orderkey", "o_date"]).aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"))
+    df = agg.to_pandas().sort_values(
+        ["revenue_cents", "l_orderkey"],
+        ascending=[False, True]).head(10).reset_index(drop=True)
+    return df[["l_orderkey", "o_date", "revenue_cents"]].astype("int64")
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_date, revenue_cents FROM (
+  SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l_orderkey, o_date
+) ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_events_hourly(sf_dir):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
@@ -876,6 +957,7 @@ QUERIES = {
     "quality_rules": q_quality_rules,
     "pii_scrub": q_pii_scrub,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "orders_by_segment": q_orders_by_segment,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
@@ -911,6 +993,7 @@ ORACLE_SQL = {
     "quality_rules": SQL_QUALITY_RULES,
     "pii_scrub": SQL_PII_SCRUB,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "event_sessions": SQL_EVENT_SESSIONS,
