@@ -166,8 +166,26 @@ def run_scaling(sf_dir: str, lo: int | None = None,
     }
 
 
+def _resolve_sf_dir(sf_dir: str) -> str:
+    """Fall back to the largest populated sf dir if the requested one
+    is missing its tables (the testdata dirs are driver-managed and
+    have been observed transiently empty)."""
+    probe = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(probe):
+        return sf_dir
+    root = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
+    for cand in ("sf0.1", "sf0.01", "sf0.001"):
+        p = os.path.join(root, cand)
+        if os.path.exists(os.path.join(p, "documents.parquet")):
+            print(f"# {sf_dir} has no documents.parquet; using {p}",
+                  file=sys.stderr)
+            return p
+    return sf_dir  # let the read fail loudly
+
+
 if __name__ == "__main__":
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _resolve_sf_dir(
+        os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:

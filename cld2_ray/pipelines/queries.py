@@ -413,6 +413,35 @@ SELECT l_orderkey, o_date, revenue_cents FROM (
 """
 
 
+def q_stratified_sample(sf_dir):
+    """Deterministic per-language quota sampling (rebalance a skewed
+    corpus by downsampling the head language). The keep decision is a
+    pure hash of doc_id — reproducible across runs, cluster sizes and
+    partitionings, with no shuffle (a stateless filter map). The md5
+    recipe is shared bit-for-bit with the SQL oracle."""
+    import hashlib
+    RATE_EN, RATE_OTHER = 0.1, 0.5
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.fromiter(
+            (int(hashlib.md5(f"{int(d)}:strat".encode())
+                 .hexdigest()[:8], 16) for d in df["doc_id"]),
+            dtype=np.float64, count=len(df)) / 4294967296.0
+        rate = np.where(df["lang"].to_numpy() == "en", RATE_EN,
+                        RATE_OTHER)
+        return df[u < rate]
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8))
+        ::UBIGINT / 4294967296.0
+      < CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END
+"""
+
+
 def q_events_hourly(sf_dir):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
@@ -958,6 +987,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "stratified_sample": q_stratified_sample,
     "orders_by_segment": q_orders_by_segment,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
@@ -994,6 +1024,7 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "event_sessions": SQL_EVENT_SESSIONS,
