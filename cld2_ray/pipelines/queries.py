@@ -500,6 +500,135 @@ FROM (
 """
 
 
+def q_events_window(sf_dir):
+    """Sliding RANGE-window aggregate (the brief's 'windowed aggregate'
+    custom operator): for every event, the count and value-sum (integer
+    cents) of the same user's events in the trailing hour, inclusive of
+    ties — exactly SQL's RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW. Distributed as groupby(user).map_groups with a
+    vectorized two-searchsorted frame per group (partitioning
+    assumption: one user's stream fits one group — the same contract
+    the SQL window's PARTITION BY carries)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5)             .astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(t, t - 3600 * 10**6, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "n_1h": (hi - lo).astype(np.int64),
+            "sum_cents_1h": cum[hi] - cum[lo]})
+    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS sum_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_asof_join(sf_dir):
+    """Distributed AS-OF join (the brief's named custom operator): for
+    every event, the user's most recent order at or before the event
+    time. Shape: both sides are projected to one common (key, kind,
+    id, ts) schema, unioned, hash-partitioned by key with ONE shuffle
+    (groupby(key).map_groups), and matched inside each group with a
+    vectorized searchsorted — the standard co-partition + per-key
+    merge an as-of join needs at scale. Ties on (custkey, orderdate)
+    are collapsed to max(o_orderkey) on BOTH sides so the answer is
+    deterministic (DuckDB ASOF leaves ties unspecified)."""
+    import ray.data as rd
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    ev = ev.map_batches(lambda df: pd.DataFrame({
+        "key": df["user_id"].astype(np.int64),
+        "kind": np.int8(0),
+        "id": df["event_id"].astype(np.int64),
+        "ts_us": df["ts"].astype("int64")}), batch_format="pandas")
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    od = od.map_batches(lambda df: pd.DataFrame({
+        "key": df["o_custkey"].astype(np.int64),
+        "kind": np.int8(1),
+        "id": df["o_orderkey"].astype(np.int64),
+        "ts_us": df["o_orderdate"].astype("int64")}), batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1].sort_values(["ts_us", "id"])
+        e = g[g["kind"] == 0]
+        if not len(e):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="int64")})
+        # collapse orderdate ties to the max orderkey (deterministic)
+        o = o.groupby("ts_us", sort=True)["id"].max()
+        ots = o.index.to_numpy()
+        oid = o.to_numpy()
+        pos = np.searchsorted(ots, e["ts_us"].to_numpy(), side="right") - 1
+        ok = pos >= 0
+        return pd.DataFrame({
+            "event_id": e["id"].to_numpy()[ok],
+            "o_orderkey": oid[pos[ok]]})
+
+    return ev.union(od).groupby("key").map_groups(
+        merge, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, o.o_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# price bands for the range join — the literal table is shared
+# verbatim with the SQL oracle's VALUES list
+_PRICE_BANDS = [(0.0, 950.0, "budget"), (950.0, 1050.0, "mid"),
+                (1050.0, 1200.0, "premium"), (1200.0, 10**9, "luxury")]
+
+
+def q_range_join(sf_dir):
+    """Range (interval) join — the brief's named custom operator: each
+    part joins the price band whose [lo, hi) interval contains its
+    retail price. The band table is tiny, so the scale shape is
+    broadcast + per-batch searchsorted over the sorted bounds (no
+    shuffle at all); a large band table would fall back to the same
+    union + co-partition shape as q_asof_join."""
+    from ray.data.aggregate import Count
+    lo = np.array([b[0] for b in _PRICE_BANDS])
+    names = np.array([b[2] for b in _PRICE_BANDS], dtype=object)
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        i = np.searchsorted(lo, df["p_retailprice"].to_numpy(),
+                            side="right") - 1
+        return pd.DataFrame({"band": names[i]})
+    return ds.map_batches(band, batch_format="pandas")         .groupby("band").aggregate(Count(alias_name="n_parts"))
+
+
+SQL_RANGE_JOIN = f"""
+WITH bands(lo, hi, band) AS (
+  VALUES {", ".join(f"({lo}, {hi}, '{nm}')"
+                    for lo, hi, nm in _PRICE_BANDS)}
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_parts
+FROM part JOIN bands
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
 def q_supplier_regions(sf_dir):
     """Two-level broadcast dimension join: supplier -> nation -> region
     (both dimension tables shipped once via ray.put)."""
@@ -991,6 +1120,9 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
+    "events_window": q_events_window,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "supplier_regions": q_supplier_regions,
     "part_brand_stats": q_part_brand_stats,
     "ann_top1": q_ann_top1,
@@ -1028,6 +1160,9 @@ ORACLE_SQL = {
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "events_hourly": SQL_EVENTS_HOURLY,
     "event_sessions": SQL_EVENT_SESSIONS,
+    "events_window": SQL_EVENTS_WINDOW,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "supplier_regions": SQL_SUPPLIER_REGIONS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "ann_top1": SQL_ANN_TOP1,
