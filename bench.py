@@ -184,10 +184,13 @@ def _resolve_sf_dir(sf_dir: str) -> str:
 
 
 if __name__ == "__main__":
-    sf_dir = _resolve_sf_dir(
-        os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    requested = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _resolve_sf_dir(requested)
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        out = run_scaling(sf_dir)
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        print(json.dumps(run_benchmarks(sf_dir, ncpu)))
+        out = run_benchmarks(sf_dir, ncpu)
+    if sf_dir != requested:
+        out["sf_requested"] = requested  # substitution is on the record
+    print(json.dumps(out))

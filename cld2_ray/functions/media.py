@@ -37,39 +37,11 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + dib + bytes(rows)
 
 
-def decode_bmp(data: bytes):
-    """BMP bytes -> (width, height, channels, mean_pixel 0..1) or None
-    if not a parseable uncompressed 24/32-bit BMP."""
-    if len(data) < 54 or data[:2] != b"BM":
-        return None
-    try:
-        offset = struct.unpack_from("<I", data, 10)[0]
-        dib_size = struct.unpack_from("<I", data, 14)[0]
-        if dib_size < 40:
-            return None
-        w, h = struct.unpack_from("<ii", data, 18)
-        planes, bpp = struct.unpack_from("<HH", data, 26)
-        compression = struct.unpack_from("<I", data, 30)[0]
-    except struct.error:
-        return None
-    if planes != 1 or compression != 0 or bpp not in (24, 32) \
-            or w <= 0 or abs(h) == 0:
-        return None
-    nch = bpp // 8
-    height = abs(h)
-    row_size = (w * nch + 3) & ~3
-    need = offset + row_size * height
-    if len(data) < need:
-        return None
-    rows = np.frombuffer(data, dtype=np.uint8,
-                         count=row_size * height, offset=offset)
-    rows = rows.reshape(height, row_size)[:, : w * nch]
-    return int(w), int(height), int(nch), float(rows.mean() / 255.0)
-
-
-def decode_bmp_pixels(data: bytes):
-    """BMP bytes -> (h, w, 3) uint8 RGB array (top-down) or None.
-    Same format support as decode_bmp; 32-bit BGRA drops alpha."""
+def _parse_bmp(data: bytes):
+    """Shared header parse + pixel-row view: -> (w, height, nch,
+    h_signed, rows[height, w*nch]) or None if not a parseable
+    uncompressed 24/32-bit BMP. Single source of truth for what byte
+    streams the two decoders accept."""
     if len(data) < 54 or data[:2] != b"BM":
         return None
     try:
@@ -92,8 +64,27 @@ def decode_bmp_pixels(data: bytes):
         return None
     rows = np.frombuffer(data, dtype=np.uint8,
                          count=row_size * height, offset=offset)
-    px = rows.reshape(height, row_size)[:, : w * nch]
-    px = px.reshape(height, w, nch)[:, :, :3][:, :, ::-1]  # BGR(A)->RGB
+    return w, height, nch, h, rows.reshape(height, row_size)[:, : w * nch]
+
+
+def decode_bmp(data: bytes):
+    """BMP bytes -> (width, height, channels, mean_pixel 0..1) or None
+    if not a parseable uncompressed 24/32-bit BMP."""
+    parsed = _parse_bmp(data)
+    if parsed is None:
+        return None
+    w, height, nch, _, rows = parsed
+    return int(w), int(height), int(nch), float(rows.mean() / 255.0)
+
+
+def decode_bmp_pixels(data: bytes):
+    """BMP bytes -> (h, w, 3) uint8 RGB array (top-down) or None.
+    Same format support as decode_bmp; 32-bit BGRA drops alpha."""
+    parsed = _parse_bmp(data)
+    if parsed is None:
+        return None
+    w, height, nch, h, rows = parsed
+    px = rows.reshape(height, w, nch)[:, :, :3][:, :, ::-1]  # BGR(A)->RGB
     if h > 0:                                   # bottom-up storage
         px = px[::-1]
     return np.ascontiguousarray(px)

@@ -227,9 +227,13 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 keys = minhash_bands(sig)
             sh = np.unique(sh_raw)
             for band_id, key in enumerate(keys):
-                part = int.from_bytes(
-                    hashlib.md5(str(key).encode()).digest()[:4],
-                    "little") % n_parts
+                # int band keys are blake2b-derived (already uniform);
+                # only the sql variant's string keys need a hash to
+                # spread across parts
+                part = key % n_parts if isinstance(key, int) else \
+                    int.from_bytes(
+                        hashlib.md5(key.encode()).digest()[:4],
+                        "little") % n_parts
                 rows.append((did, band_id, key, part, sh))
         return pd.DataFrame(rows, columns=[id_col, "band_id", "band_key",
                                            "part", "shingles"])

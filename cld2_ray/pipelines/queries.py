@@ -540,45 +540,54 @@ def q_asof_join(sf_dir):
     """Distributed AS-OF join (the brief's named custom operator): for
     every event, the user's most recent order at or before the event
     time. Shape: both sides are projected to one common (key, kind,
-    id, ts) schema, unioned, hash-partitioned by key with ONE shuffle
-    (groupby(key).map_groups), and matched inside each group with a
-    vectorized searchsorted — the standard co-partition + per-key
-    merge an as-of join needs at scale. Ties on (custkey, orderdate)
-    are collapsed to max(o_orderkey) on BOTH sides so the answer is
-    deterministic (DuckDB ASOF leaves ties unspecified)."""
-    import ray.data as rd
-
+    id, ts) schema, unioned, hash-partitioned into 64 part buckets
+    with ONE shuffle (groupby(part).map_groups — per-KEY groups would
+    pay Ray's ~100us group dispatch once per user), then matched per
+    key inside each bucket with a vectorized searchsorted. Ties on
+    (custkey, orderdate) are collapsed to max(o_orderkey) on BOTH
+    sides so the answer is deterministic (DuckDB ASOF leaves ties
+    unspecified)."""
+    _NP = 64
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     ev = ev.map_batches(lambda df: pd.DataFrame({
         "key": df["user_id"].astype(np.int64),
+        "part": (df["user_id"] % _NP).astype(np.int64),
         "kind": np.int8(0),
         "id": df["event_id"].astype(np.int64),
         "ts_us": df["ts"].astype("int64")}), batch_format="pandas")
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
     od = od.map_batches(lambda df: pd.DataFrame({
         "key": df["o_custkey"].astype(np.int64),
+        "part": (df["o_custkey"] % _NP).astype(np.int64),
         "kind": np.int8(1),
         "id": df["o_orderkey"].astype(np.int64),
         "ts_us": df["o_orderdate"].astype("int64")}), batch_format="pandas")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["kind"] == 1].sort_values(["ts_us", "id"])
-        e = g[g["kind"] == 0]
-        if not len(e):
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "o_orderkey": pd.Series([], dtype="int64")})
-        # collapse orderdate ties to the max orderkey (deterministic)
-        o = o.groupby("ts_us", sort=True)["id"].max()
-        ots = o.index.to_numpy()
-        oid = o.to_numpy()
-        pos = np.searchsorted(ots, e["ts_us"].to_numpy(), side="right") - 1
-        ok = pos >= 0
-        return pd.DataFrame({
-            "event_id": e["id"].to_numpy()[ok],
-            "o_orderkey": oid[pos[ok]]})
+    _EMPTY = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                           "o_orderkey": pd.Series([], dtype="int64")})
 
-    return ev.union(od).groupby("key").map_groups(
-        merge, batch_format="pandas")
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [_EMPTY]
+        for _, g in part.groupby("key", sort=False):
+            o = g[g["kind"] == 1].sort_values(["ts_us", "id"])
+            e = g[g["kind"] == 0]
+            if not len(e) or not len(o):
+                continue
+            # collapse orderdate ties to the max orderkey (deterministic)
+            o = o.groupby("ts_us", sort=True)["id"].max()
+            ots = o.index.to_numpy()
+            oid = o.to_numpy()
+            pos = np.searchsorted(ots, e["ts_us"].to_numpy(),
+                                  side="right") - 1
+            ok = pos >= 0
+            outs.append(pd.DataFrame({
+                "event_id": e["id"].to_numpy()[ok],
+                "o_orderkey": oid[np.maximum(pos, 0)][ok]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return ev.union(od).groupby("part").map_groups(
+        merge, batch_format="pandas").select_columns(
+        ["event_id", "o_orderkey"])
 
 
 SQL_ASOF_JOIN = """
@@ -607,13 +616,16 @@ def q_range_join(sf_dir):
     union + co-partition shape as q_asof_join."""
     from ray.data.aggregate import Count
     lo = np.array([b[0] for b in _PRICE_BANDS])
+    hi = np.array([b[1] for b in _PRICE_BANDS])
     names = np.array([b[2] for b in _PRICE_BANDS], dtype=object)
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
 
     def band(df: pd.DataFrame) -> pd.DataFrame:
-        i = np.searchsorted(lo, df["p_retailprice"].to_numpy(),
-                            side="right") - 1
-        return pd.DataFrame({"band": names[i]})
+        price = df["p_retailprice"].to_numpy()
+        i = np.searchsorted(lo, price, side="right") - 1
+        # rows outside every interval drop, matching the inner join
+        ok = (i >= 0) & (price < hi[np.maximum(i, 0)])
+        return pd.DataFrame({"band": names[i[ok]]})
     return ds.map_batches(band, batch_format="pandas")         .groupby("band").aggregate(Count(alias_name="n_parts"))
 
 

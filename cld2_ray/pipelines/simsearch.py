@@ -26,6 +26,19 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_with_ties(s: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k values of ``s`` INCLUDING every index tied
+    with the kth value (argpartition alone truncates ties arbitrarily,
+    which would let a per-batch cut drop the tied neighbor the global
+    (cos desc, id asc) merge should have kept). -inf entries excluded."""
+    kk = min(k, len(s))
+    if kk == 0:
+        return np.empty(0, np.int64)
+    kth = np.partition(s, len(s) - kk)[len(s) - kk]
+    idx = np.flatnonzero((s >= kth) & np.isfinite(s))
+    return idx
+
+
 def _filter_ids(ds, id_col: str, wanted) -> "object":
     """Row filter by membership — a map_batches isin, never a
     string-interpolated filter expression (works for any id dtype and
@@ -60,13 +73,10 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 10,
             for i, qid in enumerate(bq_ids):
                 self_pos = np.flatnonzero(ids == qid)
                 sims[i, self_pos] = -np.inf
-        kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = []
         for i, qid in enumerate(bq_ids):
-            for j in top[i]:
-                if np.isfinite(sims[i, j]):
-                    rows.append((int(qid), float(sims[i, j]), int(ids[j])))
+            for j in _topk_with_ties(sims[i], k):
+                rows.append((int(qid), float(sims[i, j]), int(ids[j])))
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
 
     partial = ds.map_batches(local_topk, batch_format="pandas",
@@ -144,12 +154,9 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
             for i, qid in enumerate(bq_ids):
                 s = sims[i].copy()
                 s[kids == qid] = -np.inf
-                kk = min(k, len(s))
-                top = np.argpartition(-s, kk - 1)[:kk]
-                for j in top:
-                    if np.isfinite(s[j]):
-                        rows.append((0, float(s[j]), int(qid),
-                                     int(kids[j])))
+                for j in _topk_with_ties(s, k):
+                    rows.append((0, float(s[j]), int(qid),
+                                 int(kids[j])))
         return pd.DataFrame(rows, columns=["kind", "cos", "a", "b"])
 
     part = ds.map_batches(pass1, batch_format="pandas",
@@ -186,22 +193,19 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, n_clusters: int = 16,
             bq_ids, bq, c, _ = ray.get(ref)
             mat = _norm_rows(np.stack(df[vec_col].to_numpy()))
             assign = np.argmax(mat @ c.T, axis=1)
-            df = df[np.isin(assign, list(expand))]
-            if not len(df):
+            sel = np.isin(assign, list(expand))
+            if not sel.any():
                 return pd.DataFrame(
                     columns=["cos", "query_id", "neighbor_id"])
-            mat = _norm_rows(np.stack(df[vec_col].to_numpy()))
-            ids = df[id_col].to_numpy()
+            mat = mat[sel]
+            ids = df[id_col].to_numpy()[sel]
             sims = bq @ mat.T
             rows = []
             for i, qid in enumerate(bq_ids):
                 s = sims[i].copy()
                 s[ids == qid] = -np.inf
-                kk = min(k, len(s))
-                top = np.argpartition(-s, kk - 1)[:kk]
-                for j in top:
-                    if np.isfinite(s[j]):
-                        rows.append((float(s[j]), int(qid), int(ids[j])))
+                for j in _topk_with_ties(s, k):
+                    rows.append((float(s[j]), int(qid), int(ids[j])))
             return pd.DataFrame(rows,
                                 columns=["cos", "query_id", "neighbor_id"])
 

@@ -34,11 +34,20 @@ STUB_EMBED = False   # random-projection features over decoded pixels
 
 
 def _pool_grid(px: np.ndarray, g: int) -> np.ndarray:
-    """Area-pool (h, w, 3) uint8 pixels to a (g, g, 3) float mean grid
-    (vectorized bucket sums; cells never empty for h, w >= 1)."""
+    """Area-pool (h, w, 3) uint8 pixels to a (g, g, 3) float mean grid.
+    Images smaller than the grid are first upsampled by nearest-pixel
+    replication so every cell is populated (otherwise a tiny image
+    would embed half its features as black and break the
+    nearby-images-map-nearby property)."""
     h, w, _ = px.shape
-    yi = np.arange(h) * g // max(h, 1)
-    xi = np.arange(w) * g // max(w, 1)
+    if h < g:
+        px = px[np.minimum(np.arange(g) * h // g, h - 1)]
+        h = g
+    if w < g:
+        px = px[:, np.minimum(np.arange(g) * w // g, w - 1)]
+        w = g
+    yi = np.arange(h) * g // h
+    xi = np.arange(w) * g // w
     pool = np.zeros((g, g, 3), np.float64)
     cnt = np.zeros((g, g), np.float64)
     np.add.at(pool, (yi[:, None], xi[None, :]), px.astype(np.float64))

@@ -181,3 +181,19 @@ class TestMultimodal:
         # deterministic across actor instances (fixed seed)
         e2 = np.array(ImageEmbedStage()(t)["embedding"].to_pylist())
         assert (e == e2).all()
+
+    def test_tiny_image_fills_grid(self):
+        """Images smaller than the pooling grid upsample by
+        replication — a solid-color 4x4 must embed like a solid-color
+        64x64, not like a mostly-black frame."""
+        import numpy as np
+        from cld2_ray.functions.media import encode_bmp
+        from cld2_ray.stages.multimodal import ImageEmbedStage
+        import pyarrow as pa
+        white_s = np.full((4, 4, 3), 255, np.uint8)
+        white_l = np.full((64, 64, 3), 255, np.uint8)
+        stage = ImageEmbedStage()
+        out = stage(pa.table({"image": [encode_bmp(white_s),
+                                        encode_bmp(white_l)]}))
+        e = np.array(out["embedding"].to_pylist())
+        assert e[0] @ e[1] > 0.999
