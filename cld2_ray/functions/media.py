@@ -162,3 +162,81 @@ def make_wav(media_id: int) -> bytes:
     freq = 100 + (media_id % 20) * 50
     samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype(np.int16)
     return encode_wav(samples, sr)
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed video, plain-text header + raw frames
+# --------------------------------------------------------------------------
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w) uint8 LUMA frames -> Y4M bytes (C420jpeg: chroma
+    planes are the mean-pooled luma halves here — enough for a real
+    container round-trip without a color model)."""
+    n, h, w = frames.shape
+    assert h % 2 == 0 and w % 2 == 0
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n"
+    out = [head.encode("ascii")]
+    for f in frames:
+        c = f.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) \
+            .astype(np.uint8)
+        out.append(b"FRAME\n")
+        out.append(f.tobytes())
+        out.append(c.tobytes())   # Cb
+        out.append(c.tobytes())   # Cr
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes, sample_every: int = 1):
+    """Y4M bytes -> (width, height, fps_num, fps_den, n_frames,
+    sampled_frames list of (h, w) uint8 luma arrays) or None. Walks
+    the stream header and every FRAME marker; 4:2:0 only."""
+    if not data.startswith(b"YUV4MPEG2"):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = fn = fd = None
+    for tok in data[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fn, fd = (int(x) for x in tok[1:].split(b":"))
+        elif tok.startswith(b"C") and not tok.startswith(b"C420"):
+            return None               # 4:2:0 only
+    if not w or not h or not fn:
+        return None
+    frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+    pos = nl + 1
+    n_frames = 0
+    sampled: list[np.ndarray] = []
+    while pos < len(data):
+        nl2 = data.find(b"\n", pos)
+        if nl2 < 0 or data[pos:pos + 5] != b"FRAME":
+            return None               # corrupt frame marker
+        body = nl2 + 1
+        if body + frame_bytes > len(data):
+            return None               # truncated frame
+        if n_frames % sample_every == 0:
+            luma = np.frombuffer(data, np.uint8, count=w * h,
+                                 offset=body).reshape(h, w)
+            sampled.append(luma)
+        n_frames += 1
+        pos = body + frame_bytes
+    return int(w), int(h), int(fn), int(fd), n_frames, sampled
+
+
+def y4m_params_for(media_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) fixture contract (SQL-checkable)."""
+    return (16 + (media_id % 8) * 2, 16 + (media_id % 5) * 4,
+            4 + media_id % 12)
+
+
+def make_y4m(media_id: int) -> bytes:
+    w, h, n = y4m_params_for(media_id)
+    t = np.arange(n)[:, None, None]
+    y, x = np.mgrid[0:h, 0:w]
+    frames = ((x[None] * 3 + y[None] * 5 + t * 17 + media_id)
+              % 256).astype(np.uint8)
+    return encode_y4m(frames)

@@ -1113,6 +1113,40 @@ FROM documents
 """
 
 
+def q_media_video(sf_dir):
+    """Multimodal VIDEO pipeline with a REAL container parser
+    (YUV4MPEG2): one Y4M clip per documents row (dimensions and frame
+    count pure functions of doc_id — the oracle contract), frame
+    markers walked and every 2nd luma plane decoded by the actor
+    stage. A parser that stops reading the stream breaks the n_frames
+    hash check."""
+    from cld2_ray.functions.media import make_y4m
+    from cld2_ray.stages.multimodal import VideoFrameSampleStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": df["doc_id"].astype(np.int64),
+            "video": [make_y4m(int(d)) for d in df["doc_id"]]})
+
+    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 2))
+    return ds.select_columns(["media_id", "width", "height",
+                              "n_frames", "n_sampled"])
+
+
+# contracts = media.y4m_params_for; n_sampled = ceil(n_frames / 2)
+SQL_MEDIA_VIDEO = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 8) * 2 AS BIGINT) AS width,
+       CAST(16 + (doc_id % 5) * 4 AS BIGINT) AS height,
+       CAST(4 + doc_id % 12 AS BIGINT) AS n_frames,
+       CAST((4 + doc_id % 12 + 1) // 2 AS BIGINT) AS n_sampled
+FROM documents
+"""
+
+
 QUERIES = {
     "lang_counts": q_lang_counts,
     "source_lang_matrix": q_source_lang_matrix,
@@ -1151,6 +1185,7 @@ QUERIES = {
     "eval_confusion": q_eval_confusion,
     "media_decode": q_media_decode,
     "media_audio": q_media_audio,
+    "media_video": q_media_video,
 }
 
 ORACLE_SQL = {
@@ -1189,4 +1224,5 @@ ORACLE_SQL = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "media_decode": SQL_MEDIA_DECODE,
     "media_audio": SQL_MEDIA_AUDIO,
+    "media_video": SQL_MEDIA_VIDEO,
 }

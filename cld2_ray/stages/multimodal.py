@@ -150,6 +150,45 @@ class AudioFrameStage:
                 .append_column("decode_ok", pa.array(ok)))
 
 
+class VideoFrameSampleStage:
+    """binary video bytes (Y4M) -> (width, height, fps_num, n_frames,
+    n_sampled, mean_luma, decode_ok). Real container parsing: frame
+    markers are walked and every ``sample_every``-th luma plane is
+    decoded (the classic frame-sampling stage before per-frame
+    embedding); unparseable payloads -> decode_ok=False."""
+
+    def __init__(self, video_col: str = "video", sample_every: int = 2):
+        self.video_col = video_col
+        self.sample_every = sample_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.video_col].to_pylist()
+        n = len(payloads)
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        fps = np.zeros(n, np.int64)
+        nf = np.zeros(n, np.int64)
+        ns = np.zeros(n, np.int64)
+        luma = np.zeros(n, np.float32)
+        ok = np.zeros(n, bool)
+        for i, b in enumerate(payloads):
+            dec = media.decode_y4m(b or b"", self.sample_every)
+            if dec is not None:
+                w[i], h[i], fps[i], _, nf[i], frames = dec
+                ns[i] = len(frames)
+                if frames:
+                    luma[i] = float(np.mean([f.mean() for f in frames])
+                                    / 255.0)
+                ok[i] = True
+        return (batch.append_column("width", pa.array(w))
+                .append_column("height", pa.array(h))
+                .append_column("fps_num", pa.array(fps))
+                .append_column("n_frames", pa.array(nf))
+                .append_column("n_sampled", pa.array(ns))
+                .append_column("mean_luma", pa.array(luma))
+                .append_column("decode_ok", pa.array(ok)))
+
+
 def media_dataset_example(n: int = 64, seed: int = 42):
     """A small synthetic media table: (media_id, image bytes) with REAL
     BMP payloads whose dimensions follow media.bmp_dims_for(media_id)."""

@@ -182,6 +182,25 @@ class TestMultimodal:
         e2 = np.array(ImageEmbedStage()(t)["embedding"].to_pylist())
         assert (e == e2).all()
 
+    def test_y4m_roundtrip_and_sampling(self):
+        """Real Y4M container parse: exact luma round-trip, frame
+        counting past unsampled frames, truncation rejected."""
+        import numpy as np
+        from cld2_ray.functions.media import (decode_y4m, encode_y4m,
+                                              make_y4m, y4m_params_for)
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (7, 10, 16), dtype=np.uint8)
+        data = encode_y4m(frames, fps=(30, 1))
+        w, h, fn, fd, nf, sampled = decode_y4m(data, sample_every=3)
+        assert (w, h, fn, fd, nf) == (16, 10, 30, 1, 7)
+        assert len(sampled) == 3                 # frames 0, 3, 6
+        assert (sampled[1] == frames[3]).all()   # bit-exact luma
+        assert decode_y4m(data[:-5]) is None     # truncated frame
+        assert decode_y4m(b"garbage") is None
+        w2, h2, n2 = y4m_params_for(13)
+        ww, hh, _, _, nn, _ = decode_y4m(make_y4m(13))
+        assert (ww, hh, nn) == (w2, h2, n2)
+
     def test_tiny_image_fills_grid(self):
         """Images smaller than the pooling grid upsample by
         replication — a solid-color 4x4 must embed like a solid-color
