@@ -162,19 +162,33 @@ def classify_batch(texts) -> tuple[list[str], list[float]]:
     texts = [_cap_text(t) if t else "" for t in texts]
     n = len(texts)
     out_l, out_c = ["un"] * n, [0.0] * n
+    # single-language scripts resolve by script alone — ONE codepoints
+    # pass over the whole batch (lowering stays per doc: Greek final
+    # sigma makes str.lower context-dependent, so join-then-lower
+    # would drift). Per-doc bincount().argmax() == row argmax over the
+    # (doc, script) count matrix (both take the smallest tied index).
+    lowered = [t.lower() for t in texts]
+    bounds = np.cumsum(np.array([len(t) for t in lowered],
+                                dtype=np.int64))
+    cps = us.codepoints("".join(lowered))
+    sc = us.scripts_of(cps)
+    doc_of = np.searchsorted(bounds, np.arange(len(cps), dtype=np.int64),
+                             side="right")
+    nz = sc > 0
+    n_scripts = len(langs.SCRIPT_DEFAULT_LANG)
+    counts = np.bincount(doc_of[nz] * n_scripts + sc[nz],
+                         minlength=n * n_scripts).reshape(n, n_scripts)
+    has_letters = counts.sum(axis=1) > 0
+    dominant = counts[:, 1:].argmax(axis=1) + 1
     todo: list[int] = []
     for i, t in enumerate(texts):
         if not t.strip():
             continue
-        # single-language scripts resolve by script alone
-        cps = us.codepoints(t.lower())
-        sc = us.scripts_of(cps)
-        nonzero = sc[sc > 0]
-        if len(nonzero):
-            dominant = int(np.bincount(nonzero).argmax())
-            if us.script_rtype(dominant) == us.RTYPE_ONE:
+        if has_letters[i]:
+            d = int(dominant[i])
+            if us.script_rtype(d) == us.RTYPE_ONE:
                 out_l[i] = langs.lang_code(
-                    int(langs.SCRIPT_DEFAULT_LANG[dominant]))
+                    int(langs.SCRIPT_DEFAULT_LANG[d]))
                 out_c[i] = 0.95
                 continue
         todo.append(i)
