@@ -662,4 +662,30 @@ HELDOUT: dict[str, str] = {
 "ja": "これはエンジンが何の問題もなく認識するはずのごく普通の日本語の文章です。",
 "zh": "这是一个完全普通的中文句子引擎应该毫无问题地识别出来它的语言。",
 "zh-Hant": "這是一個引擎應該毫無問題地辨識出來的普通繁體中文句子應該很容易分辨。",
+"af": "Hierdie is 'n heel gewone afrikaanse sin wat sonder enige probleem deur die enjin herken behoort te word.",
+"be": "Гэта цалкам звычайны беларускі сказ які павінен быць распазнаны без аніякіх праблем гэтым рухавіком.",
+"bs": "Ovo je sasvim obična bosanska rečenica koju bi motor trebao prepoznati bez ikakvih problema i poteškoća.",
+"ca": "Aquesta és una frase catalana del tot normal que hauria de ser reconeguda sense cap problema pel motor.",
+"cy": "Dyma frawddeg gymraeg hollol gyffredin y dylai'r peiriant ei hadnabod heb unrhyw drafferth o gwbl.",
+"et": "See on täiesti tavaline eestikeelne lause mille mootor peaks ilma igasuguste probleemideta ära tundma.",
+"eu": "Hau euskarazko esaldi arrunt bat da eta motorrak inolako arazorik gabe ezagutu beharko luke noski.",
+"ga": "Is gnáthabairt ghaeilge í seo ba chóir don inneall a aithint gan aon deacracht ar chor ar bith.",
+"gl": "Esta é unha frase galega perfectamente normal que debería ser recoñecida sen ningún problema polo motor.",
+"hr": "Ovo je posve obična hrvatska rečenica koju bi stroj trebao prepoznati bez poteškoća jer sadrži mnogo uobičajenih hrvatskih riječi poput također i između.",
+"is": "Þetta er alveg venjuleg íslensk setning sem vélin ætti að geta þekkt án nokkurra vandræða yfirleitt.",
+"lt": "Tai visiškai paprastas lietuviškas sakinys kurį variklis turėtų atpažinti be jokių problemų ar sunkumų.",
+"lv": "Šis ir pavisam parasts teikums latviešu valodā ko dzinējam vajadzētu viegli atpazīt jo tajā ir daudz bieži lietotu vārdu piemēram arī kā un tāpēc.",
+"mk": "ова е сосема обична реченица која зборува за тоа како луѓето од селото си раскажуваат приказни кога доаѓа зимата и ноќите стануваат долги",
+"mr": "हे एक अगदी साधे मराठी वाक्य आहे जे इंजिनने कोणत्याही अडचणीशिवाय ओळखले पाहिजे असे आम्हाला वाटते.",
+"ms": "Ini ialah ayat bahasa melayu yang biasa sahaja dan sepatutnya dikenali tanpa sebarang masalah oleh enjin.",
+"mt": "Din hija sentenza maltija komuni għal kollox li l magna għandha tagħraf mingħajr ebda problema xejn.",
+"ne": "यो नेपाली भाषाको एउटा बिल्कुल साधारण वाक्य हो जसलाई इन्जिनले कुनै पनि समस्या बिना नै सजिलै चिन्नु पर्दछ किनभने यसमा धेरै सामान्य शब्दहरू छन्।",
+"no": "Dette er en helt vanlig norsk setning som motoren burde kunne kjenne igjen uten noen problemer i det hele tatt.",
+"sk": "Toto je úplne obyčajná slovenská veta ktorú by mal motor rozpoznať bez akýchkoľvek problémov či ťažkostí.",
+"sl": "To je povsem običajen slovenski stavek ki bi ga moral motor prepoznati brez kakršnih koli težav sploh.",
+"sq": "Kjo është një fjali krejt e zakonshme shqipe të cilën motori duhet ta njohë pa asnjë problem fare.",
+"sr": "Ово је сасвим обична српска реченица коју би мотор требало да препозна без икаквих проблема уопште.",
+"sw": "Hii ni sentensi ya kawaida kabisa ya kiswahili ambayo injini inapaswa kuitambua bila tatizo lolote kabisa.",
+"tl": "Ito ay isang karaniwang pangungusap sa tagalog na dapat makilala ng makina nang walang anumang problema.",
+"ur": "یہ ایک بالکل عام اردو جملہ ہے جسے انجن کو بغیر کسی مسئلے کے پہچان لینا چاہیے ہم سمجھتے ہیں۔",
 }

@@ -42,7 +42,14 @@ def test_heldout_long(det, code):
 
 # exact-match set: languages that must NOT fall to a close sibling
 EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
-         "zh", "el", "th", "he", "ar", "hi", "ta", "tr", "fi", "hu", "vi"]
+         "zh", "el", "th", "he", "ar", "hi", "ta", "tr", "fi", "hu", "vi",
+         # round-2 expansion: every trained language with a held-out
+         # sentence that must NOT fall to a close sibling (bs/gl/no/sk
+         # legitimately fall within their reference close sets,
+         # lang_script.cc:260-308, and are excluded here)
+         "af", "be", "ca", "cy", "et", "eu", "ga", "hr", "is", "lt",
+         "lv", "mk", "mr", "ms", "mt", "ne", "sl", "sq", "sr", "sw",
+         "tl", "ur"]
 
 
 @pytest.mark.parametrize("code", EXACT)
