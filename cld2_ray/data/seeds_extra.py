@@ -353,7 +353,15 @@ langer worden de bomen groen worden en de hele stad naar vers brood ruikt""",
 градина која секоја есен им дава домати грав и јаболка догодина се
 надеваат дека ќе изградат мала стаклена градина за да можат растенијата да
 растат дури и во студените месеци сите се согласуваат дека пролетта е
-најубавото годишно време тука бидејќи деновите стануваат подолги""",
+најубавото годишно време тука бидејќи деновите стануваат подолги
+нашиот учител ни кажа дека јазикот е жива работа и дека секој збор има
+своја приказна луѓето во градот зборуваат брзо но јас повеќе ја сакам
+смирената реч на моето село каде што бабите седат пред куќите и
+раскажуваат за она што било некогаш ќе дојде време кога и ние ќе им
+кажуваме на нашите деца какви биле летата порано колку биле длабоки
+снеговите и како мирисал лебот од фурната никој не може да каже што
+носи утрешниот ден но важно е да се биде добар човек и да се помага
+секому кој ќе побара помош затоа што добрината секогаш се враќа""",
 
 "be": """учора раніцай мая сястра паехала раннім цягніком у горад дзе яна
 працуе ў маленькім офісе недалёка ад порта яна заўсёды купляе каву на рагу
