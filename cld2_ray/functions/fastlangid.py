@@ -121,12 +121,16 @@ def _train() -> np.ndarray:
     return table
 
 
-def _features_batch(texts: list[str]):
+def _features_batch(texts: list[str], prelowered: bool = False):
     """Batch _features: one concatenated byte buffer, windows crossing
     document boundaries masked out. Per-document feature values AND
     order are identical to _features (2-grams, then 3-, then 4-grams,
-    each by position). Returns (feat_bucket int64[], doc_of int64[])."""
-    framed = [(" " + t.lower() + " ").encode("utf-8") for t in texts]
+    each by position). Returns (feat_bucket int64[], doc_of int64[]).
+    ``prelowered=True`` skips the lowercase pass (caller already did)."""
+    if prelowered:
+        framed = [(" " + t + " ").encode("utf-8") for t in texts]
+    else:
+        framed = [(" " + t.lower() + " ").encode("utf-8") for t in texts]
     lens = np.array([len(b) for b in framed], dtype=np.int64)
     bounds = np.cumsum(lens)
     cat = b"".join(framed)
@@ -198,14 +202,15 @@ def classify_batch(texts) -> tuple[list[str], list[float]]:
     w = weights()
     idx = weights.bucket_index  # type: ignore[attr-defined]
     if native.AVAILABLE:
-        framed = [(" " + texts[i].lower() + " ").encode("utf-8")
+        framed = [(" " + lowered[i] + " ").encode("utf-8")
                   for i in todo]
         bounds = np.cumsum([len(b) for b in framed]).astype(np.int64)
         scores, nf, n_rows = native.fastlangid_score(
             b"".join(framed), bounds, idx, w)
         has_row = n_rows > 0
     else:
-        feats, doc_of = _features_batch([texts[i] for i in todo])
+        feats, doc_of = _features_batch([lowered[i] for i in todo],
+                                        prelowered=True)
         nf = np.bincount(doc_of, minlength=len(todo)).astype(np.int64)
         rows = idx[feats]
         nz = rows > 0

@@ -196,15 +196,18 @@ def decode_y4m(data: bytes, sample_every: int = 1):
     if nl < 0:
         return None
     w = h = fn = fd = None
-    for tok in data[10:nl].split(b" "):
-        if tok.startswith(b"W"):
-            w = int(tok[1:])
-        elif tok.startswith(b"H"):
-            h = int(tok[1:])
-        elif tok.startswith(b"F"):
-            fn, fd = (int(x) for x in tok[1:].split(b":"))
-        elif tok.startswith(b"C") and not tok.startswith(b"C420"):
-            return None               # 4:2:0 only
+    try:
+        for tok in data[10:nl].split(b" "):
+            if tok.startswith(b"W"):
+                w = int(tok[1:])
+            elif tok.startswith(b"H"):
+                h = int(tok[1:])
+            elif tok.startswith(b"F"):
+                fn, fd = (int(x) for x in tok[1:].split(b":"))
+            elif tok.startswith(b"C") and not tok.startswith(b"C420"):
+                return None           # 4:2:0 only
+    except ValueError:                # malformed numeric token
+        return None
     if not w or not h or not fn:
         return None
     frame_bytes = w * h + 2 * (w // 2) * (h // 2)

@@ -197,6 +197,11 @@ class TestMultimodal:
         assert (sampled[1] == frames[3]).all()   # bit-exact luma
         assert decode_y4m(data[:-5]) is None     # truncated frame
         assert decode_y4m(b"garbage") is None
+        # malformed numeric header tokens must return None, not raise
+        assert decode_y4m(b"YUV4MPEG2 Wx H16 F25:1\n") is None
+        assert decode_y4m(b"YUV4MPEG2 W16 H16 F25\n") is None
+        assert decode_y4m(b"YUV4MPEG2 W H16 F25:1\n") is None
+        assert decode_y4m(b"YUV4MPEG2 W16 H16 F2:5:1\n") is None
         w2, h2, n2 = y4m_params_for(13)
         ww, hh, _, _, nn, _ = decode_y4m(make_y4m(13))
         assert (ww, hh, nn) == (w2, h2, n2)

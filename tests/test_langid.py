@@ -40,13 +40,12 @@ def test_heldout_long(det, code):
     assert r.is_reliable
 
 
-# exact-match set: languages that must NOT fall to a close sibling
+# exact-match set: every held-out language that must NOT fall to a
+# close sibling. Only bs/gl/no/sk are excluded — they legitimately fall
+# within their reference close sets (lang_script.cc:260-308).
 EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
          "zh", "el", "th", "he", "ar", "hi", "ta", "tr", "fi", "hu", "vi",
-         # round-2 expansion: every trained language with a held-out
-         # sentence that must NOT fall to a close sibling (bs/gl/no/sk
-         # legitimately fall within their reference close sets,
-         # lang_script.cc:260-308, and are excluded here)
+         "bg", "cs", "da", "fa", "id", "pl", "ro", "sv", "zh-Hant",
          "af", "be", "ca", "cy", "et", "eu", "ga", "hr", "is", "lt",
          "lv", "mk", "mr", "ms", "mt", "ne", "sl", "sq", "sr", "sw",
          "tl", "ur"]
