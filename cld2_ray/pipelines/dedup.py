@@ -180,6 +180,78 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies"))
 
 
+_SEG_ENC = 1 << 20  # doc_id * _SEG_ENC + seg encodes (doc_id, seg) ordering
+
+
+def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  seg_words: int = 10, min_count: int = 2) -> pd.DataFrame:
+    """C4-style corpus-wide duplicate-segment removal: split every
+    document into consecutive ``seg_words``-word segments; any segment
+    text appearing >= ``min_count`` times in the corpus survives only
+    at its first occurrence (smallest (doc_id, seg)), everywhere else
+    it is dropped from the rebuilt text.
+
+    Scale shape: the shuffle carries only per-batch pre-aggregated
+    (segment_md5, count, min_position) partials — never segment text;
+    the frequent-segment set is the heavy-hitter tail (small by the
+    usual dup-rate assumption), broadcast once via ray.put; documents
+    then rewrite locally in one map_batches pass. Nothing materializes
+    the corpus on the driver.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def _segments(doc_id: int, text: str):
+        words = (text or "").split(" ")
+        for seg in range(0, (len(words) + seg_words - 1) // seg_words):
+            seg_text = " ".join(words[seg * seg_words:
+                                      (seg + 1) * seg_words])
+            yield seg, seg_text, doc_id * _SEG_ENC + seg
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        mins: dict[str, int] = {}
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            for _, seg_text, enc in _segments(int(doc_id), text):
+                k = hashlib.md5(seg_text.encode()).hexdigest()
+                counts[k] = counts.get(k, 0) + 1
+                if enc < mins.get(k, enc + 1):
+                    mins[k] = enc
+        keys = list(counts)
+        return pd.DataFrame({"seg_md5": keys,
+                             "n_": [counts[k] for k in keys],
+                             "enc_": [mins[k] for k in keys]})
+
+    stats = ds.map_batches(seg_partial, batch_format="pandas") \
+        .groupby("seg_md5").aggregate(
+            Sum("n_", alias_name="cnt"), Min("enc_", alias_name="keeper"))
+    # heavy hitters only (count >= min_count) reach the driver
+    hot = stats.map_batches(
+        lambda df: df[df["cnt"] >= min_count][["seg_md5", "keeper"]],
+        batch_format="pandas").to_pandas()
+    keeper_of = ray.put(dict(zip(hot["seg_md5"], hot["keeper"].astype(int))))
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        kp = ray.get(keeper_of)
+        ids, texts, dropped = [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            kept, n_drop = [], 0
+            for _, seg_text, enc in _segments(int(doc_id), text):
+                k = hashlib.md5(seg_text.encode()).hexdigest()
+                if k in kp and enc != kp[k]:
+                    n_drop += 1
+                else:
+                    kept.append(seg_text)
+            ids.append(doc_id)
+            texts.append(" ".join(kept))
+            dropped.append(n_drop)
+        return pd.DataFrame({id_col: ids, "clean_text": texts,
+                             "n_dropped": np.array(dropped, np.int64)})
+
+    out = ds.map_batches(rewrite, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 _CLIQUE_CUTOFF = 64
 
 

@@ -114,6 +114,70 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_segment_dedup(sf_dir):
+    """C4-style corpus-wide duplicate-segment removal (reference
+    analogue: the corpus-level line dedup of the C4/Gopher recipes;
+    the keep-first rule mirrors exact_dedup's min-id survivor)."""
+    from cld2_ray.pipelines.dedup import segment_dedup
+    return segment_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_SEGMENT_DEDUP = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS wd,
+         generate_subscripts(string_split(text, ' '), 1) AS gs
+  FROM documents
+), segs AS (
+  SELECT doc_id, CAST(floor((gs - 1) / 10) AS INT) AS seg,
+         string_agg(wd, ' ' ORDER BY gs) AS seg_text
+  FROM w GROUP BY doc_id, seg
+), stats AS (
+  SELECT seg_text, count(*) AS cnt,
+         min(doc_id * 1048576 + seg) AS keeper
+  FROM segs GROUP BY seg_text
+)
+SELECT s.doc_id,
+       coalesce(string_agg(
+         CASE WHEN st.cnt < 2 OR s.doc_id * 1048576 + s.seg = st.keeper
+              THEN s.seg_text END, ' ' ORDER BY s.seg), '') AS clean_text,
+       CAST(sum(CASE WHEN st.cnt >= 2
+                      AND s.doc_id * 1048576 + s.seg <> st.keeper
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM segs s JOIN stats st USING (seg_text)
+GROUP BY s.doc_id
+"""
+
+
+def q_source_quota(sf_dir, n: int = 10):
+    """Per-source document cap (the per-domain quota of web-corpus
+    recipes): keep the first ``n`` docs per source by doc_id. Shape:
+    per-batch partial top-n per key, then a map_groups merge — the
+    shuffle carries at most n rows per (source, block)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby(
+            "source", as_index=False).head(n)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(n)
+
+    out = ds.map_batches(partial_top, batch_format="pandas") \
+        .groupby("source").map_groups(merge, batch_format="pandas")
+    df = out.to_pandas().sort_values(["source", "doc_id"])
+    return df[["source", "doc_id"]].reset_index(drop=True)
+
+
+SQL_SOURCE_QUOTA = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 10 ORDER BY source, doc_id
+"""
+
+
 def q_top_longest(sf_dir):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"],
@@ -1153,6 +1217,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
+    "segment_dedup": q_segment_dedup,
+    "source_quota": q_source_quota,
     "jaccard_pairs": q_jaccard_pairs,
     "top_longest": q_top_longest,
     "token_freq_top50": q_token_freq_top50,
@@ -1194,6 +1260,8 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
+    "source_quota": SQL_SOURCE_QUOTA,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,

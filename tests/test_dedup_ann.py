@@ -51,6 +51,37 @@ class TestExactDedup:
         assert dup.iloc[0].keep_id == 0
 
 
+class TestSegmentDedup:
+    def test_keep_first_drop_rest(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import segment_dedup
+        dup = " ".join(f"w{i}" for i in range(10))       # one full segment
+        rows = [
+            {"doc_id": 0, "text": dup + " tail zero"},
+            {"doc_id": 1, "text": dup + " tail one"},    # dup seg -> dropped
+            {"doc_id": 2, "text": "all unique words here"},
+            {"doc_id": 3, "text": dup},                  # dup seg -> dropped
+        ]
+        out = segment_dedup(rd.from_items(rows), seg_words=10)
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[0, "clean_text"] == dup + " tail zero"  # keeper
+        assert by_id.loc[1, "clean_text"] == "tail one"
+        assert by_id.loc[1, "n_dropped"] == 1
+        assert by_id.loc[2, "n_dropped"] == 0
+        assert by_id.loc[3, "clean_text"] == ""          # fully deduped
+        assert by_id.loc[3, "n_dropped"] == 1
+
+    def test_short_segments_count_too(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import segment_dedup
+        rows = [{"doc_id": 7, "text": "short tail"},
+                {"doc_id": 9, "text": "short tail"}]     # sub-10-word dup
+        out = segment_dedup(rd.from_items(rows), seg_words=10)
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[7, "clean_text"] == "short tail"
+        assert by_id.loc[9, "clean_text"] == ""
+
+
 class TestMinHash:
     def test_near_dups_found(self, doc_ds):
         from cld2_ray.pipelines.dedup import minhash_dedup
