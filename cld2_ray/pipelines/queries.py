@@ -152,19 +152,27 @@ GROUP BY s.doc_id
 def q_source_quota(sf_dir, n: int = 10):
     """Per-source document cap (the per-domain quota of web-corpus
     recipes): keep the first ``n`` docs per source by doc_id. Shape:
-    per-batch partial top-n per key, then a map_groups merge — the
-    shuffle carries at most n rows per (source, block)."""
+    per-batch partial top-n per key, then a merge per HASH BUCKET of
+    sources (64 buckets, vectorized groupby-head inside each) rather
+    than per-source map_groups — source cardinality is unbounded at
+    corpus scale (millions of domains) and per-group dispatch costs
+    ~100us/group; the shuffle still carries at most n rows per
+    (source, block)."""
+    import zlib
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def partial_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id").groupby(
+        df = df.sort_values("doc_id").groupby(
             "source", as_index=False).head(n)
+        df["bucket_"] = [zlib.crc32(s.encode()) & 63 for s in df["source"]]
+        return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(n)
+        return g.sort_values("doc_id").groupby(
+            "source", as_index=False).head(n).drop(columns=["bucket_"])
 
     out = ds.map_batches(partial_top, batch_format="pandas") \
-        .groupby("source").map_groups(merge, batch_format="pandas")
+        .groupby("bucket_").map_groups(merge, batch_format="pandas")
     df = out.to_pandas().sort_values(["source", "doc_id"])
     return df[["source", "doc_id"]].reset_index(drop=True)
 
