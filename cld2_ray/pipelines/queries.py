@@ -186,6 +186,120 @@ WHERE rn <= 10 ORDER BY source, doc_id
 """
 
 
+def q_tfidf_top5(sf_dir):
+    """Per-document top-5 TF-IDF terms — the classic keyword-extraction
+    op. Fully distributed: token explode -> per-(doc,token) tf ->
+    token-df groupby -> LARGE x LARGE hash-shuffle join (tf rows x df
+    table) -> per-doc top-5 via hash-bucketed vectorized head (no
+    per-doc map_groups dispatch, no vocabulary broadcast).
+
+    The idf is quantized to integer micros (floor(ln(n/df)*1e6 + 0.5))
+    on BOTH the Ray and SQL sides, so score_u = tf * idf_u is pure
+    int64 arithmetic and the ranking + value hash are deterministic —
+    DuckDB's ln() differs from libm by ulps, so a raw double score
+    would not be hash-stable (verified empirically for all df in
+    1..n at every test scale)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def explode_tf(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        out["token"] = df["text"].str.split(" ")
+        out = out.explode("token")
+        return out.groupby(["doc_id", "token"], as_index=False) \
+            .size().rename(columns={"size": "tf"})
+
+    tf = ds.map_batches(explode_tf, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+    dfq = tf.map_batches(
+        lambda d: d.groupby("token", as_index=False).size()
+        .rename(columns={"size": "df_"}),
+        batch_format="pandas").groupby("token").aggregate(
+            Sum("df_", alias_name="df"))
+
+    joined = tf.join(dfq, join_type="inner", num_partitions=n_part,
+                     on=("token",),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def score_and_bucket(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        idf_u = np.floor(np.log(
+            float(n_docs) / d["df"].to_numpy(dtype=np.float64)) * 1e6
+            + 0.5).astype(np.int64)
+        d["score_u"] = d["tf"].to_numpy(dtype=np.int64) * idf_u
+        d["bucket_"] = d["doc_id"].to_numpy() % 64
+        return d
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score_u", "token"],
+                          ascending=[True, False, True])
+        return g.groupby("doc_id", as_index=False).head(5) \
+            .drop(columns=["bucket_"])
+
+    out = joined.map_batches(score_and_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(top5, batch_format="pandas")
+    df = out.to_pandas()
+    for c in ("tf", "df", "score_u"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "token", "tf", "df", "score_u"]] \
+        .sort_values(["doc_id", "score_u", "token"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOP5 = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dfq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         tf.tf * CAST(floor(ln(CAST(nd.n AS DOUBLE) / dfq.df) * 1e6 + 0.5)
+                      AS BIGINT) AS score_u
+  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN nd
+)
+SELECT doc_id, CAST(token AS VARCHAR) AS token, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score_u
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_u DESC, token) AS rn FROM scored)
+WHERE rn <= 5 ORDER BY doc_id, score_u DESC, token
+"""
+
+
+def q_lang_quantiles(sf_dir):
+    """Exact per-language length quantiles (25/50/75, linear
+    interpolation — numpy 'linear' == SQL percentile_cont). Groups are
+    low-cardinality language codes; only the narrow n_chars column
+    shuffles."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy(dtype=np.float64)
+        p25, p50, p75 = np.percentile(v, [25, 50, 75], method="linear")
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "p25": [p25], "p50": [p50], "p75": [p75],
+                             "n_docs": np.array([len(v)], np.int64)})
+
+    out = ds.groupby("lang").map_groups(q, batch_format="pandas")
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_QUANTILES = """
+SELECT lang,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+       percentile_cont(0.50) WITHIN GROUP (ORDER BY n_chars) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_top_longest(sf_dir):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"],
@@ -1227,6 +1341,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "segment_dedup": q_segment_dedup,
     "source_quota": q_source_quota,
+    "tfidf_top5": q_tfidf_top5,
+    "lang_quantiles": q_lang_quantiles,
     "jaccard_pairs": q_jaccard_pairs,
     "top_longest": q_top_longest,
     "token_freq_top50": q_token_freq_top50,
@@ -1270,6 +1386,8 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "source_quota": SQL_SOURCE_QUOTA,
+    "tfidf_top5": SQL_TFIDF_TOP5,
+    "lang_quantiles": SQL_LANG_QUANTILES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
