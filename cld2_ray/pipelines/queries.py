@@ -599,6 +599,109 @@ SELECT l_orderkey, o_date, revenue_cents FROM (
 """
 
 
+def q_customers_without_orders(sf_dir):
+    """Anti-join: customers with no URGENT-priority order — Ray's
+    native distributed LEFT ANTI hash join. Both sides
+    shuffle-partition on the key; nothing is broadcast or collected
+    (both sides are unbounded at corpus scale; a driver-side id-set
+    would not be). The priority filter is applied below the join so
+    only qualifying order keys shuffle."""
+    import ray
+    import pyarrow.compute as pc
+    n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    out = cust.join(urgent, join_type="left_anti", on=("c_custkey",),
+                    right_on=("o_custkey",), num_partitions=n_part,
+                    aggregator_ray_remote_args={"num_cpus": 0.25})
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_acctbal": pd.Series(dtype="float64")})
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    return df[["c_custkey", "c_acctbal"]] \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q_orders_per_customer(sf_dir):
+    """TPC-H Q13 shape: histogram of orders-per-customer including
+    zero-order customers. orders pre-aggregates per custkey (one keyed
+    shuffle of (key, partial-count) pairs), customer LEFT OUTER joins
+    the counts (distributed hash join), nulls become 0, and the final
+    histogram groupby is tiny (distinct count values only)."""
+    import ray
+    from ray.data.aggregate import Count
+    n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    counts = _read(sf_dir, "orders", ["o_custkey"]) \
+        .groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(counts, join_type="left_outer", on=("c_custkey",),
+                       right_on=("o_custkey",), num_partitions=n_part,
+                       aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_orders": df["n_orders"]
+                             .fillna(0).astype("int64")})
+    hist = joined.map_batches(fill, batch_format="pandas") \
+        .groupby("n_orders").aggregate(Count(alias_name="n_customers"))
+    df = hist.to_pandas().astype("int64")
+    return df.sort_values("n_orders").reset_index(drop=True)
+
+
+SQL_ORDERS_PER_CUSTOMER = """
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def q_source_vocab(sf_dir):
+    """Exact COUNT(DISTINCT token) per source. Per-batch local distinct
+    collapses occurrences to unique (source, token) pairs BEFORE the
+    shuffle (the keyed exchange carries distinct pairs, not token
+    instances), then one pair-key groupby dedupes globally and a small
+    per-source count finishes."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["source"]].copy()
+        out["token"] = df["text"].str.split(" ")
+        return out.explode("token").drop_duplicates()
+
+    uniq = ds.map_batches(pairs, batch_format="pandas") \
+        .groupby(["source", "token"]).aggregate(Count(alias_name="c_"))
+    out = uniq.map_batches(
+        lambda d: d[["source"]], batch_format="pandas") \
+        .groupby("source").aggregate(Count(alias_name="n_distinct_tokens"))
+    df = out.to_pandas()
+    df["n_distinct_tokens"] = df["n_distinct_tokens"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_VOCAB = """
+SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents)
+GROUP BY source ORDER BY source
+"""
+
+
 def q_stratified_sample(sf_dir):
     """Deterministic per-language quota sampling (rebalance a skewed
     corpus by downsampling the head language). The keep decision is a
@@ -1343,6 +1446,9 @@ QUERIES = {
     "source_quota": q_source_quota,
     "tfidf_top5": q_tfidf_top5,
     "lang_quantiles": q_lang_quantiles,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_per_customer": q_orders_per_customer,
+    "source_vocab": q_source_vocab,
     "jaccard_pairs": q_jaccard_pairs,
     "top_longest": q_top_longest,
     "token_freq_top50": q_token_freq_top50,
@@ -1388,6 +1494,9 @@ ORACLE_SQL = {
     "source_quota": SQL_SOURCE_QUOTA,
     "tfidf_top5": SQL_TFIDF_TOP5,
     "lang_quantiles": SQL_LANG_QUANTILES,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
+    "source_vocab": SQL_SOURCE_VOCAB,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
