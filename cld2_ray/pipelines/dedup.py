@@ -169,11 +169,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     runs on the md5 column, not the full text."""
     from ray.data.aggregate import Count, Min
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[id_col, text_col]].copy()
-        df["content_md5"] = df[text_col].fillna("").map(
+    def add_hash(df: pd.DataFrame):
+        # Arrow block out: the sort-based groupby is ~14x slower
+        # per row on pandas blocks
+        import pyarrow as _pa
+        md5s = df[text_col].fillna("").map(
             lambda t: hashlib.md5(t.encode()).hexdigest())
-        return df.drop(columns=[text_col])
+        return _pa.table({id_col: df[id_col].to_numpy(),
+                          "content_md5": md5s.to_numpy(dtype=object)})
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
     return hashed.groupby("content_md5").aggregate(

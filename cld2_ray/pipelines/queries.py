@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from cld2_ray.functions.quality import (
     MAX_DUP_LINE_RATIO, MAX_MEAN_WORD_LEN, MAX_SYMBOL_WORD_RATIO,
@@ -216,8 +217,9 @@ def q_tfidf_top5(sf_dir):
 
     from ray.data.aggregate import Sum
     dfq = tf.map_batches(
-        lambda d: d.groupby("token", as_index=False).size()
-        .rename(columns={"size": "df_"}),
+        lambda d: pa.Table.from_pandas(
+            d.groupby("token", as_index=False).size()
+            .rename(columns={"size": "df_"}), preserve_index=False),
         batch_format="pandas").groupby("token").aggregate(
             Sum("df_", alias_name="df"))
 
@@ -225,14 +227,17 @@ def q_tfidf_top5(sf_dir):
                      on=("token",),
                      aggregator_ray_remote_args={"num_cpus": 0.25})
 
-    def score_and_bucket(d: pd.DataFrame) -> pd.DataFrame:
-        d = d.copy()
+    def score_and_bucket(d: pd.DataFrame) -> pa.Table:
         idf_u = np.floor(np.log(
             float(n_docs) / d["df"].to_numpy(dtype=np.float64)) * 1e6
             + 0.5).astype(np.int64)
-        d["score_u"] = d["tf"].to_numpy(dtype=np.int64) * idf_u
-        d["bucket_"] = d["doc_id"].to_numpy() % 64
-        return d
+        return pa.table({
+            "doc_id": d["doc_id"].to_numpy(np.int64),
+            "token": d["token"].to_numpy(dtype=object),
+            "tf": d["tf"].to_numpy(np.int64),
+            "df": d["df"].to_numpy(np.int64),
+            "score_u": d["tf"].to_numpy(dtype=np.int64) * idf_u,
+            "bucket_": d["doc_id"].to_numpy(np.int64) % 64})
 
     def top5(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "score_u", "token"],
@@ -651,9 +656,9 @@ def q_orders_per_customer(sf_dir):
                        right_on=("o_custkey",), num_partitions=n_part,
                        aggregator_ray_remote_args={"num_cpus": 0.25})
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n_orders": df["n_orders"]
-                             .fillna(0).astype("int64")})
+    def fill(df: pd.DataFrame) -> pa.Table:
+        return pa.table({"n_orders": df["n_orders"]
+                         .fillna(0).to_numpy(np.int64)})
     hist = joined.map_batches(fill, batch_format="pandas") \
         .groupby("n_orders").aggregate(Count(alias_name="n_customers"))
     df = hist.to_pandas().astype("int64")
@@ -679,15 +684,26 @@ def q_source_vocab(sf_dir):
     from ray.data.aggregate import Count
     ds = _read(sf_dir, "documents", ["source", "text"])
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs(df: pd.DataFrame):
         out = df[["source"]].copy()
         out["token"] = df["text"].str.split(" ")
-        return out.explode("token").drop_duplicates()
+        # composite single key + Arrow block: the sort aggregate is
+        # ~14x slower on pandas blocks and slower again on two object
+        # key columns. Tokens are space-split fields, so the LAST
+        # space in the key always separates source from token, even
+        # for a source containing spaces.
+        e = out.explode("token").drop_duplicates()
+        key = e["source"] + " " + e["token"]
+        return pa.table({"k": key.to_numpy(dtype=object)})
 
     uniq = ds.map_batches(pairs, batch_format="pandas") \
-        .groupby(["source", "token"]).aggregate(Count(alias_name="c_"))
-    out = uniq.map_batches(
-        lambda d: d[["source"]], batch_format="pandas") \
+        .groupby("k").aggregate(Count(alias_name="c_"))
+
+    def unkey(t: pa.Table) -> pa.Table:
+        src = t["k"].to_pandas().str.rsplit(" ", n=1).str[0]
+        return pa.table({"source": src.to_numpy(dtype=object)})
+
+    out = uniq.map_batches(unkey, batch_format="pyarrow") \
         .groupby("source").aggregate(Count(alias_name="n_distinct_tokens"))
     df = out.to_pandas()
     df["n_distinct_tokens"] = df["n_distinct_tokens"].astype("int64")
@@ -699,6 +715,100 @@ SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
 FROM (SELECT source, unnest(string_split(text, ' ')) AS token
       FROM documents)
 GROUP BY source ORDER BY source
+"""
+
+
+def q_bigram_top50(sf_dir):
+    """Corpus-wide top-50 word bigrams — positional n-gram explode.
+    Bigrams are formed per document with a vectorized shift (no Python
+    pair loop), counted per batch BEFORE the shuffle (the keyed
+    exchange carries (bigram, partial-count), not occurrences), then a
+    global groupby-sum and a tiny driver top-50."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].str.split(" ").explode()
+        w1 = e.to_numpy(dtype=object)
+        w2 = np.roll(w1, -1)
+        doc = e.index.to_numpy()
+        same = doc == np.roll(doc, -1)
+        same[-1:] = False
+        # single composite key: tokens are space-split fields, so a
+        # space separator is unambiguous. Emit an Arrow block: the
+        # sort-based aggregate is ~14x slower on pandas blocks.
+        out = pd.DataFrame({"bg": pd.Series(w1[same], dtype=object)
+                            + " " + pd.Series(w2[same], dtype=object)})
+        g = out.groupby("bg", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(bigrams, batch_format="pandas")
+    total = partial.groupby("bg").aggregate(Sum("n", alias_name="n"))
+    # distributed top-k: sort + limit, never a full to_pandas of the
+    # (unbounded at corpus scale) distinct-bigram table
+    top = total.sort(["n", "bg"], descending=[True, False]).limit(50)
+    df = top.to_pandas()
+    parts = df["bg"].str.split(" ", n=1, expand=True)
+    out = pd.DataFrame({"w1": parts[0], "w2": parts[1],
+                        "n": df["n"].astype("int64")})
+    return out.sort_values(["n", "w1", "w2"],
+                           ascending=[False, True, True]) \
+        .reset_index(drop=True)
+
+
+SQL_BIGRAM_TOP50 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pairs
+GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 50
+"""
+
+
+def q_embedding_label_stats(sf_dir):
+    """Per-label stats over the list<float> embedding column. Each
+    element is quantized to integer micros (floor(x*1e6 + 0.5), exact
+    float32->double on both sides), squared and summed as int64 — the
+    vector-norm arithmetic is pure integer so partial sums commute and
+    the value hash is deterministic. Per-batch partials (label, count,
+    sum) shuffle; the global groupby sees one row per label per block."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        norm2 = (q * q).sum(axis=1)
+        out = pd.DataFrame({"label": df["label"].to_numpy(np.int64),
+                            "norm2_u": norm2,
+                            "n_": np.ones(len(df), np.int64)})
+        return pa.Table.from_pandas(out.groupby("label", as_index=False)
+                                    .sum(), preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("label").aggregate(Sum("n_", alias_name="n_vecs"),
+                                    Sum("norm2_u", alias_name="sum_norm2_u"))
+    df = out.to_pandas().astype("int64")
+    return df[["label", "n_vecs", "sum_norm2_u"]] \
+        .sort_values("label").reset_index(drop=True)
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(norm2_u) AS BIGINT) AS sum_norm2_u
+FROM (
+  SELECT label,
+         list_sum(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         )) AS norm2_u
+  FROM embeddings)
+GROUP BY label ORDER BY label
 """
 
 
@@ -732,18 +842,29 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8))
 
 
 def q_events_hourly(sf_dir):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        # per-batch partial pre-agg BEFORE the shuffle (the exchange
+        # carries one row per (type, hour) per block, not per event),
+        # emitted as an Arrow block (the sort aggregate is ~14x slower
+        # on pandas blocks)
         hour = (df["ts"].astype("int64") // 10**6 // 3600).astype(np.int64)
-        return pd.DataFrame({"event_type": df["event_type"], "hour": hour,
-                             "value_cents": (df["value"] * 100).round()
-                             .astype(np.int64)})
+        part = pd.DataFrame({"event_type": df["event_type"], "hour": hour,
+                             "sum_value_cents": (df["value"] * 100).round()
+                             .astype(np.int64),
+                             "n_events": np.ones(len(df), np.int64)})
+        g = part.groupby(["event_type", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     b = ds.map_batches(bucket, batch_format="pandas")
-    return b.groupby(["event_type", "hour"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_cents", alias_name="sum_value_cents"))
+    out = b.groupby(["event_type", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"))
+    return out.map_batches(
+        lambda t: t.select(["event_type", "hour", "n_events",
+                            "sum_value_cents"]), batch_format="pyarrow")
 
 
 SQL_EVENTS_HOURLY = """
@@ -1449,6 +1570,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "orders_per_customer": q_orders_per_customer,
     "source_vocab": q_source_vocab,
+    "bigram_top50": q_bigram_top50,
+    "embedding_label_stats": q_embedding_label_stats,
     "jaccard_pairs": q_jaccard_pairs,
     "top_longest": q_top_longest,
     "token_freq_top50": q_token_freq_top50,
@@ -1497,6 +1620,8 @@ ORACLE_SQL = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "orders_per_customer": SQL_ORDERS_PER_CUSTOMER,
     "source_vocab": SQL_SOURCE_VOCAB,
+    "bigram_top50": SQL_BIGRAM_TOP50,
+    "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
