@@ -310,8 +310,18 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                         hashlib.md5(key.encode()).digest()[:4],
                         "little") % n_parts
                 rows.append((did, band_id, key, part, sh))
-        return pd.DataFrame(rows, columns=[id_col, "band_id", "band_key",
-                                           "part", "shingles"])
+        # Arrow block out (shingles as list<uint64>): the part-keyed
+        # sort shuffle is ~14x slower on pandas blocks, and an object
+        # column of ndarrays serializes per row
+        import pyarrow as _pa
+        key_t = _pa.string() if variant == "sql" else _pa.uint64()
+        return _pa.table({
+            id_col: _pa.array([r[0] for r in rows], _pa.int64()),
+            "band_id": _pa.array([r[1] for r in rows], _pa.int64()),
+            "band_key": _pa.array([r[2] for r in rows], key_t),
+            "part": _pa.array([r[3] for r in rows], _pa.int64()),
+            "shingles": _pa.array([r[4] for r in rows],
+                                  _pa.list_(_pa.uint64()))})
 
     bands = ds.map_batches(to_bands, batch_format="pandas")
 
@@ -624,7 +634,11 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
     cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), n_clusters)
     cref = ray.put(cent)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(df: pd.DataFrame):
+        # Arrow block out (vec as a list array): the sort-shuffle
+        # groupbys downstream are ~14x slower on pandas blocks, and a
+        # pandas object column of ndarrays serializes per row
+        import pyarrow as _pa
         c = ray.get(cref)
         mat = np.stack(df[vec_col].to_numpy())
         mat = mat / np.maximum(
@@ -632,10 +646,10 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
         sims = mat @ c.T
         cell = np.argmax(sims, axis=1)
         best = np.clip(sims[np.arange(len(cell)), cell], -1.0, 1.0)
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             "cell": cell.astype(np.int64),
-                             "angle": np.arccos(best),
-                             "vec": list(df[vec_col].to_numpy())})
+        return _pa.table({id_col: df[id_col].to_numpy(),
+                          "cell": cell.astype(np.int64),
+                          "angle": np.arccos(best),
+                          "vec": _pa.array(list(df[vec_col].to_numpy()))})
 
     assigned = ds.select_columns([id_col, vec_col]) \
         .map_batches(assign, batch_format="pandas").materialize()
@@ -658,14 +672,45 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
     pm_ref = ray.put(pair_map)
     _nb = 64
 
-    def route(df: pd.DataFrame) -> pd.DataFrame:
+    def route(df: pd.DataFrame):
+        # vectorized ragged expansion: row i is emitted once per
+        # (pid, side) entry of its cell — no Python per-row loop
+        import pyarrow as _pa
         pm = ray.get(pm_ref)
-        rows = []
-        for rid, cell, vec in zip(df[id_col], df.cell, df.vec):
-            for pid, side in pm.get(int(cell), ()):
-                rows.append((pid % _nb, pid, side, rid, vec))
-        return pd.DataFrame(rows, columns=["bucket", "pid", "side",
-                                           id_col, "vec"])
+        n_cells = len(cent)
+        cnt = np.zeros(n_cells, np.int64)
+        flat_pid, flat_side, start = [], [], np.zeros(n_cells, np.int64)
+        pos = 0
+        for c in range(n_cells):
+            ent = pm.get(c, ())
+            start[c] = pos
+            cnt[c] = len(ent)
+            pos += len(ent)
+            for pid, side in ent:
+                flat_pid.append(pid)
+                flat_side.append(side)
+        fpid = np.asarray(flat_pid, np.int64)
+        fside = np.asarray(flat_side, np.int64)
+        cells = df["cell"].to_numpy(np.int64)
+        reps = cnt[cells]
+        total = int(reps.sum())
+        if total == 0:
+            return _pa.table({"bucket": _pa.array([], _pa.int64()),
+                              "pid": _pa.array([], _pa.int64()),
+                              "side": _pa.array([], _pa.int64()),
+                              id_col: _pa.array([], _pa.int64()),
+                              "vec": _pa.array([], _pa.list_(
+                                  _pa.float32()))})
+        row_idx = np.repeat(np.arange(len(df)), reps)
+        ragged = np.arange(total) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        offs = np.repeat(start[cells], reps) + ragged
+        pid = fpid[offs]
+        vecs = df["vec"].to_numpy()
+        return _pa.table({"bucket": pid % _nb, "pid": pid,
+                          "side": fside[offs],
+                          id_col: df[id_col].to_numpy()[row_idx],
+                          "vec": _pa.array(list(vecs[row_idx]))})
 
     def compare(g: pd.DataFrame) -> pd.DataFrame:
         outs_a: list[np.ndarray] = []
