@@ -471,35 +471,67 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
     import ray
     from ray.data.aggregate import Sum
 
-    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+    _SETB = 64  # set-key hash buckets: one map_groups call per bucket,
+    # not one per distinct set (per-group dispatch is ~100us — at
+    # corpus scale distinct sets are O(docs))
+
+    def sigs(df: pd.DataFrame):
+        import pyarrow as _pa
+        cache: dict[str, int] = {}  # hash each distinct token once per
+        # batch (vocab << token occurrences)
+
+        def h(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.blake2b(
+                    t.encode(), digest_size=8).digest(), "little")
+                cache[t] = v
+            return v
+
         rows = []
         for did, text in zip(df[id_col], df[text_col].fillna("")):
-            th = _token_hashes(text)
-            if len(th) == 0:
+            toks = set(text.split())
+            if not toks:
                 continue  # empty sets cannot satisfy 2*0 > 0
+            th = np.fromiter((h(t) for t in toks), np.uint64, len(toks))
+            th.sort()
             key = hashlib.blake2b(th.tobytes(), digest_size=8).hexdigest()
-            rows.append((did, key, th.tolist()))
-        return pd.DataFrame(rows, columns=["member_id", "set_key", "sig"])
+            rows.append((did, key, int(key[:4], 16) % _SETB, th))
+        return _pa.table({
+            "member_id": _pa.array([r[0] for r in rows], _pa.int64()),
+            "set_key": _pa.array([r[1] for r in rows], _pa.string()),
+            "skb": _pa.array([r[2] for r in rows], _pa.int64()),
+            "sig": _pa.array([r[3] for r in rows],
+                             _pa.list_(_pa.uint64()))})
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "set_key": [g.set_key.iloc[0]],
-            "sig": [g.sig.iloc[0]],
-            "members": [sorted(g.member_id.tolist())]})
+    def collapse(g: pd.DataFrame):
+        # whole bucket at once, vectorized per set inside
+        import pyarrow as _pa
+        g = g.sort_values(["set_key", "member_id"])
+        grp = g.groupby("set_key", sort=True)
+        members = grp["member_id"].agg(list)
+        sig_first = grp["sig"].agg("first")
+        return _pa.table({
+            "set_key": _pa.array(members.index.to_numpy(dtype=object),
+                                 _pa.string()),
+            "sig": _pa.array([np.asarray(s, np.uint64)
+                              for s in sig_first], _pa.list_(_pa.uint64())),
+            "members": _pa.array(list(members), _pa.list_(_pa.int64()))})
 
     sets_ds = ds.map_batches(sigs, batch_format="pandas") \
-        .groupby("set_key").map_groups(collapse, batch_format="pandas") \
+        .groupby("skb").map_groups(collapse, batch_format="pandas") \
         .materialize()  # distinct sets only — reused by 3 passes below
 
     # ---- token df over distinct sets -> global order (df, hash)
-    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def tok_rows(df: pd.DataFrame):
+        import pyarrow as _pa
         c: dict[int, int] = {}
         for sig in df["sig"]:
             for t in sig:
                 c[t] = c.get(t, 0) + 1
-        return pd.DataFrame({"tok": np.array(list(c), dtype=np.uint64),
-                             "df_": np.fromiter(c.values(), np.int64,
-                                                len(c))})
+        return _pa.table({
+            "tok": _pa.array(np.array(list(c), dtype=np.uint64)),
+            "df_": _pa.array(np.fromiter(c.values(), np.int64, len(c)))})
     dfreq = sets_ds.map_batches(tok_rows, batch_format="pandas") \
         .groupby("tok").aggregate(Sum("df_", alias_name="df_"))
     # the hottest 50k tokens steer the order; everything rarer sorts
@@ -508,14 +540,34 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
     top = dfreq.sort("df_", descending=True).limit(50_000).to_pandas()
     df_ref = ray.put({int(t): int(d) for t, d in zip(top.tok, top.df_)})
 
-    def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
+    def prefix_emit(df: pd.DataFrame):
+        import pyarrow as _pa
         dfm = ray.get(df_ref)
-        rows = []
+        # vectorized (df, hash) ordering: known hot tokens -> their df
+        # via one searchsorted per sig, everything else df 0
+        ktok = np.fromiter(dfm.keys(), np.uint64, len(dfm))
+        korder = np.argsort(ktok)
+        ktok = ktok[korder]
+        kdf = np.fromiter(dfm.values(), np.int64, len(dfm))[korder]
+        ptoks, keys_out, sigs_out = [], [], []
         for key, sig in zip(df.set_key, df.sig):
-            arr = sorted(sig, key=lambda t: (dfm.get(int(t), 0), int(t)))
-            for t in arr[: (len(arr) + 1) // 2]:
-                rows.append((np.uint64(t), key, sig))
-        return pd.DataFrame(rows, columns=["ptok", "set_key", "sig"])
+            s = np.asarray(sig, np.uint64)
+            if len(ktok):
+                pos = np.clip(np.searchsorted(ktok, s), 0, len(ktok) - 1)
+                dfs = np.where(ktok[pos] == s, kdf[pos], 0)
+            else:
+                dfs = np.zeros(len(s), np.int64)
+            order = np.lexsort((s, dfs))
+            k = (len(s) + 1) // 2
+            pref = s[order[:k]]
+            ptoks.append(pref)
+            keys_out.extend([key] * k)
+            sigs_out.extend([s] * k)
+        flat = np.concatenate(ptoks) if ptoks else np.empty(0, np.uint64)
+        return _pa.table({
+            "ptok": _pa.array(flat),
+            "set_key": _pa.array(keys_out, _pa.string()),
+            "sig": _pa.array(sigs_out, _pa.list_(_pa.uint64()))})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("set_key").sort_values("set_key")
@@ -568,14 +620,19 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
     _NBUCKETS = 256  # pair-id hash buckets: one map_groups call per
     # bucket, not one per pair (40k one-row groups would dominate)
 
-    def route(df: pd.DataFrame) -> pd.DataFrame:
+    def route(df: pd.DataFrame):
+        import pyarrow as _pa
         pm = ray.get(pm_ref)
         rows = []
         for key, members in zip(df.set_key, df.members):
             for pid, side in pm.get(key, ()):
                 rows.append((pid % _NBUCKETS, pid, side, members))
-        return pd.DataFrame(rows, columns=["bucket", "pid", "side",
-                                           "members"])
+        return _pa.table({
+            "bucket": _pa.array([r[0] for r in rows], _pa.int64()),
+            "pid": _pa.array([r[1] for r in rows], _pa.int64()),
+            "side": _pa.array([r[2] for r in rows], _pa.int64()),
+            "members": _pa.array([np.asarray(r[3], np.int64)
+                                  for r in rows], _pa.list_(_pa.int64()))})
 
     def cross(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
