@@ -220,10 +220,12 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 counts[k] = counts.get(k, 0) + 1
                 if enc < mins.get(k, enc + 1):
                     mins[k] = enc
+        import pyarrow as _pa
         keys = list(counts)
-        return pd.DataFrame({"seg_md5": keys,
-                             "n_": [counts[k] for k in keys],
-                             "enc_": [mins[k] for k in keys]})
+        return _pa.table({
+            "seg_md5": _pa.array(keys, _pa.string()),
+            "n_": _pa.array([counts[k] for k in keys], _pa.int64()),
+            "enc_": _pa.array([mins[k] for k in keys], _pa.int64())})
 
     stats = ds.map_batches(seg_partial, batch_format="pandas") \
         .groupby("seg_md5").aggregate(
@@ -397,8 +399,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             for band in range(4):
                 key = (sh >> (band * 16)) & 0xFFFF
                 rows.append((did, sh, band, key, key % n_parts))
-        return pd.DataFrame(rows, columns=[id_col, "simhash", "band_id",
-                                           "band_key", "part"])
+        import pyarrow as _pa
+        return _pa.table({
+            id_col: _pa.array([r[0] for r in rows], _pa.int64()),
+            "simhash": _pa.array([r[1] for r in rows], _pa.uint64()),
+            "band_id": _pa.array([r[2] for r in rows], _pa.int64()),
+            "band_key": _pa.array([r[3] for r in rows], _pa.int64()),
+            "part": _pa.array([r[4] for r in rows], _pa.int64())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)

@@ -20,10 +20,12 @@ def confusion_matrix(ds, truth_col: str = "lang",
     """Dataset -> (truth, pred, n) counts (Ray groupby)."""
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame):
+        import pyarrow as _pa
         g = df.groupby([truth_col, pred_col], as_index=False).size()
-        return g.rename(columns={truth_col: "lang_true",
-                                 pred_col: "lang_pred", "size": "n"})
+        g = g.rename(columns={truth_col: "lang_true",
+                              pred_col: "lang_pred", "size": "n"})
+        return _pa.Table.from_pandas(g, preserve_index=False)
 
     p = ds.map_batches(partial, batch_format="pandas")
     return p.groupby(["lang_true", "lang_pred"]).aggregate(

@@ -162,11 +162,11 @@ def q_source_quota(sf_dir, n: int = 10):
     import zlib
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
-    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_top(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values("doc_id").groupby(
             "source", as_index=False).head(n)
         df["bucket_"] = [zlib.crc32(s.encode()) & 63 for s in df["source"]]
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("doc_id").groupby(
@@ -330,9 +330,9 @@ def q_token_freq_top50(sf_dir):
                 continue
             for w in ws:
                 counts[w] = counts.get(w, 0) + 1
-        return pd.DataFrame({"token": list(counts),
-                             "n": np.fromiter(counts.values(), dtype=np.int64,
-                                              count=len(counts))})
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "n": np.fromiter(counts.values(), dtype=np.int64,
+                                          count=len(counts))})
     partial = ds.map_batches(explode, batch_format="pandas")
     total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
     df = total.to_pandas().sort_values(["n", "token"],
@@ -373,9 +373,9 @@ def q_length_histogram(sf_dir):
     from ray.data.aggregate import Count
     ds = _read(sf_dir, "documents", ["n_chars"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "bucket": (df["n_chars"] // 100).astype(np.int64)})
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "bucket": (df["n_chars"] // 100).to_numpy(np.int64)})
     return ds.map_batches(bucket, batch_format="pandas") \
         .groupby("bucket").aggregate(Count(alias_name="n_docs"))
 
@@ -507,10 +507,11 @@ def q_orders_by_segment(sf_dir):
     ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
     ds = _read(sf_dir, "orders", ["o_custkey"])
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
+    def join(df: pd.DataFrame) -> pa.Table:
         m = ray.get(ref)
-        return pd.DataFrame({
-            "c_mktsegment": df["o_custkey"].map(m).fillna("")})
+        return pa.table({
+            "c_mktsegment": df["o_custkey"].map(m).fillna("")
+            .to_numpy(dtype=object)})
     joined = ds.map_batches(join, batch_format="pandas")
     return joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"))
@@ -959,19 +960,21 @@ def q_asof_join(sf_dir):
     unspecified)."""
     _NP = 64
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-    ev = ev.map_batches(lambda df: pd.DataFrame({
-        "key": df["user_id"].astype(np.int64),
-        "part": (df["user_id"] % _NP).astype(np.int64),
-        "kind": np.int8(0),
-        "id": df["event_id"].astype(np.int64),
-        "ts_us": df["ts"].astype("int64")}), batch_format="pandas")
+    ev = ev.map_batches(lambda df: pa.table({
+        "key": df["user_id"].to_numpy(np.int64),
+        "part": (df["user_id"] % _NP).to_numpy(np.int64),
+        "kind": np.full(len(df), 0, np.int8),
+        "id": df["event_id"].to_numpy(np.int64),
+        "ts_us": df["ts"].astype("int64").to_numpy()}),
+        batch_format="pandas")
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-    od = od.map_batches(lambda df: pd.DataFrame({
-        "key": df["o_custkey"].astype(np.int64),
-        "part": (df["o_custkey"] % _NP).astype(np.int64),
-        "kind": np.int8(1),
-        "id": df["o_orderkey"].astype(np.int64),
-        "ts_us": df["o_orderdate"].astype("int64")}), batch_format="pandas")
+    od = od.map_batches(lambda df: pa.table({
+        "key": df["o_custkey"].to_numpy(np.int64),
+        "part": (df["o_custkey"] % _NP).to_numpy(np.int64),
+        "kind": np.full(len(df), 1, np.int8),
+        "id": df["o_orderkey"].to_numpy(np.int64),
+        "ts_us": df["o_orderdate"].astype("int64").to_numpy()}),
+        batch_format="pandas")
 
     _EMPTY = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                            "o_orderkey": pd.Series([], dtype="int64")})
@@ -1035,7 +1038,7 @@ def q_range_join(sf_dir):
         i = np.searchsorted(lo, price, side="right") - 1
         # rows outside every interval drop, matching the inner join
         ok = (i >= 0) & (price < hi[np.maximum(i, 0)])
-        return pd.DataFrame({"band": names[i[ok]]})
+        return pa.table({"band": pa.array(names[i[ok]], pa.string())})
     return ds.map_batches(band, batch_format="pandas")         .groupby("band").aggregate(Count(alias_name="n_parts"))
 
 
@@ -1063,10 +1066,11 @@ def q_supplier_regions(sf_dir):
     ref = ray.put((n2r, r2n))
     ds = _read(sf_dir, "supplier", ["s_nationkey"])
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
+    def join(df: pd.DataFrame) -> pa.Table:
         n2r_, r2n_ = ray.get(ref)
-        return pd.DataFrame({
-            "r_name": df["s_nationkey"].map(n2r_).map(r2n_).fillna("")})
+        return pa.table({
+            "r_name": df["s_nationkey"].map(n2r_).map(r2n_).fillna("")
+            .to_numpy(dtype=object)})
     return ds.map_batches(join, batch_format="pandas") \
         .groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
 
