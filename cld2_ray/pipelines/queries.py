@@ -1170,25 +1170,31 @@ WHERE a.vec_id < b.vec_id
 # non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------------
 
+_LANGID_DET = None
+
+
+def _langid_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-form langid stage with a lazy process-global Detector
+    (same pattern as stages/core.fused_batch): Ray reuses task
+    workers, so table load is once per worker lifetime and the stage
+    elastically fills all CPUs instead of a pre-sized actor pool."""
+    global _LANGID_DET
+    if _LANGID_DET is None:
+        from cld2_ray.functions.langid import Detector
+        _LANGID_DET = Detector()
+    # one concatenated scoring pass per batch (detect_batch),
+    # not a per-row detect() loop
+    res = _LANGID_DET.detect_batch([t or "" for t in df["text"]])
+    return pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "lang1": [r.summary_code for r in res],
+        "pct1": [r.percent3[0] for r in res],
+        "reliable": [r.is_reliable for r in res]})
+
+
 def q_langid_documents(sf_dir):
-    from cld2_ray.functions import langs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    class Stage:
-        def __init__(self):
-            from cld2_ray.functions.langid import Detector
-            self.det = Detector()
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            # one concatenated scoring pass per batch (detect_batch),
-            # not a per-row detect() loop
-            res = self.det.detect_batch([t or "" for t in df["text"]])
-            return pd.DataFrame({
-                "doc_id": df["doc_id"],
-                "lang1": [r.summary_code for r in res],
-                "pct1": [r.percent3[0] for r in res],
-                "reliable": [r.is_reliable for r in res]})
-    return ds.map_batches(Stage, batch_format="pandas", concurrency=2)
+    return ds.map_batches(_langid_batch, batch_format="pandas")
 
 
 def q_minhash_dedup(sf_dir):
