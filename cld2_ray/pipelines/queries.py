@@ -849,23 +849,33 @@ def q_events_hourly(sf_dir):
     def bucket(df: pd.DataFrame) -> pa.Table:
         # per-batch partial pre-agg BEFORE the shuffle (the exchange
         # carries one row per (type, hour) per block, not per event),
-        # emitted as an Arrow block (the sort aggregate is ~14x slower
-        # on pandas blocks)
+        # emitted as an Arrow block with ONE composite key column: the
+        # sort aggregate is ~14x slower on pandas blocks and ~2x
+        # slower again on a two-column key. Hour is numeric, so the
+        # LAST '|' always splits the key unambiguously.
         hour = (df["ts"].astype("int64") // 10**6 // 3600).astype(np.int64)
-        part = pd.DataFrame({"event_type": df["event_type"], "hour": hour,
+        part = pd.DataFrame({"k": df["event_type"] + "|"
+                             + hour.astype(str),
                              "sum_value_cents": (df["value"] * 100).round()
                              .astype(np.int64),
                              "n_events": np.ones(len(df), np.int64)})
-        g = part.groupby(["event_type", "hour"], as_index=False).sum()
+        g = part.groupby("k", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     b = ds.map_batches(bucket, batch_format="pandas")
-    out = b.groupby(["event_type", "hour"]).aggregate(
+    out = b.groupby("k").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_cents", alias_name="sum_value_cents"))
-    return out.map_batches(
-        lambda t: t.select(["event_type", "hour", "n_events",
-                            "sum_value_cents"]), batch_format="pyarrow")
+
+    def unkey(t: pa.Table) -> pa.Table:
+        k = t["k"].to_pandas().str.rsplit("|", n=1)
+        return pa.table({
+            "event_type": k.str[0].to_numpy(dtype=object),
+            "hour": k.str[1].astype(np.int64).to_numpy(),
+            "n_events": t["n_events"],
+            "sum_value_cents": t["sum_value_cents"]})
+
+    return out.map_batches(unkey, batch_format="pyarrow")
 
 
 SQL_EVENTS_HOURLY = """
