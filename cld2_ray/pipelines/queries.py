@@ -1577,6 +1577,271 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# training-data curation: decontamination / rollup / inverted index / CDF
+# --------------------------------------------------------------------------
+
+def _token_hashes(toks: list[str], memo: dict) -> np.ndarray:
+    """Per-token 64-bit blake2b hashes with a per-actor memo dict —
+    the corpus vocabulary is tiny relative to token occurrences, so
+    nearly every lookup is a dict hit (same trick as the Jaccard
+    join's memoized token hashing)."""
+    import hashlib
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = memo.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                "little")
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Rolling-combine per-token hashes into word-``n``-gram hashes
+    (vectorized; same polynomial as textstats.rolling_fingerprints)."""
+    m = len(tok_hashes) - n + 1
+    out = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            out += tok_hashes[k:k + m] * np.uint64(31) ** np.uint64(n - 1 - k)
+    return out
+
+
+def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
+    """Benchmark decontamination: flag every corpus document sharing a
+    word ``n``-gram with the held-out eval subset (doc_id % mod == 0
+    stands in for the benchmark suite), with its distinct-overlap
+    count. Production recipes use 13-grams (GPT-3 appx. C); the test
+    corpus's tiny vocabulary needs n=4 for any overlap to exist.
+
+    Scale shape: the benchmark side is tiny and FIXED (an eval suite),
+    so its shingle set is collected once (bounded by benchmark size,
+    not corpus size) and broadcast via ray.put; the corpus side is one
+    streaming map_batches with NO shuffle. Matching is 64-bit-hash
+    prefiltered (vectorized searchsorted) and string-verified at the
+    rare hash hits, so the result is exact."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(df: pd.DataFrame) -> pa.Table:
+        memo: dict = {}
+        out: set[str] = set()
+        sub = df[df["doc_id"] % mod == 0]
+        for text in sub["text"].fillna(""):
+            toks = text.split()
+            for j in range(len(toks) - n + 1):
+                out.add(" ".join(toks[j:j + n]))
+        return pa.table({"sh": pa.array(sorted(out), pa.string())})
+
+    # benchmark shingle set: small by construction — collect + broadcast
+    bench_parts = ds.map_batches(bench_shingles,
+                                 batch_format="pandas").take_all()
+    bench_set = {r["sh"] for r in bench_parts}
+    memo0: dict = {}
+    bench_hashes = np.unique(np.concatenate([
+        _shingle_hashes(_token_hashes(s.split(" "), memo0), n)
+        for s in bench_set]) if bench_set else
+        np.empty(0, np.uint64))
+    bench_ref = ray.put((bench_hashes, bench_set))
+
+    class Flag:
+        def __init__(self):
+            self.hashes, self.strings = ray.get(bench_ref)
+            self.memo: dict = {}
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            ids, hits = [], []
+            if not len(self.hashes):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_hits": pa.array([], pa.int64())})
+            for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+                if int(doc_id) % mod == 0:
+                    continue
+                toks = text.split()
+                if len(toks) < n:
+                    continue
+                sh = _shingle_hashes(_token_hashes(toks, self.memo), n)
+                pos = np.searchsorted(self.hashes, sh)
+                pos[pos == len(self.hashes)] = 0
+                cand = np.nonzero(self.hashes[pos] == sh)[0]
+                if not len(cand):
+                    continue
+                matched = {" ".join(toks[j:j + n]) for j in cand}
+                k = len(matched & self.strings)
+                if k:
+                    ids.append(int(doc_id))
+                    hits.append(k)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_hits": pa.array(hits, pa.int64())})
+
+    return ds.map_batches(Flag, batch_format="pandas", concurrency=(1, 8))
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks)
+),
+bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(count(DISTINCT g.sh) AS BIGINT) AS n_hits
+FROM grams g JOIN bench b USING (sh)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def q_lang_source_rollup(sf_dir):
+    """Multi-level aggregate (GROUP BY ROLLUP): per-(lang, source),
+    per-lang, and grand-total doc/char counts in ONE pass — each batch
+    emits all three rollup levels as pre-aggregated partials (3x a few
+    rows per batch), so a single tiny groupby finishes every level; no
+    second scan, no driver-side accumulation."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        l1 = g.groupby("lang", as_index=False)[
+            ["n_docs", "total_chars"]].sum()
+        l1["source"] = "ALL"
+        l2 = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                           "n_docs": [g["n_docs"].sum()],
+                           "total_chars": [g["total_chars"].sum()]})
+        out = pd.concat([g, l1[["lang", "source", "n_docs", "total_chars"]],
+                         l2], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["total_chars"] = out["total_chars"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["lang", "source"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"))
+
+
+SQL_LANG_SOURCE_ROLLUP = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_inverted_index(sf_dir, cap: int = 10):
+    """Inverted index with truncated postings: token -> total document
+    frequency + the first ``cap`` doc_ids (ascending), the classic
+    index-build primitive. Scale shape: each batch pre-merges to at
+    most (cap ids + 1 count) per token, so the shuffle carries O(vocab
+    x cap) per block regardless of corpus size; the final per-token
+    merge is a vectorized sort + groupby-head over 64 hash buckets
+    (never one Python group per token)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.strip().str.split(
+            r"\s+", regex=True)
+        tok_arr, id_arr = [], []
+        for doc_id, ws in zip(df["doc_id"], toks):
+            if ws == [""]:
+                continue
+            seen = set(ws)  # a doc's tokens live in one row -> global
+            tok_arr.extend(seen)
+            id_arr.extend([int(doc_id)] * len(seen))
+        part = pd.DataFrame({"token": tok_arr, "doc_id": id_arr})
+        part.sort_values(["token", "doc_id"], inplace=True, kind="stable")
+        cnt = part.groupby("token", sort=False)["doc_id"]
+        head = part[cnt.cumcount() < cap]
+        g = cnt.size()
+        return pa.table({
+            "token": pa.array(head["token"], pa.string()),
+            "doc_id": pa.array(head["doc_id"].to_numpy(np.int64)),
+            # per-token partial df rides on the token's FIRST head row;
+            # other rows carry 0 so the Sum is exact
+            "df_part": pa.array(np.where(
+                ~head["token"].duplicated(), g.loc[head["token"]].to_numpy(),
+                0).astype(np.int64))})
+
+    p = ds.map_batches(pairs, batch_format="pandas")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = (pd.util.hash_pandas_object(
+            pd.Series(t["token"].to_pandas()), index=False).to_numpy()
+            % 64).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="stable")
+        df_tot = g.groupby("token", sort=False)["df_part"].sum()
+        head = g[g.groupby("token", sort=False).cumcount() < cap]
+        posting = head.groupby("token", sort=False)["doc_id"].agg(
+            lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({
+            "token": posting.index.to_numpy(dtype=object),
+            "n_docs": df_tot.loc[posting.index].to_numpy(np.int64),
+            "posting": posting.to_numpy(dtype=object)})
+
+    return p.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .select_columns(["token", "n_docs", "posting"])
+
+
+SQL_INVERTED_INDEX = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE trim(text) <> '')
+),
+r AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS c
+  FROM pairs
+)
+SELECT token, CAST(max(c) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         FILTER (rn <= 10) AS posting
+FROM r GROUP BY token
+"""
+
+
+def q_length_cdf(sf_dir):
+    """Cumulative length distribution: histogram buckets with a
+    running total (SUM OVER ORDER BY window parity). The corpus-wide
+    work is the pre-aggregated histogram groupby; the cumulative sum
+    runs on the driver over the tiny bucket table (same bounded-result
+    pattern as the top-k queries)."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "bucket": (df["n_chars"] // 100).to_numpy(np.int64)})
+    h = ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").aggregate(Count(alias_name="n_docs")) \
+        .to_pandas().sort_values("bucket")
+    h["cum_docs"] = h["n_docs"].cumsum().astype(np.int64)
+    return h.reset_index(drop=True)
+
+
+SQL_LENGTH_CDF = """
+WITH h AS (SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+                  count(*) AS n FROM documents GROUP BY 1)
+SELECT bucket, CAST(n AS BIGINT) AS n_docs,
+       CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs
+FROM h
+"""
+
+
 QUERIES = {
     "lang_counts": q_lang_counts,
     "source_lang_matrix": q_source_lang_matrix,
@@ -1592,6 +1857,10 @@ QUERIES = {
     "source_vocab": q_source_vocab,
     "bigram_top50": q_bigram_top50,
     "embedding_label_stats": q_embedding_label_stats,
+    "decontaminate": q_decontaminate,
+    "lang_source_rollup": q_lang_source_rollup,
+    "inverted_index": q_inverted_index,
+    "length_cdf": q_length_cdf,
     "jaccard_pairs": q_jaccard_pairs,
     "top_longest": q_top_longest,
     "token_freq_top50": q_token_freq_top50,
@@ -1642,6 +1911,10 @@ ORACLE_SQL = {
     "source_vocab": SQL_SOURCE_VOCAB,
     "bigram_top50": SQL_BIGRAM_TOP50,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "length_cdf": SQL_LENGTH_CDF,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
