@@ -1842,6 +1842,62 @@ FROM h
 """
 
 
+def q_epoch_shuffle(sf_dir):
+    """Deterministic global shuffle (training-epoch permutation): every
+    row keyed by md5 of its doc_id and globally sorted — the seeded,
+    resumable alternative to random_shuffle() (same all-to-all cost,
+    but any worker can recompute its slice). The check returns the
+    first 20 rows of the permuted order."""
+    import hashlib
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(df: pd.DataFrame) -> pa.Table:
+        sk = [hashlib.md5(str(int(d)).encode()).hexdigest()
+              for d in df["doc_id"]]
+        return pa.table({"doc_id": df["doc_id"].to_numpy(np.int64),
+                         "shuffle_key": pa.array(sk, pa.string())})
+
+    return ds.map_batches(key, batch_format="pandas") \
+        .sort("shuffle_key").limit(20)
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 20
+"""
+
+
+def _roundtrip(sf_dir, fmt: str):
+    """Write the documents table out in ``fmt`` (jsonl / csv) and read
+    it back with the matching ray.data reader, then aggregate — proves
+    the non-parquet source paths end to end against the parquet oracle.
+    Output goes to a per-format dir under /tmp, one file per block
+    (resumable-output layout)."""
+    import shutil
+    import ray.data as rd
+    out = f"/tmp/cld2_ray_roundtrip_{fmt}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    if fmt == "jsonl":
+        ds.write_json(out)
+        back = rd.read_json(out)
+    else:
+        ds.write_csv(out)
+        back = rd.read_csv(out)
+    from ray.data.aggregate import Count, Sum
+    return back.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+
+def q_source_jsonl(sf_dir):
+    return _roundtrip(sf_dir, "jsonl")
+
+
+def q_source_csv(sf_dir):
+    return _roundtrip(sf_dir, "csv")
+
+
 QUERIES = {
     "lang_counts": q_lang_counts,
     "source_lang_matrix": q_source_lang_matrix,
@@ -1858,6 +1914,9 @@ QUERIES = {
     "bigram_top50": q_bigram_top50,
     "embedding_label_stats": q_embedding_label_stats,
     "decontaminate": q_decontaminate,
+    "epoch_shuffle": q_epoch_shuffle,
+    "source_jsonl": q_source_jsonl,
+    "source_csv": q_source_csv,
     "lang_source_rollup": q_lang_source_rollup,
     "inverted_index": q_inverted_index,
     "length_cdf": q_length_cdf,
@@ -1912,6 +1971,9 @@ ORACLE_SQL = {
     "bigram_top50": SQL_BIGRAM_TOP50,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     "decontaminate": SQL_DECONTAMINATE,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "source_jsonl": SQL_LANG_COUNTS,
+    "source_csv": SQL_LANG_COUNTS,
     "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
     "inverted_index": SQL_INVERTED_INDEX,
     "length_cdf": SQL_LENGTH_CDF,
