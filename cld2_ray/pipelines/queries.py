@@ -1842,6 +1842,46 @@ FROM h
 """
 
 
+def q_click_buyers(sf_dir):
+    """Groupby + HAVING (INTERSECT-shaped semi-join): users with BOTH
+    click and purchase events, with per-type counts. One pass: each
+    batch pre-aggregates conditional counts per user, a small groupby
+    sums them, and the HAVING filter is a trivial post-map — no join,
+    no second scan of the events table."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({
+            "user_id": df["user_id"],
+            "n_clicks": (df["event_type"] == "click").astype(np.int64),
+            "n_purchases": (df["event_type"] == "purchase")
+            .astype(np.int64),
+        }).groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("user_id").aggregate(
+            Sum("n_clicks", alias_name="n_clicks"),
+            Sum("n_purchases", alias_name="n_purchases"))
+    def having(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.and_(pc.greater(t["n_clicks"], 0),
+                                pc.greater(t["n_purchases"], 0)))
+    return out.map_batches(having, batch_format="pyarrow")
+
+
+SQL_CLICK_BUYERS = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+         AS n_clicks,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchases
+FROM events GROUP BY user_id
+HAVING n_clicks > 0 AND n_purchases > 0
+"""
+
+
 def q_epoch_shuffle(sf_dir):
     """Deterministic global shuffle (training-epoch permutation): every
     row keyed by md5 of its doc_id and globally sorted — the seeded,
@@ -1914,6 +1954,7 @@ QUERIES = {
     "bigram_top50": q_bigram_top50,
     "embedding_label_stats": q_embedding_label_stats,
     "decontaminate": q_decontaminate,
+    "click_buyers": q_click_buyers,
     "epoch_shuffle": q_epoch_shuffle,
     "source_jsonl": q_source_jsonl,
     "source_csv": q_source_csv,
@@ -1971,6 +2012,7 @@ ORACLE_SQL = {
     "bigram_top50": SQL_BIGRAM_TOP50,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     "decontaminate": SQL_DECONTAMINATE,
+    "click_buyers": SQL_CLICK_BUYERS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "source_jsonl": SQL_LANG_COUNTS,
     "source_csv": SQL_LANG_COUNTS,
