@@ -64,6 +64,8 @@ def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:
     """Number of whitespace tokens that are stopwords (exact match,
     lowercased) — SQL: len(list_filter(tokens, t -> lower(t) IN (...)))."""
     stop = frozenset(stopwords)
-    return texts.fillna("").str.strip().str.split(_WS).map(
-        lambda ws: 0 if ws == [""] else sum(1 for w in ws if w.lower() in stop)
-    ).astype(np.int64)
+    toks = texts.fillna("").str.strip().str.split(_WS).explode()
+    # an empty doc explodes to one "" token, which is never a stopword,
+    # so the per-row sum is 0 there — same as the old per-row map
+    hit = toks.str.lower().isin(stop)
+    return hit.groupby(level=0).sum().reindex(texts.index).astype(np.int64)

@@ -322,17 +322,15 @@ def q_token_freq_top50(sf_dir):
     ds = _read(sf_dir, "documents", ["text"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        # partial count per batch BEFORE the shuffle
+        # partial count per batch BEFORE the shuffle (vectorized:
+        # explode + value_counts; a trimmed non-empty doc never splits
+        # to "" so dropping "" tokens == skipping empty docs)
         toks = df["text"].fillna("").str.strip().str.split(r"\s+", regex=True)
-        counts: dict[str, int] = {}
-        for ws in toks:
-            if ws == [""]:
-                continue
-            for w in ws:
-                counts[w] = counts.get(w, 0) + 1
-        return pa.table({"token": pa.array(list(counts), pa.string()),
-                         "n": np.fromiter(counts.values(), dtype=np.int64,
-                                          count=len(counts))})
+        s = toks.explode()
+        vc = s[s != ""].value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "n": vc.to_numpy(np.int64)})
     partial = ds.map_batches(explode, batch_format="pandas")
     total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
     df = total.to_pandas().sort_values(["n", "token"],
