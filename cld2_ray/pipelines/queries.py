@@ -1840,6 +1840,75 @@ FROM h
 """
 
 
+def q_incremental_dedup(sf_dir, mod: int = 7):
+    """Dedup against a prior snapshot (the incremental-crawl case):
+    new documents (doc_id % mod != 0) are kept only if their content
+    md5 does not appear in the prior corpus (doc_id % mod == 0).
+    Distributed LEFT ANTI hash join on the md5 — BOTH sides shuffle
+    on the hash key (the prior corpus is unbounded at 100 TB, so a
+    broadcast set would not survive; text itself never shuffles)."""
+    import hashlib
+
+    import ray
+    n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(keep_new: bool):
+        def f(df: pd.DataFrame) -> pa.Table:
+            sub = df[(df["doc_id"] % mod != 0) == keep_new]
+            md5 = [hashlib.md5((t or "").encode()).hexdigest()
+                   for t in sub["text"]]
+            cols = {"content_md5": pa.array(md5, pa.string())}
+            if keep_new:
+                cols["doc_id"] = pa.array(
+                    sub["doc_id"].to_numpy(np.int64))
+            return pa.table(cols)
+        return f
+
+    new = ds.map_batches(fp(True), batch_format="pandas")
+    prior = ds.map_batches(fp(False), batch_format="pandas")
+    out = new.join(prior, join_type="left_anti", on=("content_md5",),
+                   num_partitions=n_part,
+                   aggregator_ray_remote_args={"num_cpus": 0.25})
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "content_md5": pd.Series(dtype=object)})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "content_md5"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_INCREMENTAL_DEDUP = """
+SELECT d.doc_id, md5(d.text) AS content_md5
+FROM documents d
+WHERE d.doc_id % 7 <> 0
+  AND NOT EXISTS (SELECT 1 FROM documents p
+                  WHERE p.doc_id % 7 = 0 AND md5(p.text) = md5(d.text))
+ORDER BY d.doc_id
+"""
+
+
+def q_partitioned_sink(sf_dir):
+    """Partitioned-parquet sink round-trip (the resumable-output
+    layout): write documents partitioned by lang (one directory per
+    partition value — a failed run can skip finished partitions),
+    read the partition tree back, and aggregate. Checked against the
+    original table's oracle, so a writer that drops or duplicates
+    rows across partitions fails the hash."""
+    import shutil
+    import ray.data as rd
+    out = "/tmp/cld2_ray_part_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    ds.write_parquet(out, partition_cols=["lang"])
+    back = rd.read_parquet(out)
+    from ray.data.aggregate import Count, Sum
+    return back.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+
 def q_click_buyers(sf_dir):
     """Groupby + HAVING (INTERSECT-shaped semi-join): users with BOTH
     click and purchase events, with per-type counts. One pass: each
@@ -1952,6 +2021,8 @@ QUERIES = {
     "bigram_top50": q_bigram_top50,
     "embedding_label_stats": q_embedding_label_stats,
     "decontaminate": q_decontaminate,
+    "incremental_dedup": q_incremental_dedup,
+    "partitioned_sink": q_partitioned_sink,
     "click_buyers": q_click_buyers,
     "epoch_shuffle": q_epoch_shuffle,
     "source_jsonl": q_source_jsonl,
@@ -2010,6 +2081,8 @@ ORACLE_SQL = {
     "bigram_top50": SQL_BIGRAM_TOP50,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     "decontaminate": SQL_DECONTAMINATE,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "partitioned_sink": SQL_LANG_COUNTS,
     "click_buyers": SQL_CLICK_BUYERS,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "source_jsonl": SQL_LANG_COUNTS,
