@@ -79,7 +79,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     for name in ("langid_documents", "exact_dedup", "minhash_dedup",
                  "token_freq_top50", "tpch_q1", "events_hourly",
-                 "ann_top1", "embedding_near_pairs"):
+                 "ann_top1", "embedding_near_pairs", "decontaminate",
+                 "incremental_dedup", "epoch_shuffle"):
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "to_pandas"):
