@@ -1849,8 +1849,14 @@ def q_incremental_dedup(sf_dir, mod: int = 7):
     broadcast set would not survive; text itself never shuffles)."""
     import hashlib
 
+    import pyarrow.parquet as pq
     import ray
-    n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    # partition count scales with the input, not just the cluster: a
+    # tiny snapshot doesn't need CPU/2 aggregator actors spun up
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_part = max(2, min(int(ray.cluster_resources().get("CPU", 8)) // 2,
+                        n_rows // 25_000 + 2))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(keep_new: bool):
