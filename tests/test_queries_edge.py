@@ -1,0 +1,118 @@
+"""Edge paths of the curation queries that the oracle data never
+exercises: empty benchmark set, truncation boundaries, determinism."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decontaminate_all_benchmark(ray_session):
+    """mod=1 -> every doc is benchmark -> nothing to flag -> zero
+    rows with a stable schema."""
+    from cld2_ray.pipelines.queries import q_decontaminate
+    out = q_decontaminate(SF, mod=1).to_pandas()
+    assert len(out) == 0
+    # ray's to_pandas may drop column metadata when EVERY block is
+    # empty; when columns survive they must be the contract ones
+    assert list(out.columns) in ([], ["doc_id", "n_hits"])
+
+
+def test_decontaminate_single_doc_benchmark(ray_session):
+    """mod > max doc_id -> the benchmark is exactly doc 0 (0 % m == 0);
+    every flagged doc must share a literal word 4-gram with doc 0."""
+    import duckdb
+    from cld2_ray.pipelines.queries import q_decontaminate
+    out = q_decontaminate(SF, mod=10**12).to_pandas()
+    con = duckdb.connect()
+    texts = dict(con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall())
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 4]) for i in range(len(w) - 3)}
+    bench = grams(texts[0])
+    for _, r in out.iterrows():
+        got = grams(texts[int(r["doc_id"])]) & bench
+        assert len(got) == int(r["n_hits"]) > 0
+
+
+def test_decontaminate_self_overlap_excluded(ray_session):
+    """Benchmark docs themselves are never flagged."""
+    from cld2_ray.pipelines.queries import q_decontaminate
+    out = q_decontaminate(SF).to_pandas()
+    assert (out["doc_id"] % 97 != 0).all()
+    assert (out["n_hits"] > 0).all()
+
+
+def test_shingle_hash_matches_string_equality():
+    """The 64-bit prefilter hash is a pure function of the shingle
+    string: equal shingles hash equal regardless of which memo dict
+    or surrounding tokens produced them."""
+    from cld2_ray.pipelines.queries import _shingle_hashes, _token_hashes
+    a = "the quick brown fox jumps over the lazy dog".split()
+    b = ("PAD " * 3 + "quick brown fox jumps").split()
+    memo_a, memo_b = {}, {}
+    ha = _shingle_hashes(_token_hashes(a, memo_a), 4)
+    hb = _shingle_hashes(_token_hashes(b, memo_b), 4)
+    # a[1:5] == b[3:7] == "quick brown fox jumps"
+    assert ha[1] == hb[3]
+    assert len(set(ha)) == len(ha)  # distinct shingles hash apart here
+
+
+def test_inverted_index_posting_truncation(ray_session):
+    """Postings cap at 10 ascending ids while n_docs stays the true
+    document frequency."""
+    from cld2_ray.pipelines.queries import q_inverted_index
+    out = q_inverted_index(SF).to_pandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        ids = [int(x) for x in r["posting"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(int(r["n_docs"]), 10)
+
+
+def test_epoch_shuffle_deterministic(ray_session):
+    from cld2_ray.pipelines.queries import q_epoch_shuffle
+    a = q_epoch_shuffle(SF).to_pandas()
+    b = q_epoch_shuffle(SF).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["shuffle_key"].sort_values().values ==
+            a["shuffle_key"].values).all()  # globally sorted output
+
+
+def test_incremental_dedup_prior_excluded(ray_session):
+    from cld2_ray.pipelines.queries import q_incremental_dedup
+    out = q_incremental_dedup(SF)
+    assert (out["doc_id"] % 7 != 0).all()
+    assert out["doc_id"].is_monotonic_increasing
+
+
+def test_partitioned_sink_layout(ray_session):
+    """One directory per lang partition value on disk."""
+    from cld2_ray.pipelines.queries import q_partitioned_sink
+    out = q_partitioned_sink(SF).to_pandas()
+    dirs = sorted(d for d in os.listdir("/tmp/cld2_ray_part_sink")
+                  if d.startswith("lang="))
+    assert len(dirs) == len(out)
+    assert {d.split("=", 1)[1] for d in dirs} == set(out["lang"])
+
+
+def test_rollup_levels_consistent(ray_session):
+    """lang-level rows equal the sum of their (lang, source) rows and
+    the grand total equals the sum of the lang level."""
+    from cld2_ray.pipelines.queries import q_lang_source_rollup
+    df = q_lang_source_rollup(SF).to_pandas()
+    fine = df[(df["lang"] != "ALL") & (df["source"] != "ALL")]
+    langl = df[(df["lang"] != "ALL") & (df["source"] == "ALL")]
+    top = df[(df["lang"] == "ALL") & (df["source"] == "ALL")]
+    g = fine.groupby("lang")["n_docs"].sum()
+    for lang, n in langl.set_index("lang")["n_docs"].items():
+        assert g[lang] == n
+    assert int(top["n_docs"].iloc[0]) == int(fine["n_docs"].sum())
