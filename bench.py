@@ -39,13 +39,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     n_docs = pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")).num_rows
-    # headline page count: never below the BASELINE.md scale (320k
-    # pages, ~1 GB HTML) even when the driver-managed sf0.1 dir is
-    # transiently empty and _resolve_sf_dir substituted a smaller one —
-    # keeps the round-over-round headline comparable. GRAFT_BENCH_PAGES
-    # overrides for quick local iteration.
+    # headline page count: 64x the documents table, except when the
+    # caller pinned it — __main__ pins 320k (the BASELINE.md scale)
+    # when _resolve_sf_dir substituted a smaller dir for a transiently
+    # empty sf0.1, so the round-over-round headline stays comparable.
     n_pages = (int(os.environ.get("GRAFT_BENCH_PAGES", "0"))
-               or max(n_docs * 64, 320_000))
+               or n_docs * 64)
     cache = f"/tmp/cld2_ray_bench/pages_{n_pages}"
     write_pages_parquet(cache, n_pages, seed=42)
 
@@ -193,6 +192,10 @@ def _resolve_sf_dir(sf_dir: str) -> str:
 if __name__ == "__main__":
     requested = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_dir = _resolve_sf_dir(requested)
+    if sf_dir != requested and not os.environ.get("GRAFT_BENCH_PAGES"):
+        # substituted input: keep the HEADLINE at the recorded scale
+        # (the flagship input is synthetic pages, not the sf tables)
+        os.environ["GRAFT_BENCH_PAGES"] = "320000"
     if "--scaling" in sys.argv:
         out = run_scaling(sf_dir)
     else:

@@ -42,30 +42,56 @@ def fingerprint(texts: pd.Series) -> pd.Series:
         lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
 
 
+def token_hashes(toks: list[str], memo: dict | None = None) -> np.ndarray:
+    """Per-token 64-bit blake2b hashes, optionally memoized across
+    calls (corpus vocabularies are tiny relative to token occurrences,
+    so with a per-worker memo nearly every lookup is a dict hit)."""
+    out = np.empty(len(toks), dtype=np.uint64)
+    if memo is None:
+        memo = {}
+    for i, t in enumerate(toks):
+        h = memo.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                "little")
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(tok_hashes: np.ndarray, window: int) -> np.ndarray:
+    """Rolling-combine per-token hashes into word-``window``-gram
+    hashes (base-31 polynomial, vectorized)."""
+    n = len(tok_hashes) - window + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(max(n, 0), dtype=np.uint64)
+        for k in range(window):
+            out += tok_hashes[k:k + n] \
+                * np.uint64(31) ** np.uint64(window - 1 - k)
+    return out
+
+
 def rolling_fingerprints(text: str, window: int = 16) -> np.ndarray:
     """Rolling (Rabin-Karp style) window hashes over whitespace tokens —
     the document-fingerprinting primitive for fuzzy containment checks."""
     toks = text.split()
     if len(toks) < window:
         toks = toks + ["<pad>"] * (window - len(toks))
-    hashes = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "little") for t in toks),
-        dtype=np.uint64, count=len(toks))
-    n = len(hashes) - window + 1
-    with np.errstate(over="ignore"):
-        out = np.zeros(n, dtype=np.uint64)
-        for k in range(window):
-            out += hashes[k:k + n] * np.uint64(31) ** np.uint64(window - 1 - k)
-    return out
+    return shingle_hashes(token_hashes(toks), window)
 
 
 def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:
     """Number of whitespace tokens that are stopwords (exact match,
     lowercased) — SQL: len(list_filter(tokens, t -> lower(t) IN (...)))."""
     stop = frozenset(stopwords)
-    toks = texts.fillna("").str.strip().str.split(_WS).explode()
+    # positional index before explode: duplicate input labels would
+    # otherwise be merged by the level-0 groupby and fanned back out
+    t = texts.fillna("").str.strip().reset_index(drop=True)
+    toks = t.str.split(_WS).explode()
     # an empty doc explodes to one "" token, which is never a stopword,
     # so the per-row sum is 0 there — same as the old per-row map
-    hit = toks.str.lower().isin(stop)
-    return hit.groupby(level=0).sum().reindex(texts.index).astype(np.int64)
+    out = toks.str.lower().isin(stop).groupby(level=0).sum() \
+        .astype(np.int64)
+    out.index = texts.index
+    return out

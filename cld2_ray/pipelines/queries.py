@@ -1579,35 +1579,6 @@ FROM documents
 # training-data curation: decontamination / rollup / inverted index / CDF
 # --------------------------------------------------------------------------
 
-def _token_hashes(toks: list[str], memo: dict) -> np.ndarray:
-    """Per-token 64-bit blake2b hashes with a per-actor memo dict —
-    the corpus vocabulary is tiny relative to token occurrences, so
-    nearly every lookup is a dict hit (same trick as the Jaccard
-    join's memoized token hashing)."""
-    import hashlib
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = memo.get(t)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                "little")
-            memo[t] = h
-        out[i] = h
-    return out
-
-
-def _shingle_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
-    """Rolling-combine per-token hashes into word-``n``-gram hashes
-    (vectorized; same polynomial as textstats.rolling_fingerprints)."""
-    m = len(tok_hashes) - n + 1
-    out = np.zeros(m, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for k in range(n):
-            out += tok_hashes[k:k + m] * np.uint64(31) ** np.uint64(n - 1 - k)
-    return out
-
-
 def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
     """Benchmark decontamination: flag every corpus document sharing a
     word ``n``-gram with the held-out eval subset (doc_id % mod == 0
@@ -1623,10 +1594,11 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
     rare hash hits, so the result is exact."""
     import ray
 
+    from cld2_ray.functions.textstats import shingle_hashes, token_hashes
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def bench_shingles(df: pd.DataFrame) -> pa.Table:
-        memo: dict = {}
         out: set[str] = set()
         sub = df[df["doc_id"] % mod == 0]
         for text in sub["text"].fillna(""):
@@ -1641,7 +1613,7 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
     bench_set = {r["sh"] for r in bench_parts}
     memo0: dict = {}
     bench_hashes = np.unique(np.concatenate([
-        _shingle_hashes(_token_hashes(s.split(" "), memo0), n)
+        shingle_hashes(token_hashes(s.split(" "), memo0), n)
         for s in bench_set]) if bench_set else
         np.empty(0, np.uint64))
     bench_ref = ray.put((bench_hashes, bench_set))
@@ -1662,7 +1634,7 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
                 toks = text.split()
                 if len(toks) < n:
                     continue
-                sh = _shingle_hashes(_token_hashes(toks, self.memo), n)
+                sh = shingle_hashes(token_hashes(toks, self.memo), n)
                 pos = np.searchsorted(self.hashes, sh)
                 pos[pos == len(self.hashes)] = 0
                 cand = np.nonzero(self.hashes[pos] == sh)[0]
@@ -1701,33 +1673,42 @@ def q_lang_source_rollup(sf_dir):
     per-lang, and grand-total doc/char counts in ONE pass — each batch
     emits all three rollup levels as pre-aggregated partials (3x a few
     rows per batch), so a single tiny groupby finishes every level; no
-    second scan, no driver-side accumulation."""
+    second scan, no driver-side accumulation. An explicit grouping
+    level rides along (SQL: GROUPING(lang, source) bitmask) so a real
+    lang/source value spelled 'ALL' can never merge into a subtotal
+    row."""
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pa.Table:
         g = df.groupby(["lang", "source"], as_index=False).agg(
             n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        g["grouping_level"] = 0
         l1 = g.groupby("lang", as_index=False)[
             ["n_docs", "total_chars"]].sum()
         l1["source"] = "ALL"
+        l1["grouping_level"] = 1
         l2 = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
                            "n_docs": [g["n_docs"].sum()],
-                           "total_chars": [g["total_chars"].sum()]})
-        out = pd.concat([g, l1[["lang", "source", "n_docs", "total_chars"]],
-                         l2], ignore_index=True)
+                           "total_chars": [g["total_chars"].sum()],
+                           "grouping_level": [3]})
+        cols = ["lang", "source", "grouping_level", "n_docs",
+                "total_chars"]
+        out = pd.concat([g[cols], l1[cols], l2[cols]], ignore_index=True)
         out["n_docs"] = out["n_docs"].astype(np.int64)
         out["total_chars"] = out["total_chars"].astype(np.int64)
+        out["grouping_level"] = out["grouping_level"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["lang", "source"]).aggregate(
+        .groupby(["lang", "source", "grouping_level"]).aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("total_chars", alias_name="total_chars"))
 
 
 SQL_LANG_SOURCE_ROLLUP = """
 SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS grouping_level,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP (lang, source)
@@ -1885,12 +1866,16 @@ def q_incremental_dedup(sf_dir, mod: int = 7):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+# coalesce: the Ray side hashes NULL text as '' (a NULL never matches
+# anything under SQL equality, which would silently keep every
+# null-text doc); both sides pin "null text == empty text"
 SQL_INCREMENTAL_DEDUP = """
-SELECT d.doc_id, md5(d.text) AS content_md5
+SELECT d.doc_id, md5(coalesce(d.text, '')) AS content_md5
 FROM documents d
 WHERE d.doc_id % 7 <> 0
   AND NOT EXISTS (SELECT 1 FROM documents p
-                  WHERE p.doc_id % 7 = 0 AND md5(p.text) = md5(d.text))
+                  WHERE p.doc_id % 7 = 0
+                    AND md5(coalesce(p.text, '')) = md5(coalesce(d.text, '')))
 ORDER BY d.doc_id
 """
 
@@ -1904,7 +1889,7 @@ def q_partitioned_sink(sf_dir):
     rows across partitions fails the hash."""
     import shutil
     import ray.data as rd
-    out = "/tmp/cld2_ray_part_sink"
+    out = f"/tmp/cld2_ray_part_sink_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
     ds.write_parquet(out, partition_cols=["lang"])
@@ -1988,7 +1973,9 @@ def _roundtrip(sf_dir, fmt: str):
     (resumable-output layout)."""
     import shutil
     import ray.data as rd
-    out = f"/tmp/cld2_ray_roundtrip_{fmt}"
+    # pid suffix: two concurrent runs (selfcheck + pytest on this
+    # shared VM) must not rmtree each other's tree mid-read
+    out = f"/tmp/cld2_ray_roundtrip_{fmt}_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     if fmt == "jsonl":

@@ -55,12 +55,12 @@ def test_shingle_hash_matches_string_equality():
     """The 64-bit prefilter hash is a pure function of the shingle
     string: equal shingles hash equal regardless of which memo dict
     or surrounding tokens produced them."""
-    from cld2_ray.pipelines.queries import _shingle_hashes, _token_hashes
+    from cld2_ray.functions.textstats import shingle_hashes, token_hashes
     a = "the quick brown fox jumps over the lazy dog".split()
     b = ("PAD " * 3 + "quick brown fox jumps").split()
     memo_a, memo_b = {}, {}
-    ha = _shingle_hashes(_token_hashes(a, memo_a), 4)
-    hb = _shingle_hashes(_token_hashes(b, memo_b), 4)
+    ha = shingle_hashes(token_hashes(a, memo_a), 4)
+    hb = shingle_hashes(token_hashes(b, memo_b), 4)
     # a[1:5] == b[3:7] == "quick brown fox jumps"
     assert ha[1] == hb[3]
     assert len(set(ha)) == len(ha)  # distinct shingles hash apart here
@@ -98,7 +98,8 @@ def test_partitioned_sink_layout(ray_session):
     """One directory per lang partition value on disk."""
     from cld2_ray.pipelines.queries import q_partitioned_sink
     out = q_partitioned_sink(SF).to_pandas()
-    dirs = sorted(d for d in os.listdir("/tmp/cld2_ray_part_sink")
+    dirs = sorted(d for d in
+                  os.listdir(f"/tmp/cld2_ray_part_sink_{os.getpid()}")
                   if d.startswith("lang="))
     assert len(dirs) == len(out)
     assert {d.split("=", 1)[1] for d in dirs} == set(out["lang"])
