@@ -90,6 +90,16 @@ def decode_bmp_pixels(data: bytes):
     return np.ascontiguousarray(px)
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array to
+    (out_h, out_w, 3) — pure-numpy index sampling (src index =
+    floor(dst * src_len / dst_len), the classic NN mapping)."""
+    h, w, _ = px.shape
+    yi = np.minimum(np.arange(out_h) * h // out_h, h - 1)
+    xi = np.minimum(np.arange(out_w) * w // out_w, w - 1)
+    return np.ascontiguousarray(px[yi[:, None], xi[None, :]])
+
+
 # --------------------------------------------------------------------------
 # WAV (RIFF / PCM16)
 # --------------------------------------------------------------------------

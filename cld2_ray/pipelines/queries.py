@@ -1510,6 +1510,40 @@ FROM documents
 """
 
 
+def q_media_resize(sf_dir):
+    """Multimodal image RESIZE pipeline: one BMP per documents row,
+    nearest-neighbor resized to 24x24 by the actor stage (real pixels,
+    re-encoded), then decoded AGAIN by ImageDecodeStage — so the hash
+    check proves the resized bytes are themselves a valid image of the
+    target dimensions, not just that metadata was stamped."""
+    from cld2_ray.functions.media import make_bmp
+    from cld2_ray.stages.multimodal import ImageDecodeStage, ImageResizeStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": df["doc_id"].astype(np.int64),
+            "image": [make_bmp(int(d)) for d in df["doc_id"]]})
+
+    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 2))
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        fn_constructor_kwargs={"image_col": "resized"},
+                        batch_size=64, concurrency=(1, 2))
+    return ds.select_columns(["media_id", "out_width", "out_height",
+                              "width", "height", "resize_ok"])
+
+
+SQL_MEDIA_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(24 AS BIGINT) AS out_width, CAST(24 AS BIGINT) AS out_height,
+       CAST(24 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+       TRUE AS resize_ok
+FROM documents
+"""
+
+
 def q_media_audio(sf_dir):
     """Multimodal audio pipeline with a REAL PCM-WAV parser: one WAV
     per documents row (sample count a pure function of doc_id),
@@ -2054,6 +2088,7 @@ QUERIES = {
     "flagship_pages": q_flagship_pages,
     "eval_confusion": q_eval_confusion,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
     "media_audio": q_media_audio,
     "media_video": q_media_video,
 }
@@ -2112,6 +2147,7 @@ ORACLE_SQL = {
     "ivf_topk": SQL_IVF_TOPK_EXACT,
     "knn_classify": SQL_KNN_CLASSIFY,
     "media_decode": SQL_MEDIA_DECODE,
+    "media_resize": SQL_MEDIA_RESIZE,
     "media_audio": SQL_MEDIA_AUDIO,
     "media_video": SQL_MEDIA_VIDEO,
 }

@@ -121,6 +121,42 @@ class ImageEmbedStage:
                 .append_column("embed_ok", pa.array(ok)))
 
 
+class ImageResizeStage:
+    """image bytes -> resized image bytes (+ out dims, resize_ok): the
+    standard pre-embedding normalization step. Real pixels: BMP decode,
+    nearest-neighbor sample (media.resize_nearest), BMP re-encode —
+    downstream stages (decode/embed) consume the output unchanged.
+    Undecodable payloads pass through with resize_ok=False."""
+
+    def __init__(self, image_col: str = "image", out_w: int = 24,
+                 out_h: int = 24):
+        self.image_col = image_col
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.image_col].to_pylist()
+        n = len(payloads)
+        out = [b""] * n
+        mean = np.zeros(n, np.float32)
+        ok = np.zeros(n, bool)
+        for i, b in enumerate(payloads):
+            px = media.decode_bmp_pixels(b or b"")
+            if px is not None:
+                rs = media.resize_nearest(px, self.out_w, self.out_h)
+                out[i] = media.encode_bmp(rs)
+                mean[i] = float(rs.mean() / 255.0)
+                ok[i] = True
+        return (batch.append_column("resized",
+                                    pa.array(out, pa.binary()))
+                .append_column("out_width", pa.array(
+                    np.where(ok, self.out_w, 0).astype(np.int64)))
+                .append_column("out_height", pa.array(
+                    np.where(ok, self.out_h, 0).astype(np.int64)))
+                .append_column("mean_resized", pa.array(mean))
+                .append_column("resize_ok", pa.array(ok)))
+
+
 class AudioFrameStage:
     """binary audio bytes -> (sample_rate, n_samples, n_frames, rms,
     decode_ok). Real PCM-WAV parsing; n_frames = full frame_ms windows."""

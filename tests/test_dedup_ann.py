@@ -184,6 +184,28 @@ class TestMultimodal:
         assert a.n_frames[0] == n // (sr * 25 // 1000)
         assert a.decode_ok[0] and 0.0 < a.rms[0] < 1.0
 
+    def test_image_resize_real_pixels(self, ray_session):
+        """ImageResizeStage output decodes back to EXACTLY the numpy
+        nearest-neighbor reference of the source pixels."""
+        import numpy as np
+        import ray.data as rd
+        from cld2_ray.functions.media import (
+            decode_bmp_pixels, encode_bmp, resize_nearest)
+        from cld2_ray.stages.multimodal import ImageResizeStage
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (37, 51, 3), dtype=np.uint8)
+        ds = rd.from_items([{"media_id": 0, "image": encode_bmp(px)},
+                            {"media_id": 1, "image": b"junk"}])
+        out = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
+                             concurrency=1).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        got = decode_bmp_pixels(out.resized[0])
+        want = resize_nearest(px, 24, 24)
+        assert got.shape == (24, 24, 3)
+        assert np.array_equal(got, want)
+        assert out.resize_ok[0] and out.out_width[0] == 24
+        assert not out.resize_ok[1] and out.out_width[1] == 0
+
     def test_image_embedding_is_real(self):
         """Random-projection features: unit-norm, metric-preserving
         (a perturbed copy of an image stays closer than a different
