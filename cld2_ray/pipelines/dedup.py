@@ -35,15 +35,17 @@ import pandas as pd
 _M61 = (1 << 61) - 1
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+def _shingle_hashes(text: str, k: int = 3,
+                    memo: dict | None = None) -> np.ndarray:
     """Hashes of word k-shingles (uint64): one blake2b per DISTINCT
     token, then a vectorized positional polynomial mix per window —
     O(distinct tokens) strong hashes instead of O(shingles), with the
-    windowing itself numpy."""
+    windowing itself numpy. Pass a shared ``memo`` dict to amortize
+    token hashing across a whole batch (corpus vocabularies repeat)."""
     words = text.split()
     if len(words) < k:
         words = words + ["<pad>"] * (k - len(words))
-    uniq: dict[str, int] = {}
+    uniq: dict[str, int] = memo if memo is not None else {}
     th = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         h = uniq.get(w)
@@ -292,6 +294,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        memo: dict = {}    # token hashes shared across the batch
         for did, text in zip(df[id_col], df[text_col].fillna("")):
             if variant == "sql":
                 sh_raw = _shingle_hashes_md5(text) % np.uint64(MH_M61)
@@ -299,7 +302,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 keys = ["_".join(str(int(v)) for v in sig[b * 4:b * 4 + 4])
                         for b in range(4)]
             else:
-                sh_raw = _shingle_hashes(text)
+                sh_raw = _shingle_hashes(text, memo=memo)
                 sig = minhash_signature_from(sh_raw)
                 keys = minhash_bands(sig)
             sh = np.unique(sh_raw)
@@ -337,21 +340,42 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = g[id_col].to_numpy()
         sets = [np.asarray(s, dtype=np.uint64) for s in g.shingles]
         sizes = np.array([len(s) for s in sets], dtype=np.int64)
-        union_v = np.unique(np.concatenate(sets)) if sets else \
-            np.empty(0, np.uint64)
-        # exact Jaccard for every needed pair via one bitset matmul
-        m = np.zeros((n, len(union_v)), dtype=np.int32)
-        for i, s in enumerate(sets):
-            m[i, np.searchsorted(union_v, s)] = 1
         if n <= clique_cutoff:
-            inter = m @ m.T
-            uni = np.maximum(sizes[:, None] + sizes[None, :] - inter, 1)
-            iu = np.triu_indices(n, 1)
-            both_empty = (sizes[:, None] + sizes[None, :]) == 0
-            ok = ((inter / uni >= threshold) | both_empty)[iu]
-            return pd.DataFrame({"a": ids[iu[0][ok]].astype(np.int64),
-                                 "b": ids[iu[1][ok]].astype(np.int64)})
-        inter = m[1:] @ m[0]
+            # exact Jaccard for every pair via a bitset matmul; ROW-
+            # BLOCKED so scratch stays <= ~128 MB even for the giant
+            # buckets a boilerplate-heavy corpus produces (an unblocked
+            # n x |union| matrix on a 5k-doc bucket is multiple GB)
+            union_v = np.unique(np.concatenate(sets)) if sets else \
+                np.empty(0, np.uint64)
+            u = max(len(union_v), 1)
+            m = np.zeros((n, u), dtype=np.int32)
+            for i, s in enumerate(sets):
+                m[i, np.searchsorted(union_v, s)] = 1
+            blk = max(1, 32_000_000 // (u * 4))
+            outs_a, outs_b = [], []
+            for r0 in range(0, n, blk):
+                r1 = min(r0 + blk, n)
+                inter = m[r0:r1] @ m.T
+                uni = np.maximum(
+                    sizes[r0:r1, None] + sizes[None, :] - inter, 1)
+                both_empty = (sizes[r0:r1, None] + sizes[None, :]) == 0
+                ok = (inter / uni >= threshold) | both_empty
+                ri, ci = np.nonzero(ok)
+                keep = r0 + ri < ci        # upper triangle only
+                outs_a.append(ids[r0 + ri[keep]].astype(np.int64))
+                outs_b.append(ids[ci[keep]].astype(np.int64))
+            return pd.DataFrame({"a": np.concatenate(outs_a),
+                                 "b": np.concatenate(outs_b)})
+        # star path: intersect every member with the hub (min id) by
+        # sorted searchsorted — never densified (linear in set sizes)
+        s0 = sets[0]
+        inter = np.empty(n - 1, dtype=np.int64)
+        for i in range(1, n):
+            s = sets[i]
+            pos = np.searchsorted(s0, s)
+            pos_c = np.minimum(pos, max(len(s0) - 1, 0))
+            inter[i - 1] = 0 if len(s0) == 0 else int(
+                ((pos < len(s0)) & (s0[pos_c] == s)).sum())
         uni = np.maximum(sizes[1:] + sizes[0] - inter, 1)
         ok = (inter / uni >= threshold) | ((sizes[1:] + sizes[0]) == 0)
         return pd.DataFrame({
