@@ -216,7 +216,6 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     the corpus on the driver.
     """
     import ray
-    from ray.data.aggregate import Min, Sum
 
     def _segments(doc_id: int, text: str):
         words = (text or "").split(" ")
@@ -236,18 +235,27 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                     mins[k] = enc
         import pyarrow as _pa
         keys = list(counts)
+        part = np.array([int(k[:2], 16) % 64 for k in keys],
+                        dtype=np.int64)
         return _pa.table({
             "seg_md5": _pa.array(keys, _pa.string()),
+            "part": _pa.array(part),
             "n_": _pa.array([counts[k] for k in keys], _pa.int64()),
             "enc_": _pa.array([mins[k] for k in keys], _pa.int64())})
 
-    stats = ds.map_batches(seg_partial, batch_format="pandas") \
-        .groupby("seg_md5").aggregate(
-            Sum("n_", alias_name="cnt"), Min("enc_", alias_name="keeper"))
-    # heavy hitters only (count >= min_count) reach the driver
-    hot = stats.map_batches(
-        lambda df: df[df["cnt"] >= min_count][["seg_md5", "keeper"]],
-        batch_format="pandas").to_pandas()
+    # 64 hash buckets + vectorized per-bucket merge, NOT a sort
+    # aggregate over the (near-corpus-cardinality) segment-md5 key —
+    # Ray's sort aggregate at ~3.6M distinct keys dominated wall time;
+    # heavy hitters (count >= min_count) are filtered inside the
+    # bucket so only the dup tail ever leaves it
+    def seg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("seg_md5", as_index=False).agg(
+            cnt=("n_", "sum"), keeper=("enc_", "min"))
+        return gg[gg["cnt"] >= min_count][["seg_md5", "keeper"]]
+
+    hot = ds.map_batches(seg_partial, batch_format="pandas") \
+        .groupby("part").map_groups(seg_merge, batch_format="pandas") \
+        .to_pandas()
     keeper_of = ray.put(dict(zip(hot["seg_md5"], hot["keeper"].astype(int))))
 
     def rewrite(df: pd.DataFrame) -> pd.DataFrame:
@@ -416,6 +424,17 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return df[sizes > 1].sort_values(id_col).reset_index(drop=True)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) for uint64 arrays."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) \
+            + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> pd.DataFrame:
     """Near-duplicate pairs via SimHash banding. Returns (a, b, hamming)."""
@@ -444,15 +463,27 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "part": _pa.array([r[4] for r in rows], _pa.int64())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
-        rows = []
-        vals = list(zip(ids[id_col], ids["simhash"]))
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                h = bin(int(vals[i][1]) ^ int(vals[j][1])).count("1")
-                if h <= max_hamming:
-                    rows.append((vals[i][0], vals[j][0], h))
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+        # blocked XOR + SWAR popcount over the bucket's hash vector —
+        # a Python pair loop is quadratic-interpreted and dominates on
+        # the hot buckets a boilerplate corpus produces; scratch stays
+        # <= ~64 MB per block regardless of bucket size
+        d = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
+        n = len(d)
+        ids = d[id_col].to_numpy(np.int64)
+        hs = d["simhash"].to_numpy(np.uint64)
+        a_out, b_out, h_out = [], [], []
+        blk = max(1, 8_000_000 // max(n, 1))
+        for r0 in range(0, n, blk):
+            r1 = min(r0 + blk, n)
+            hm = _popcount64(hs[r0:r1, None] ^ hs[None, :])
+            ri, ci = np.nonzero(hm <= max_hamming)
+            keep = (r0 + ri) < ci             # upper triangle only
+            a_out.append(ids[r0 + ri[keep]])
+            b_out.append(ids[ci[keep]])
+            h_out.append(hm[ri[keep], ci[keep]].astype(np.int64))
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out),
+                             "hamming": np.concatenate(h_out)})
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = [pd.DataFrame({"a": pd.Series([], dtype="int64"),

@@ -689,19 +689,24 @@ def q_source_vocab(sf_dir):
     from ray.data.aggregate import Count
     ds = _read(sf_dir, "documents", ["source", "text"])
 
-    def pairs(df: pd.DataFrame):
-        out = df[["source"]].copy()
-        out["token"] = df["text"].str.split(" ")
-        # composite single key + Arrow block: the sort aggregate is
+    def pairs(t: pa.Table) -> pa.Table:
+        # Arrow kernels end to end (split/flatten/take/join/unique —
+        # the pandas explode materialized every token occurrence as a
+        # Python string). Composite single key: the sort aggregate is
         # ~14x slower on pandas blocks and slower again on two object
-        # key columns. Tokens are space-split fields, so the LAST
+        # key columns; tokens are space-split fields, so the LAST
         # space in the key always separates source from token, even
         # for a source containing spaces.
-        e = out.explode("token").drop_duplicates()
-        key = e["source"] + " " + e["token"]
-        return pa.table({"k": key.to_numpy(dtype=object)})
+        import pyarrow.compute as pc
+        toks = pc.split_pattern(
+            pc.coalesce(t["text"].combine_chunks(), pa.scalar("")), " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        src = pc.take(t["source"].combine_chunks(),
+                      pa.array(np.repeat(np.arange(len(lens)), lens)))
+        key = pc.binary_join_element_wise(src, pc.list_flatten(toks), " ")
+        return pa.table({"k": pc.unique(key)})
 
-    uniq = ds.map_batches(pairs, batch_format="pandas") \
+    uniq = ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("k").aggregate(Count(alias_name="c_"))
 
     def unkey(t: pa.Table) -> pa.Table:
@@ -732,23 +737,34 @@ def q_bigram_top50(sf_dir):
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "documents", ["text"])
 
-    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
-        e = df["text"].str.split(" ").explode()
-        w1 = e.to_numpy(dtype=object)
-        w2 = np.roll(w1, -1)
-        doc = e.index.to_numpy()
-        same = doc == np.roll(doc, -1)
-        same[-1:] = False
-        # single composite key: tokens are space-split fields, so a
-        # space separator is unambiguous. Emit an Arrow block: the
-        # sort-based aggregate is ~14x slower on pandas blocks.
-        out = pd.DataFrame({"bg": pd.Series(w1[same], dtype=object)
-                            + " " + pd.Series(w2[same], dtype=object)})
-        g = out.groupby("bg", as_index=False).size() \
-            .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def bigrams(t: pa.Table) -> pa.Table:
+        # Arrow kernels end to end: split/flatten, adjacent-pair join
+        # on two slices of the flat token array, boundary mask from
+        # the list offsets (the pandas explode + object-array roll
+        # materialized every token as a Python string). Single
+        # composite key: tokens are space-split fields, so a space
+        # separator is unambiguous.
+        import pyarrow.compute as pc
+        toks = pc.split_pattern(
+            pc.coalesce(t["text"].combine_chunks(), pa.scalar("")), " ")
+        flat = pc.list_flatten(toks)
+        m = len(flat)
+        if m < 2:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        bg = pc.binary_join_element_wise(flat.slice(0, m - 1),
+                                         flat.slice(1), " ")
+        # drop pairs that straddle a document boundary: positions
+        # ending at a list offset (cumulative doc lengths)
+        lens = pc.list_value_length(toks).to_numpy()
+        same = np.ones(m - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1] - 1          # last token of doc d
+        same[ends[(ends >= 0) & (ends < m - 1)]] = False
+        vc = pc.filter(bg, pa.array(same)).value_counts()
+        return pa.table({"bg": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    partial = ds.map_batches(bigrams, batch_format="pandas")
+    partial = ds.map_batches(bigrams, batch_format="pyarrow")
     total = partial.groupby("bg").aggregate(Sum("n", alias_name="n"))
     # distributed top-k: sort + limit, never a full to_pandas of the
     # (unbounded at corpus scale) distinct-bigram table
