@@ -193,7 +193,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         out["n_copies"] = out["n_copies"].astype(np.int64)
         return out[["content_md5", "keep_id", "n_copies"]]
 
-    return ds.map_batches(add_hash, batch_format="pandas") \
+    return ds.map_batches(add_hash, batch_format="pandas", batch_size=None) \
         .groupby("part").map_groups(merge, batch_format="pandas")
 
 
@@ -253,7 +253,7 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             cnt=("n_", "sum"), keeper=("enc_", "min"))
         return gg[gg["cnt"] >= min_count][["seg_md5", "keeper"]]
 
-    hot = ds.map_batches(seg_partial, batch_format="pandas") \
+    hot = ds.map_batches(seg_partial, batch_format="pandas", batch_size=None) \
         .groupby("part").map_groups(seg_merge, batch_format="pandas") \
         .to_pandas()
     keeper_of = ray.put(dict(zip(hot["seg_md5"], hot["keeper"].astype(int))))
@@ -275,7 +275,7 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: ids, "clean_text": texts,
                              "n_dropped": np.array(dropped, np.int64)})
 
-    out = ds.map_batches(rewrite, batch_format="pandas").to_pandas()
+    out = ds.map_batches(rewrite, batch_format="pandas", batch_size=None).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
 
 
@@ -348,7 +348,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "shingles": _pa.array([r[4] for r in rows],
                                   _pa.list_(_pa.uint64()))})
 
-    bands = ds.map_batches(to_bands, batch_format="pandas")
+    bands = ds.map_batches(to_bands, batch_format="pandas", batch_size=None)
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
@@ -443,7 +443,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         out["simhash"] = df[text_col].fillna("").map(simhash64).astype("uint64")
         return out
 
-    sims = ds.map_batches(add_sim, batch_format="pandas")
+    sims = ds.map_batches(add_sim, batch_format="pandas", batch_size=None)
 
     n_parts = 64   # bounded keyed shuffle; see minhash_dedup
 
@@ -494,7 +494,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 outs.append(bucket_pairs(gg))
         return pd.concat(outs, ignore_index=True)
 
-    pairs = sims.map_batches(to_bands, batch_format="pandas") \
+    pairs = sims.map_batches(to_bands, batch_format="pandas", batch_size=None) \
         .groupby("part").map_groups(
             part_pairs, batch_format="pandas").to_pandas()
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
@@ -592,7 +592,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
                               for s in sig_first], _pa.list_(_pa.uint64())),
             "members": _pa.array(list(members), _pa.list_(_pa.int64()))})
 
-    sets_ds = ds.map_batches(sigs, batch_format="pandas") \
+    sets_ds = ds.map_batches(sigs, batch_format="pandas", batch_size=None) \
         .groupby("skb").map_groups(collapse, batch_format="pandas") \
         .materialize()  # distinct sets only — reused by 3 passes below
 
@@ -606,7 +606,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
         return _pa.table({
             "tok": _pa.array(np.array(list(c), dtype=np.uint64)),
             "df_": _pa.array(np.fromiter(c.values(), np.int64, len(c)))})
-    dfreq = sets_ds.map_batches(tok_rows, batch_format="pandas") \
+    dfreq = sets_ds.map_batches(tok_rows, batch_format="pandas", batch_size=None) \
         .groupby("tok").aggregate(Sum("df_", alias_name="df_"))
     # the hottest 50k tokens steer the order; everything rarer sorts
     # first by hash (any consistent total order is correct — df order
@@ -672,7 +672,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
                     rows.append((keys[i], keys[j]))
         return pd.DataFrame(rows, columns=["sa", "sb"])
 
-    set_pairs = sets_ds.map_batches(prefix_emit, batch_format="pandas") \
+    set_pairs = sets_ds.map_batches(prefix_emit, batch_format="pandas", batch_size=None) \
         .groupby("ptok").map_groups(verify, batch_format="pandas") \
         .to_pandas().drop_duplicates()
 
@@ -726,10 +726,10 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
         return pd.DataFrame({"a": np.concatenate(outs_a),
                              "b": np.concatenate(outs_b)})
 
-    intra = sets_ds.map_batches(intra_pairs, batch_format="pandas") \
+    intra = sets_ds.map_batches(intra_pairs, batch_format="pandas", batch_size=None) \
         .to_pandas()
     if len(set_pairs):
-        inter = sets_ds.map_batches(route, batch_format="pandas") \
+        inter = sets_ds.map_batches(route, batch_format="pandas", batch_size=None) \
             .groupby("bucket").map_groups(cross, batch_format="pandas") \
             .to_pandas()
     else:
@@ -791,7 +791,7 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
                           "vec": _pa.array(list(df[vec_col].to_numpy()))})
 
     assigned = ds.select_columns([id_col, vec_col]) \
-        .map_batches(assign, batch_format="pandas").materialize()
+        .map_batches(assign, batch_format="pandas", batch_size=None).materialize()
 
     from ray.data.aggregate import Max
     radii_df = assigned.groupby("cell").aggregate(
@@ -885,7 +885,7 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
         return pd.DataFrame({"a": np.concatenate(outs_a).astype(np.int64),
                              "b": np.concatenate(outs_b).astype(np.int64)})
 
-    out = assigned.map_batches(route, batch_format="pandas") \
+    out = assigned.map_batches(route, batch_format="pandas", batch_size=None) \
         .groupby("bucket").map_groups(compare, batch_format="pandas") \
         .to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

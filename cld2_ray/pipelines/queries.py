@@ -75,7 +75,7 @@ def q_token_stats(sf_dir):
                              "n_bpe_tokens": t.n_bpe_tokens,
                              "n_chars": df["text"].fillna("").str.len()
                              .astype(np.int64)})
-    return ds.map_batches(stats, batch_format="pandas")
+    return ds.map_batches(stats, batch_format="pandas", batch_size=None)
 
 
 SQL_TOKEN_STATS = f"""
@@ -97,7 +97,7 @@ def q_fingerprint(sf_dir):
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "content_md5": fingerprint(df["text"])})
-    return ds.map_batches(fp, batch_format="pandas")
+    return ds.map_batches(fp, batch_format="pandas", batch_size=None)
 
 
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
@@ -172,7 +172,7 @@ def q_source_quota(sf_dir, n: int = 10):
         return g.sort_values("doc_id").groupby(
             "source", as_index=False).head(n).drop(columns=["bucket_"])
 
-    out = ds.map_batches(partial_top, batch_format="pandas") \
+    out = ds.map_batches(partial_top, batch_format="pandas", batch_size=None) \
         .groupby("bucket_").map_groups(merge, batch_format="pandas")
     df = out.to_pandas().sort_values(["source", "doc_id"])
     return df[["source", "doc_id"]].reset_index(drop=True)
@@ -213,14 +213,14 @@ def q_tfidf_top5(sf_dir):
         return out.groupby(["doc_id", "token"], as_index=False) \
             .size().rename(columns={"size": "tf"})
 
-    tf = ds.map_batches(explode_tf, batch_format="pandas")
+    tf = ds.map_batches(explode_tf, batch_format="pandas", batch_size=None)
 
     from ray.data.aggregate import Sum
     dfq = tf.map_batches(
         lambda d: pa.Table.from_pandas(
             d.groupby("token", as_index=False).size()
             .rename(columns={"size": "df_"}), preserve_index=False),
-        batch_format="pandas").groupby("token").aggregate(
+        batch_format="pandas", batch_size=None).groupby("token").aggregate(
             Sum("df_", alias_name="df"))
 
     joined = tf.join(dfq, join_type="inner", num_partitions=n_part,
@@ -245,7 +245,7 @@ def q_tfidf_top5(sf_dir):
         return g.groupby("doc_id", as_index=False).head(5) \
             .drop(columns=["bucket_"])
 
-    out = joined.map_batches(score_and_bucket, batch_format="pandas") \
+    out = joined.map_batches(score_and_bucket, batch_format="pandas", batch_size=None) \
         .groupby("bucket_").map_groups(top5, batch_format="pandas")
     df = out.to_pandas()
     for c in ("tf", "df", "score_u"):
@@ -337,7 +337,10 @@ def q_token_freq_top50(sf_dir):
         keep = pc.not_equal(tok, "")
         return pa.table({"token": pc.filter(tok, keep),
                          "n": pc.cast(pc.filter(cnt, keep), pa.int64())})
-    partial = ds.map_batches(explode, batch_format="pyarrow")
+    # bounded partials materialized before the sort aggregate (see
+    # q_events_hourly)
+    partial = ds.map_batches(explode, batch_format="pyarrow",
+                             batch_size=None).materialize()
     total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
     df = total.to_pandas().sort_values(["n", "token"],
                                        ascending=[False, True]).head(50)
@@ -360,7 +363,7 @@ def q_stopword_counts(sf_dir):
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "n_stop": stopword_counts(df["text"], STOPWORD_LIST)})
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORD_LIST)
@@ -380,7 +383,7 @@ def q_length_histogram(sf_dir):
     def bucket(df: pd.DataFrame) -> pa.Table:
         return pa.table({
             "bucket": (df["n_chars"] // 100).to_numpy(np.int64)})
-    return ds.map_batches(bucket, batch_format="pandas") \
+    return ds.map_batches(bucket, batch_format="pandas", batch_size=None) \
         .groupby("bucket").aggregate(Count(alias_name="n_docs"))
 
 
@@ -399,7 +402,7 @@ def q_quality_rules(sf_dir):
         q = apply_rules(df["text"])
         return pd.DataFrame({"doc_id": df["doc_id"], "keep": q["keep"],
                              "drop_reason": q["drop_reason"]})
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 # documents.text has no newlines (single-line docs), so the line-level
@@ -463,7 +466,7 @@ def q_pii_scrub(sf_dir):
         s = scrub_series(df["text"])
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "scrubbed_text": s["scrubbed_text"]})
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 def _scrub_sql_expr() -> str:
@@ -516,7 +519,7 @@ def q_orders_by_segment(sf_dir):
         return pa.table({
             "c_mktsegment": df["o_custkey"].map(m).fillna("")
             .to_numpy(dtype=object)})
-    joined = ds.map_batches(join, batch_format="pandas")
+    joined = ds.map_batches(join, batch_format="pandas", batch_size=None)
     return joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"))
 
@@ -553,13 +556,13 @@ def q_tpch_q3(sf_dir):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
-        .select(["c_custkey"]), batch_format="pyarrow")
+        .select(["c_custkey"]), batch_format="pyarrow", batch_size=None)
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders.map_batches(
         lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
 
     def line_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
@@ -572,7 +575,7 @@ def q_tpch_q3(sf_dir):
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_extendedprice", "l_discount",
                   "l_shipdate"])
-    line = line.map_batches(line_prep, batch_format="pyarrow")
+    line = line.map_batches(line_prep, batch_format="pyarrow", batch_size=None)
 
     oc = orders.join(cust, join_type="inner", on=("o_custkey",),
                      right_on=("c_custkey",), **join_kw)
@@ -581,7 +584,7 @@ def q_tpch_q3(sf_dir):
             "o_orderkey": t["o_orderkey"],
             "o_date": pc.cast(pc.divide(pc.cast(
                 t["o_orderdate"], pa.int64()), 10**6), pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     ol = line.join(oc, join_type="inner", on=("l_orderkey",),
                    right_on=("o_orderkey",), **join_kw)
     agg = ol.groupby(["l_orderkey", "o_date"]).aggregate(
@@ -623,7 +626,7 @@ def q_customers_without_orders(sf_dir):
     urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
         .map_batches(lambda t: t.filter(
             pc.equal(t["o_orderpriority"], "1-URGENT"))
-            .select(["o_custkey"]), batch_format="pyarrow")
+            .select(["o_custkey"]), batch_format="pyarrow", batch_size=None)
     out = cust.join(urgent, join_type="left_anti", on=("c_custkey",),
                     right_on=("o_custkey",), num_partitions=n_part,
                     aggregator_ray_remote_args={"num_cpus": 0.25})
@@ -664,7 +667,7 @@ def q_orders_per_customer(sf_dir):
     def fill(df: pd.DataFrame) -> pa.Table:
         return pa.table({"n_orders": df["n_orders"]
                          .fillna(0).to_numpy(np.int64)})
-    hist = joined.map_batches(fill, batch_format="pandas") \
+    hist = joined.map_batches(fill, batch_format="pandas", batch_size=None) \
         .groupby("n_orders").aggregate(Count(alias_name="n_customers"))
     df = hist.to_pandas().astype("int64")
     return df.sort_values("n_orders").reset_index(drop=True)
@@ -706,14 +709,17 @@ def q_source_vocab(sf_dir):
         key = pc.binary_join_element_wise(src, pc.list_flatten(toks), " ")
         return pa.table({"k": pc.unique(key)})
 
-    uniq = ds.map_batches(pairs, batch_format="pyarrow") \
+    # bounded distinct-pair partials materialized before the sort
+    # aggregate (see q_events_hourly)
+    uniq = ds.map_batches(pairs, batch_format="pyarrow",
+                          batch_size=None).materialize() \
         .groupby("k").aggregate(Count(alias_name="c_"))
 
     def unkey(t: pa.Table) -> pa.Table:
         src = t["k"].to_pandas().str.rsplit(" ", n=1).str[0]
         return pa.table({"source": src.to_numpy(dtype=object)})
 
-    out = uniq.map_batches(unkey, batch_format="pyarrow") \
+    out = uniq.map_batches(unkey, batch_format="pyarrow", batch_size=None) \
         .groupby("source").aggregate(Count(alias_name="n_distinct_tokens"))
     df = out.to_pandas()
     df["n_distinct_tokens"] = df["n_distinct_tokens"].astype("int64")
@@ -764,7 +770,10 @@ def q_bigram_top50(sf_dir):
         return pa.table({"bg": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    partial = ds.map_batches(bigrams, batch_format="pyarrow")
+    # bounded partials materialized before the sort aggregate (see
+    # q_events_hourly)
+    partial = ds.map_batches(bigrams, batch_format="pyarrow",
+                             batch_size=None).materialize()
     total = partial.groupby("bg").aggregate(Sum("n", alias_name="n"))
     # distributed top-k: sort + limit, never a full to_pandas of the
     # (unbounded at corpus scale) distinct-bigram table
@@ -810,7 +819,7 @@ def q_embedding_label_stats(sf_dir):
         return pa.Table.from_pandas(out.groupby("label", as_index=False)
                                     .sum(), preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pandas") \
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=None) \
         .groupby("label").aggregate(Sum("n_", alias_name="n_vecs"),
                                     Sum("norm2_u", alias_name="sum_norm2_u"))
     df = out.to_pandas().astype("int64")
@@ -851,7 +860,7 @@ def q_stratified_sample(sf_dir):
         rate = np.where(df["lang"].to_numpy() == "en", RATE_EN,
                         RATE_OTHER)
         return df[u < rate]
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 SQL_STRATIFIED_SAMPLE = """
@@ -882,7 +891,12 @@ def q_events_hourly(sf_dir):
         g = part.groupby("k", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    b = ds.map_batches(bucket, batch_format="pandas")
+    # materialize the BOUNDED pre-aggregated partials before the
+    # sort aggregate: Ray's sort aggregate on a lazy fused upstream
+    # measured ~8x slower at high key cardinality (58.7 s vs 7.5 s on
+    # 2M events / 10.8k keys)
+    b = ds.map_batches(bucket, batch_format="pandas",
+                       batch_size=None).materialize()
     out = b.groupby("k").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_cents", alias_name="sum_value_cents"))
@@ -895,7 +909,7 @@ def q_events_hourly(sf_dir):
             "n_events": t["n_events"],
             "sum_value_cents": t["sum_value_cents"]})
 
-    return out.map_batches(unkey, batch_format="pyarrow")
+    return out.map_batches(unkey, batch_format="pyarrow", batch_size=None)
 
 
 SQL_EVENTS_HOURLY = """
@@ -996,7 +1010,7 @@ def q_asof_join(sf_dir):
         "kind": np.full(len(df), 0, np.int8),
         "id": df["event_id"].to_numpy(np.int64),
         "ts_us": df["ts"].astype("int64").to_numpy()}),
-        batch_format="pandas")
+        batch_format="pandas", batch_size=None)
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
     od = od.map_batches(lambda df: pa.table({
         "key": df["o_custkey"].to_numpy(np.int64),
@@ -1004,7 +1018,7 @@ def q_asof_join(sf_dir):
         "kind": np.full(len(df), 1, np.int8),
         "id": df["o_orderkey"].to_numpy(np.int64),
         "ts_us": df["o_orderdate"].astype("int64").to_numpy()}),
-        batch_format="pandas")
+        batch_format="pandas", batch_size=None)
 
     _EMPTY = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                            "o_orderkey": pd.Series([], dtype="int64")})
@@ -1069,7 +1083,7 @@ def q_range_join(sf_dir):
         # rows outside every interval drop, matching the inner join
         ok = (i >= 0) & (price < hi[np.maximum(i, 0)])
         return pa.table({"band": pa.array(names[i[ok]], pa.string())})
-    return ds.map_batches(band, batch_format="pandas")         .groupby("band").aggregate(Count(alias_name="n_parts"))
+    return ds.map_batches(band, batch_format="pandas", batch_size=None)         .groupby("band").aggregate(Count(alias_name="n_parts"))
 
 
 SQL_RANGE_JOIN = f"""
@@ -1101,7 +1115,7 @@ def q_supplier_regions(sf_dir):
         return pa.table({
             "r_name": df["s_nationkey"].map(n2r_).map(r2n_).fillna("")
             .to_numpy(dtype=object)})
-    return ds.map_batches(join, batch_format="pandas") \
+    return ds.map_batches(join, batch_format="pandas", batch_size=None) \
         .groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
 
 
@@ -1224,7 +1238,7 @@ def _langid_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 def q_langid_documents(sf_dir):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(_langid_batch, batch_format="pandas")
+    return ds.map_batches(_langid_batch, batch_format="pandas", batch_size=None)
 
 
 def q_minhash_dedup(sf_dir):
@@ -1316,7 +1330,7 @@ def q_minhash_signatures(sf_dir):
                 rows.append((int(did), i, int(mn[i])))
         return pd.DataFrame(rows, columns=["doc_id", "perm", "minhash"])
 
-    out = ds.map_batches(f, batch_format="pandas")
+    out = ds.map_batches(f, batch_format="pandas", batch_size=None)
     return out
 
 
@@ -1514,7 +1528,7 @@ def q_media_decode(sf_dir):
             "media_id": df["doc_id"].astype(np.int64),
             "image": [make_bmp(int(d)) for d in df["doc_id"]]})
 
-    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(gen, batch_format="pandas", batch_size=None)
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
                         batch_size=64, concurrency=(1, 2))
     ds = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
@@ -1547,7 +1561,7 @@ def q_media_resize(sf_dir):
             "media_id": df["doc_id"].astype(np.int64),
             "image": [make_bmp(int(d)) for d in df["doc_id"]]})
 
-    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(gen, batch_format="pandas", batch_size=None)
     ds = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
                         batch_size=64, concurrency=(1, 2))
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
@@ -1579,7 +1593,7 @@ def q_media_audio(sf_dir):
             "media_id": df["doc_id"].astype(np.int64),
             "audio": [make_wav(int(d)) for d in df["doc_id"]]})
 
-    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(gen, batch_format="pandas", batch_size=None)
     ds = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
                         batch_size=64, concurrency=(1, 2))
     return ds.select_columns(["media_id", "sample_rate", "n_samples",
@@ -1613,7 +1627,7 @@ def q_media_video(sf_dir):
             "media_id": df["doc_id"].astype(np.int64),
             "video": [make_y4m(int(d)) for d in df["doc_id"]]})
 
-    ds = ds.map_batches(gen, batch_format="pandas")
+    ds = ds.map_batches(gen, batch_format="pandas", batch_size=None)
     ds = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
                         batch_size=64, concurrency=(1, 2))
     return ds.select_columns(["media_id", "width", "height",
@@ -1665,7 +1679,7 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
 
     # benchmark shingle set: small by construction — collect + broadcast
     bench_parts = ds.map_batches(bench_shingles,
-                                 batch_format="pandas").take_all()
+                                 batch_format="pandas", batch_size=None).take_all()
     bench_set = {r["sh"] for r in bench_parts}
     memo0: dict = {}
     bench_hashes = np.unique(np.concatenate([
@@ -1756,7 +1770,10 @@ def q_lang_source_rollup(sf_dir):
         out["grouping_level"] = out["grouping_level"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pandas") \
+    # bounded partials materialized before the sort aggregate (see
+    # q_events_hourly)
+    return ds.map_batches(partial, batch_format="pandas",
+                          batch_size=None).materialize() \
         .groupby(["lang", "source", "grouping_level"]).aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("total_chars", alias_name="total_chars"))
@@ -1806,7 +1823,7 @@ def q_inverted_index(sf_dir, cap: int = 10):
                 ~head["token"].duplicated(), g.loc[head["token"]].to_numpy(),
                 0).astype(np.int64))})
 
-    p = ds.map_batches(pairs, batch_format="pandas")
+    p = ds.map_batches(pairs, batch_format="pandas", batch_size=None)
 
     def bucket(t: pa.Table) -> pa.Table:
         b = (pd.util.hash_pandas_object(
@@ -1825,7 +1842,7 @@ def q_inverted_index(sf_dir, cap: int = 10):
             "n_docs": df_tot.loc[posting.index].to_numpy(np.int64),
             "posting": posting.to_numpy(dtype=object)})
 
-    return p.map_batches(bucket, batch_format="pyarrow") \
+    return p.map_batches(bucket, batch_format="pyarrow", batch_size=None) \
         .groupby("bucket").map_groups(merge, batch_format="pandas") \
         .select_columns(["token", "n_docs", "posting"])
 
@@ -1861,7 +1878,7 @@ def q_length_cdf(sf_dir):
     def bucket(df: pd.DataFrame) -> pa.Table:
         return pa.table({
             "bucket": (df["n_chars"] // 100).to_numpy(np.int64)})
-    h = ds.map_batches(bucket, batch_format="pandas") \
+    h = ds.map_batches(bucket, batch_format="pandas", batch_size=None) \
         .groupby("bucket").aggregate(Count(alias_name="n_docs")) \
         .to_pandas().sort_values("bucket")
     h["cum_docs"] = h["n_docs"].cumsum().astype(np.int64)
@@ -1908,8 +1925,8 @@ def q_incremental_dedup(sf_dir, mod: int = 7):
             return pa.table(cols)
         return f
 
-    new = ds.map_batches(fp(True), batch_format="pandas")
-    prior = ds.map_batches(fp(False), batch_format="pandas")
+    new = ds.map_batches(fp(True), batch_format="pandas", batch_size=None)
+    prior = ds.map_batches(fp(False), batch_format="pandas", batch_size=None)
     out = new.join(prior, join_type="left_anti", on=("content_md5",),
                    num_partitions=n_part,
                    aggregator_ray_remote_args={"num_cpus": 0.25})
@@ -1974,7 +1991,10 @@ def q_click_buyers(sf_dir):
         }).groupby("user_id", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pandas") \
+    # bounded partials materialized before the sort aggregate (see
+    # q_events_hourly)
+    out = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=None).materialize() \
         .groupby("user_id").aggregate(
             Sum("n_clicks", alias_name="n_clicks"),
             Sum("n_purchases", alias_name="n_purchases"))
@@ -1982,7 +2002,7 @@ def q_click_buyers(sf_dir):
         import pyarrow.compute as pc
         return t.filter(pc.and_(pc.greater(t["n_clicks"], 0),
                                 pc.greater(t["n_purchases"], 0)))
-    return out.map_batches(having, batch_format="pyarrow")
+    return out.map_batches(having, batch_format="pyarrow", batch_size=None)
 
 
 SQL_CLICK_BUYERS = """
@@ -2011,7 +2031,7 @@ def q_epoch_shuffle(sf_dir):
         return pa.table({"doc_id": df["doc_id"].to_numpy(np.int64),
                          "shuffle_key": pa.array(sk, pa.string())})
 
-    return ds.map_batches(key, batch_format="pandas") \
+    return ds.map_batches(key, batch_format="pandas", batch_size=None) \
         .sort("shuffle_key").limit(20)
 
 
