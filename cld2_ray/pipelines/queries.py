@@ -206,22 +206,69 @@ def q_tfidf_top5(sf_dir):
     n_docs = ds.count()
     n_part = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
 
-    def explode_tf(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["doc_id"]].copy()
-        out["token"] = df["text"].str.split(" ")
-        out = out.explode("token")
-        return out.groupby(["doc_id", "token"], as_index=False) \
-            .size().rename(columns={"size": "tf"})
+    def explode_tf(t: pa.Table) -> pa.Table:
+        # Arrow end to end: split/flatten/take plus Arrow's own C++
+        # hash group_by for the per-(doc, token) counts — the pandas
+        # explode materialized every token occurrence as a Python
+        # string
+        import pyarrow.compute as pc
+        toks = pc.split_pattern(
+            pc.coalesce(t["text"].combine_chunks(), pa.scalar("")), " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        doc = pc.take(t["doc_id"].combine_chunks(),
+                      pa.array(np.repeat(np.arange(len(lens)), lens)))
+        g = pa.table({"doc_id": doc, "token": pc.list_flatten(toks)}) \
+            .group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        return pa.table({"doc_id": g["doc_id"], "token": g["token"],
+                         "tf": pc.cast(g["token_count"], pa.int64())})
 
-    tf = ds.map_batches(explode_tf, batch_format="pandas", batch_size=None)
+    # tf feeds BOTH the df groupby and the join: materialize so the
+    # token explode runs once, not once per consumer
+    tf = ds.map_batches(explode_tf, batch_format="pyarrow",
+                        batch_size=None).materialize()
 
     from ray.data.aggregate import Sum
     dfq = tf.map_batches(
         lambda d: pa.Table.from_pandas(
             d.groupby("token", as_index=False).size()
             .rename(columns={"size": "df_"}), preserve_index=False),
-        batch_format="pandas", batch_size=None).groupby("token").aggregate(
-            Sum("df_", alias_name="df"))
+        batch_format="pandas", batch_size=None).materialize() \
+        .groupby("token").aggregate(Sum("df_", alias_name="df")) \
+        .materialize()
+
+    if dfq.count() <= 2_000_000:
+        # broadcast fast path: the df table is VOCABULARY-sized, so
+        # ship it once via ray.put and join map-side — and because tf
+        # blocks keep each document's rows together (the explode never
+        # splits a doc), the per-doc top-5 finishes locally too: the
+        # whole query runs with NO tf-row shuffle at all
+        dfp = dfq.to_pandas()
+        idf_u = np.floor(np.log(
+            float(n_docs) / dfp["df"].to_numpy(np.float64)) * 1e6
+            + 0.5).astype(np.int64)
+        ref = ray.put((pd.Series(dfp["df"].to_numpy(np.int64),
+                                 index=dfp["token"]),
+                       pd.Series(idf_u, index=dfp["token"])))
+
+        def local_top5(t: pa.Table) -> pa.Table:
+            df_map, idf_map = ray.get(ref)
+            d = t.to_pandas()
+            d["df"] = d["token"].map(df_map).astype(np.int64)
+            d["score_u"] = d["tf"].to_numpy(np.int64) \
+                * d["token"].map(idf_map).to_numpy(np.int64)
+            d = d.sort_values(["doc_id", "score_u", "token"],
+                              ascending=[True, False, True])
+            top = d.groupby("doc_id", as_index=False).head(5)
+            return pa.Table.from_pandas(top, preserve_index=False)
+
+        df = tf.map_batches(local_top5, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+        for c in ("tf", "df", "score_u"):
+            df[c] = df[c].astype("int64")
+        return df[["doc_id", "token", "tf", "df", "score_u"]] \
+            .sort_values(["doc_id", "score_u", "token"],
+                         ascending=[True, False, True]) \
+            .reset_index(drop=True)
 
     joined = tf.join(dfq, join_type="inner", num_partitions=n_part,
                      on=("token",),
