@@ -1740,32 +1740,80 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
             self.hashes, self.strings = ray.get(bench_ref)
             self.memo: dict = {}
 
-        def __call__(self, df: pd.DataFrame) -> pa.Table:
-            ids, hits = [], []
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # fully batch-vectorized: one Arrow tokenize over the
+            # batch, token hashes computed once per DISTINCT token
+            # (factorize + per-worker memo), shingle hashes rolled
+            # over the flat token stream with doc-boundary masking,
+            # one searchsorted prefilter — the per-doc Python loop
+            # cost 87us/doc at the 200k stress scale
+            import pyarrow.compute as pc
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n_hits": pa.array([], pa.int64())})
             if not len(self.hashes):
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "n_hits": pa.array([], pa.int64())})
-            for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-                if int(doc_id) % mod == 0:
-                    continue
-                toks = text.split()
-                if len(toks) < n:
-                    continue
-                sh = shingle_hashes(token_hashes(toks, self.memo), n)
-                pos = np.searchsorted(self.hashes, sh)
-                pos[pos == len(self.hashes)] = 0
-                cand = np.nonzero(self.hashes[pos] == sh)[0]
-                if not len(cand):
-                    continue
-                matched = {" ".join(toks[j:j + n]) for j in cand}
-                k = len(matched & self.strings)
-                if k:
-                    ids.append(int(doc_id))
-                    hits.append(k)
-            return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                             "n_hits": pa.array(hits, pa.int64())})
+                return empty
+            doc_ids = t["doc_id"].to_numpy()
+            keep = doc_ids % mod != 0
+            if not keep.any():
+                return empty
+            sub = t.filter(pa.array(keep))
+            doc_ids = sub["doc_id"].to_numpy()
+            toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(
+                pc.coalesce(sub["text"].combine_chunks(),
+                            pa.scalar(""))), r"\s+")
+            lens = pc.list_value_length(toks).to_numpy()
+            # dictionary_encode: only the VOCABULARY becomes Python
+            # strings, never the 10^2x larger occurrence stream
+            enc = pc.list_flatten(toks).dictionary_encode()
+            codes = enc.indices.to_numpy()
+            uniq = enc.dictionary.to_pylist()
+            uh = token_hashes(uniq, self.memo)
+            sh_all = shingle_hashes(uh[codes], n)
+            if not len(sh_all):
+                return empty
+            # window start p (flat index) is valid iff it stays inside
+            # one document: p >= doc_start and p+n-1 <= doc_end
+            ends = np.cumsum(lens)                     # exclusive ends
+            doc_of = np.repeat(np.arange(len(lens)), lens)[:len(sh_all)]
+            valid = (np.arange(len(sh_all)) + n) <= ends[doc_of]
+            pos = np.searchsorted(self.hashes, sh_all)
+            pos[pos == len(self.hashes)] = 0
+            cand = np.nonzero(valid
+                              & (self.hashes[pos] == sh_all))[0]
+            if not len(cand):
+                return empty
+            # string-verify once per DISTINCT matched hash (bounded by
+            # the benchmark size, not by corpus occurrences), then the
+            # per-doc distinct-overlap count is a vectorized unique
+            # over (doc, hash) pairs
+            sh_c = sh_all[cand]
+            uniq_h, first_i = np.unique(sh_c, return_index=True)
+            ok_hashes = np.array([
+                h for h, p in zip(uniq_h.tolist(),
+                                  cand[first_i].tolist())
+                if " ".join(uniq[c] for c in codes[p:p + n])
+                in self.strings], dtype=np.uint64)
+            if not len(ok_hashes):
+                return empty
+            ok_hashes.sort()
+            j = np.searchsorted(ok_hashes, sh_c)
+            j[j == len(ok_hashes)] = 0
+            m = ok_hashes[j] == sh_c
+            # distinct (doc, hash) pairs via lexsort + consecutive
+            # dedup (np.unique(axis=1) sorts void records, ~8x slower)
+            dm, sm = doc_of[cand[m]], sh_c[m]
+            order = np.lexsort((sm, dm))
+            dm, sm = dm[order], sm[order]
+            new = np.empty(len(dm), bool)
+            new[0] = True
+            new[1:] = (dm[1:] != dm[:-1]) | (sm[1:] != sm[:-1])
+            docs, n_hits = np.unique(dm[new], return_counts=True)
+            return pa.table({
+                "doc_id": pa.array(doc_ids[docs], pa.int64()),
+                "n_hits": pa.array(n_hits.astype(np.int64))})
 
-    return ds.map_batches(Flag, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(Flag, batch_format="pyarrow",
+                          batch_size=None, concurrency=(1, 8))
 
 
 SQL_DECONTAMINATE = """
