@@ -1894,18 +1894,32 @@ def q_inverted_index(sf_dir, cap: int = 10):
     from ray.data.aggregate import Sum
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
-        toks = df["text"].fillna("").str.strip().str.split(
-            r"\s+", regex=True)
-        tok_arr, id_arr = [], []
-        for doc_id, ws in zip(df["doc_id"], toks):
-            if ws == [""]:
-                continue
-            seen = set(ws)  # a doc's tokens live in one row -> global
-            tok_arr.extend(seen)
-            id_arr.extend([int(doc_id)] * len(seen))
-        part = pd.DataFrame({"token": tok_arr, "doc_id": id_arr})
-        part.sort_values(["token", "doc_id"], inplace=True, kind="stable")
+    def pairs(t: pa.Table) -> pa.Table:
+        # distinct (token, doc) pairs fully vectorized: Arrow tokenize,
+        # dictionary-encode the occurrence stream (only the vocabulary
+        # becomes Python strings), lexsort + consecutive dedup (a doc's
+        # tokens live in one row -> per-doc distinct IS global distinct)
+        import pyarrow.compute as pc
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(
+            pc.coalesce(t["text"].combine_chunks(), pa.scalar(""))),
+            r"\s+")
+        lens = pc.list_value_length(toks).to_numpy()
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        doc = np.repeat(t["doc_id"].to_numpy(), lens)
+        keep = pc.not_equal(enc.dictionary, "") \
+            .to_numpy(zero_copy_only=False)[codes]
+        codes, doc = codes[keep], doc[keep]
+        order = np.lexsort((doc, codes))
+        codes, doc = codes[order], doc[order]
+        if len(codes):
+            new = np.empty(len(codes), bool)
+            new[0] = True
+            new[1:] = (codes[1:] != codes[:-1]) | (doc[1:] != doc[:-1])
+            codes, doc = codes[new], doc[new]
+        part = pd.DataFrame({"token": pd.array(
+            enc.dictionary.to_pandas().to_numpy(dtype=object)[codes],
+            dtype=object), "doc_id": doc})
         cnt = part.groupby("token", sort=False)["doc_id"]
         head = part[cnt.cumcount() < cap]
         g = cnt.size()
@@ -1918,7 +1932,7 @@ def q_inverted_index(sf_dir, cap: int = 10):
                 ~head["token"].duplicated(), g.loc[head["token"]].to_numpy(),
                 0).astype(np.int64))})
 
-    p = ds.map_batches(pairs, batch_format="pandas", batch_size=None)
+    p = ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
 
     def bucket(t: pa.Table) -> pa.Table:
         b = (pd.util.hash_pandas_object(
