@@ -1715,18 +1715,26 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def bench_shingles(df: pd.DataFrame) -> pa.Table:
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        # SAME tokenizer as the flag side (Arrow RE2 \s+, = the DuckDB
+        # oracle's string_split_regex): python str.split() treats
+        # unicode whitespace (NBSP etc.) differently and would build a
+        # shingle set the corpus side can never match
+        import pyarrow.compute as pc
+        sel = t["doc_id"].to_numpy() % mod == 0
         out: set[str] = set()
-        sub = df[df["doc_id"] % mod == 0]
-        for text in sub["text"].fillna(""):
-            toks = text.split()
-            for j in range(len(toks) - n + 1):
-                out.add(" ".join(toks[j:j + n]))
+        if sel.any():
+            toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(
+                pc.coalesce(t.filter(pa.array(sel))["text"]
+                            .combine_chunks(), pa.scalar(""))), r"\s+")
+            for ws in toks.to_pylist():      # benchmark side is tiny
+                for j in range(len(ws) - n + 1):
+                    out.add(" ".join(ws[j:j + n]))
         return pa.table({"sh": pa.array(sorted(out), pa.string())})
 
     # benchmark shingle set: small by construction — collect + broadcast
-    bench_parts = ds.map_batches(bench_shingles,
-                                 batch_format="pandas", batch_size=None).take_all()
+    bench_parts = ds.map_batches(bench_shingles, batch_format="pyarrow",
+                                 batch_size=None).take_all()
     bench_set = {r["sh"] for r in bench_parts}
     memo0: dict = {}
     bench_hashes = np.unique(np.concatenate([

@@ -105,6 +105,45 @@ def test_partitioned_sink_layout(ray_session):
     assert {d.split("=", 1)[1] for d in dirs} == set(out["lang"])
 
 
+def test_decontaminate_weird_whitespace_matches_oracle(ray_session):
+    """Tabs/newlines/NBSP: both sides must tokenize with the oracle's
+    RE2 \\s+ semantics (python str.split() differs on NBSP)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cld2_ray.pipelines.queries import SQL_DECONTAMINATE, q_decontaminate
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    seps = [" ", "\t", "\n", "  ", " ", "   "]
+    docs = []
+    for i in range(300):
+        n_tok = int(rng.integers(4, 30))
+        toks = [vocab[int(rng.integers(0, len(vocab)))]
+                for _ in range(n_tok)]
+        text = ""
+        for w in toks:
+            text += w + seps[int(rng.integers(0, len(seps)))]
+        docs.append(text)
+    out = "/tmp/cld2_ray_ws_fuzz"
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "text": pa.array(docs, pa.string())}),
+        f"{out}/documents.parquet")
+    got = q_decontaminate(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{out}/documents.parquet')")
+    want = con.sql(SQL_DECONTAMINATE).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(want) > 0          # the fuzz corpus must actually overlap
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False)
+
+
 def test_rollup_levels_consistent(ray_session):
     """lang-level rows equal the sum of their (lang, source) rows and
     the grand total equals the sum of the lang level."""
