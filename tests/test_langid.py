@@ -167,3 +167,23 @@ class TestFlagsSurface:
         # best_effort gives an answer below the 26% confidence floor
         r = d.detect("ok", best_effort=True)
         assert r is not None
+
+
+def test_top_level_detect_language():
+    """Package-level DetectLanguage analogue: plain text, raw HTML with
+    hints, and the default-to-English wrapper."""
+    import cld2_ray
+    r = cld2_ray.detect_language(
+        "Le chat est sur le tapis et il dort toute la journée.")
+    assert r.summary_code == "fr" and r.is_reliable
+    r2 = cld2_ray.detect_language(
+        b"<html lang='de'><p>Der Hund schl&auml;ft im Garten unter dem "
+        b"Baum, w&auml;hrend die Kinder spielen.</p></html>",
+        is_plain_text=False, url="http://example.de")
+    assert r2.summary_code == "de"
+    assert cld2_ray.detect_language(
+        "", default_to_english=True).summary_code == "en"
+    # invalid UTF-8 page: gate truncates at the valid prefix, no crash
+    r3 = cld2_ray.detect_language(b"<p>ok</p>\xfe\xffrest",
+                                  is_plain_text=False)
+    assert r3.text_bytes >= 0
