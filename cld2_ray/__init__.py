@@ -46,6 +46,11 @@ def detect_language(content, is_plain_text: bool = True,
     pipelines/flagship.py) so table loads amortize per worker."""
     det = _detector()
     hints = None
+    if is_plain_text and isinstance(content, bytes):
+        # the reference's buffer parameter is bytes: validate and
+        # decode the valid UTF-8 prefix (CheckUTF8 behavior)
+        from cld2_ray.functions.extract import valid_utf8_prefix
+        content = content[:valid_utf8_prefix(content)].decode("utf-8")
     if not is_plain_text:
         from cld2_ray.functions.extract import (extract_text,
                                                 valid_utf8_prefix)

@@ -23,13 +23,25 @@ import pandas as pd
 BPE_TOKEN_PATTERN = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+"
 _BPE = re.compile(BPE_TOKEN_PATTERN)
 
-_WS = re.compile(r"\s+")
+# ASCII \s to match RE2 (DuckDB string_split_regex): python's unicode
+# \s would also split at NBSP etc., which the oracle does not
+_WS = re.compile(r"\s+", re.ASCII)
+
+# DuckDB trim() strips exactly the Unicode Zs space separators (probed:
+# 0x20/NBSP/ogham/en..hair spaces/NNBSP/MMSP/ideographic; NOT
+# tab/newline/VT/FF/CR/NEL/LS/PS) — shared by every oracle-mirrored
+# tokenizer so '' edge tokens match the SQL
+TRIM_CHARS = ("   "
+              + "".join(chr(c) for c in range(0x2000, 0x200b))
+              + "  　")
 
 
 def count_tokens(texts: pd.Series) -> pd.DataFrame:
     """(n_ws_tokens, n_bpe_tokens) per document."""
     t = texts.fillna("")
-    stripped = t.str.strip()
+    # strip SPACES only — DuckDB trim() does not strip tabs/newlines,
+    # and those edges produce '' tokens the oracle counts
+    stripped = t.str.strip(TRIM_CHARS)
     n_ws = stripped.str.split(_WS).map(
         lambda w: 0 if w == [""] else len(w)).astype(np.int64)
     n_bpe = t.str.findall(_BPE).map(len).astype(np.int64)
@@ -87,7 +99,7 @@ def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:
     stop = frozenset(stopwords)
     # positional index before explode: duplicate input labels would
     # otherwise be merged by the level-0 groupby and fanned back out
-    t = texts.fillna("").str.strip().reset_index(drop=True)
+    t = texts.fillna("").str.strip(TRIM_CHARS).reset_index(drop=True)
     toks = t.str.split(_WS).explode()
     # an empty doc explodes to one "" token, which is never a stopword,
     # so the per-row sum is 0 there — same as the old per-row map

@@ -361,25 +361,39 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         sets = [np.asarray(s, dtype=np.uint64) for s in g.shingles]
         sizes = np.array([len(s) for s in sets], dtype=np.int64)
         if n <= clique_cutoff:
-            # exact Jaccard for every pair via a bitset matmul; ROW-
-            # BLOCKED so scratch stays <= ~128 MB even for the giant
-            # buckets a boilerplate-heavy corpus produces (an unblocked
-            # n x |union| matrix on a 5k-doc bucket is multiple GB)
+            # exact Jaccard for every pair via an indicator matmul,
+            # blocked on BOTH axes so scratch stays <= ~128 MB per
+            # buffer even for the giant buckets a boilerplate-heavy
+            # corpus produces: the indicator matrix is built float32
+            # in COLUMN blocks (BLAS matmul; counts < 2^24 so float32
+            # sums are exact) and the n x n intersection accumulates
+            # per ROW chunk — nothing n x |union| is ever allocated
             union_v = np.unique(np.concatenate(sets)) if sets else \
                 np.empty(0, np.uint64)
             u = max(len(union_v), 1)
-            m = np.zeros((n, u), dtype=np.int32)
-            for i, s in enumerate(sets):
-                m[i, np.searchsorted(union_v, s)] = 1
-            blk = max(1, 32_000_000 // (u * 4))
+            cells = 32_000_000
+            blk = max(1, cells // max(n, 1))       # row chunk height
+            ub = max(1, cells // max(n, 1))        # column block width
             outs_a, outs_b = [], []
             for r0 in range(0, n, blk):
                 r1 = min(r0 + blk, n)
-                inter = m[r0:r1] @ m.T
+                inter = np.zeros((r1 - r0, n), dtype=np.float32)
+                for c0 in range(0, u, ub):
+                    cols = union_v[c0:min(c0 + ub, u)]
+                    if not len(cols):
+                        continue       # all-empty shingle sets
+                    mb = np.zeros((n, len(cols)), dtype=np.float32)
+                    for i, s in enumerate(sets):
+                        lo = np.searchsorted(s, cols[0])
+                        hi = np.searchsorted(s, cols[-1], side="right")
+                        ss = s[lo:hi]
+                        mb[i, np.searchsorted(cols, ss)] = 1.0
+                    inter += mb[r0:r1] @ mb.T
+                inter_i = inter.astype(np.int64)
                 uni = np.maximum(
-                    sizes[r0:r1, None] + sizes[None, :] - inter, 1)
+                    sizes[r0:r1, None] + sizes[None, :] - inter_i, 1)
                 both_empty = (sizes[r0:r1, None] + sizes[None, :]) == 0
-                ok = (inter / uni >= threshold) | both_empty
+                ok = (inter_i / uni >= threshold) | both_empty
                 ri, ci = np.nonzero(ok)
                 keep = r0 + ri < ci        # upper triangle only
                 outs_a.append(ids[r0 + ri[keep]].astype(np.int64))

@@ -22,7 +22,8 @@ import pyarrow as pa
 from cld2_ray.functions.quality import (
     MAX_DUP_LINE_RATIO, MAX_MEAN_WORD_LEN, MAX_SYMBOL_WORD_RATIO,
     MIN_ALPHA_WORD_RATIO, MIN_MEAN_WORD_LEN, MIN_SENTENCES, MIN_WORDS)
-from cld2_ray.functions.textstats import BPE_TOKEN_PATTERN
+from cld2_ray.functions.textstats import (BPE_TOKEN_PATTERN,
+                                          TRIM_CHARS)
 
 STOPWORD_LIST = ["the", "of", "and", "to", "in", "a", "is", "that",
                  "for", "it", "with", "as", "on", "by"]
@@ -250,24 +251,33 @@ def q_tfidf_top5(sf_dir):
                                  index=dfp["token"]),
                        pd.Series(idf_u, index=dfp["token"])))
 
-        def local_top5(t: pa.Table) -> pa.Table:
-            df_map, idf_map = ray.get(ref)
-            d = t.to_pandas()
-            d["df"] = d["token"].map(df_map).astype(np.int64)
-            d["score_u"] = d["tf"].to_numpy(np.int64) \
-                * d["token"].map(idf_map).to_numpy(np.int64)
-            d = d.sort_values(["doc_id", "score_u", "token"],
-                              ascending=[True, False, True])
-            top = d.groupby("doc_id", as_index=False).head(5)
-            return pa.Table.from_pandas(top, preserve_index=False)
+        class LocalTop5:
+            def __init__(self):  # fetch the broadcast once per actor
+                self.df_map, self.idf_map = ray.get(ref)
 
-        df = tf.map_batches(local_top5, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
+            def __call__(self, t: pa.Table) -> pa.Table:
+                d = t.to_pandas()
+                d["df"] = d["token"].map(self.df_map).astype(np.int64)
+                d["score_u"] = d["tf"].to_numpy(np.int64) \
+                    * d["token"].map(self.idf_map).to_numpy(np.int64)
+                d = d.sort_values(["doc_id", "score_u", "token"],
+                                  ascending=[True, False, True])
+                top = d.groupby("doc_id", as_index=False).head(5)
+                return pa.Table.from_pandas(top, preserve_index=False)
+
+        df = tf.map_batches(LocalTop5, batch_format="pyarrow",
+                            batch_size=None, concurrency=(1, 8)) \
+            .to_pandas()
         for c in ("tf", "df", "score_u"):
             df[c] = df[c].astype("int64")
+        # re-select top 5 globally: Ray may slice an oversized explode
+        # output block MID-DOC, in which case each fragment contributed
+        # its own (correct but partial) top-5 — the union contains the
+        # true top-5, this final bounded pass extracts it
+        df = df.sort_values(["doc_id", "score_u", "token"],
+                            ascending=[True, False, True])
+        df = df.groupby("doc_id", as_index=False).head(5)
         return df[["doc_id", "token", "tf", "df", "score_u"]] \
-            .sort_values(["doc_id", "score_u", "token"],
-                         ascending=[True, False, True]) \
             .reset_index(drop=True)
 
     joined = tf.join(dfq, join_type="inner", num_partitions=n_part,
@@ -371,19 +381,20 @@ def q_token_freq_top50(sf_dir):
     def explode(t: pa.Table) -> pa.Table:
         # partial count per batch BEFORE the shuffle, fully Arrow
         # (split/flatten/value_counts kernels — the pandas explode
-        # materialized every token as a Python string, ~6x slower); a
-        # trimmed non-empty doc never splits to "" so dropping ""
-        # tokens == skipping empty docs
+        # materialized every token as a Python string, ~6x slower).
+        # Trim SPACES only and keep "" edge tokens: DuckDB trim()
+        # does not strip tabs/newlines, and the oracle counts the ""
+        # tokens their edges produce; only trim-empty DOCS are skipped
+        # (the WHERE trim(text) <> '' clause)
         import pyarrow.compute as pc
-        col = pc.utf8_trim_whitespace(
-            pc.coalesce(t["text"].combine_chunks(), pa.scalar("")))
+        col = pc.utf8_trim(pc.coalesce(
+            t["text"].combine_chunks(), pa.scalar("")), TRIM_CHARS)
+        col = pc.filter(col, pc.not_equal(col, ""))
         vc = pc.drop_null(
             pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))) \
             .value_counts()
-        tok, cnt = vc.field("values"), vc.field("counts")
-        keep = pc.not_equal(tok, "")
-        return pa.table({"token": pc.filter(tok, keep),
-                         "n": pc.cast(pc.filter(cnt, keep), pa.int64())})
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
     # bounded partials materialized before the sort aggregate (see
     # q_events_hourly)
     partial = ds.map_batches(explode, batch_format="pyarrow",
@@ -1724,9 +1735,11 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
         sel = t["doc_id"].to_numpy() % mod == 0
         out: set[str] = set()
         if sel.any():
-            toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(
-                pc.coalesce(t.filter(pa.array(sel))["text"]
-                            .combine_chunks(), pa.scalar(""))), r"\s+")
+            col = pc.utf8_trim(pc.coalesce(
+                t.filter(pa.array(sel))["text"].combine_chunks(),
+                pa.scalar("")), TRIM_CHARS)    # DuckDB-trim parity: spaces only
+            col = pc.filter(col, pc.not_equal(col, ""))
+            toks = pc.split_pattern_regex(col, r"\s+")
             for ws in toks.to_pylist():      # benchmark side is tiny
                 for j in range(len(ws) - n + 1):
                     out.add(" ".join(ws[j:j + n]))
@@ -1765,10 +1778,13 @@ def q_decontaminate(sf_dir, n: int = 4, mod: int = 97):
             if not keep.any():
                 return empty
             sub = t.filter(pa.array(keep))
-            doc_ids = sub["doc_id"].to_numpy()
-            toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(
-                pc.coalesce(sub["text"].combine_chunks(),
-                            pa.scalar(""))), r"\s+")
+            col = pc.utf8_trim(pc.coalesce(
+                sub["text"].combine_chunks(), pa.scalar("")), TRIM_CHARS)
+            nonempty = pc.not_equal(col, "") \
+                .to_numpy(zero_copy_only=False)  # DuckDB-trim parity
+            doc_ids = sub["doc_id"].to_numpy()[nonempty]
+            toks = pc.split_pattern_regex(
+                pc.filter(col, pa.array(nonempty)), r"\s+")
             lens = pc.list_value_length(toks).to_numpy()
             # dictionary_encode: only the VOCABULARY becomes Python
             # strings, never the 10^2x larger occurrence stream
@@ -1908,16 +1924,18 @@ def q_inverted_index(sf_dir, cap: int = 10):
         # becomes Python strings), lexsort + consecutive dedup (a doc's
         # tokens live in one row -> per-doc distinct IS global distinct)
         import pyarrow.compute as pc
-        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(
-            pc.coalesce(t["text"].combine_chunks(), pa.scalar(""))),
-            r"\s+")
+        col = pc.utf8_trim(pc.coalesce(
+            t["text"].combine_chunks(), pa.scalar("")), TRIM_CHARS)
+        # DuckDB-trim parity: spaces-only trim, trim-empty DOCS are
+        # excluded, but "" edge tokens from tab/newline edges are kept
+        # (the oracle indexes them)
+        nonempty = pc.not_equal(col, "").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.filter(col, pa.array(nonempty)), r"\s+")
         lens = pc.list_value_length(toks).to_numpy()
         enc = pc.list_flatten(toks).dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64)
-        doc = np.repeat(t["doc_id"].to_numpy(), lens)
-        keep = pc.not_equal(enc.dictionary, "") \
-            .to_numpy(zero_copy_only=False)[codes]
-        codes, doc = codes[keep], doc[keep]
+        doc = np.repeat(t["doc_id"].to_numpy()[nonempty], lens)
         order = np.lexsort((doc, codes))
         codes, doc = codes[order], doc[order]
         if len(codes):

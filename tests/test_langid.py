@@ -187,3 +187,15 @@ def test_top_level_detect_language():
     r3 = cld2_ray.detect_language(b"<p>ok</p>\xfe\xffrest",
                                   is_plain_text=False)
     assert r3.text_bytes >= 0
+
+
+def test_top_level_detect_language_plain_bytes():
+    """Plain-text BYTES input (the reference's buffer parameter):
+    valid-prefix UTF-8 gate + decode, no crash on trailing garbage."""
+    import cld2_ray
+    r = cld2_ray.detect_language(
+        b"Hello world this is a plain byte buffer of English text.")
+    assert r.summary_code == "en"
+    r2 = cld2_ray.detect_language(
+        "Bonjour le monde entier ce matin.".encode() + b"\xfe\xff")
+    assert r2.summary_code == "fr"

@@ -126,10 +126,20 @@ def test_decontaminate_weird_whitespace_matches_oracle(ray_session):
         for w in toks:
             text += w + seps[int(rng.integers(0, len(seps)))]
         docs.append(text)
+    # deterministic repro docs FIRST so doc 0 (benchmark: 0 % 97 == 0)
+    # is the trailing-tab doc: DuckDB trim() strips only Zs spaces, so
+    # the '' edge token forms the gram 'beta gamma delta ' that doc 1
+    # must match through identical tokenization on both sides; interior
+    # NBSP is NOT RE2 whitespace and must not split
+    docs = ["alpha beta gamma delta\t",
+            "beta gamma delta\t",
+            "alpha beta\u00a0gamma delta eps zeta",
+            "\nalpha beta gamma delta",
+            "   ", "\t\t", ""] + docs
     out = "/tmp/cld2_ray_ws_fuzz"
     os.makedirs(out, exist_ok=True)
     pq.write_table(pa.table({
-        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
         "text": pa.array(docs, pa.string())}),
         f"{out}/documents.parquet")
     got = q_decontaminate(out).to_pandas() \
