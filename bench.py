@@ -43,8 +43,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # caller pinned it — __main__ pins 320k (the BASELINE.md scale)
     # when _resolve_sf_dir substituted a smaller dir for a transiently
     # empty sf0.1, so the round-over-round headline stays comparable.
-    n_pages = (int(os.environ.get("GRAFT_BENCH_PAGES", "0"))
-               or n_docs * 64)
+    try:
+        n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0"))
+    except ValueError:
+        raise SystemExit(
+            f"GRAFT_BENCH_PAGES must be an integer, got "
+            f"{os.environ.get('GRAFT_BENCH_PAGES')!r}")
+    n_pages = n_pages or n_docs * 64
     cache = f"/tmp/cld2_ray_bench/pages_{n_pages}"
     write_pages_parquet(cache, n_pages, seed=42)
 
@@ -137,9 +142,15 @@ def run_scaling(sf_dir: str, lo: int | None = None,
     node brings its own memory system, does not have; see BASELINE.md)."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", lo or 4))
     hi = int(os.environ.get("GRAFT_SCALE_HI", hi or 16))
+    # 4x the headline input for the scaling legs: the ~1.5 s fixed
+    # session/warm-up cost inside a ~7.5 s wall was costing ~20% of the
+    # raw ratio; at 1.28M pages the fixed cost amortizes to ~5%
+    scale_pages = os.environ.get("GRAFT_SCALE_PAGES", "1280000")
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=sf_dir)
+                   GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_PAGES=scale_pages)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
@@ -203,4 +214,8 @@ if __name__ == "__main__":
         out = run_benchmarks(sf_dir, ncpu)
     if sf_dir != requested:
         out["sf_requested"] = requested  # substitution is on the record
+        out["note"] = (f"sf dir substituted: per-query timings ran on "
+                       f"{sf_dir}, NOT {requested}; the flagship "
+                       f"headline is pinned to GRAFT_BENCH_PAGES and "
+                       f"stays scale-comparable")
     print(json.dumps(out))

@@ -201,7 +201,7 @@ _SEG_ENC = 1 << 20  # doc_id * _SEG_ENC + seg encodes (doc_id, seg) ordering
 
 
 def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  seg_words: int = 10, min_count: int = 2) -> pd.DataFrame:
+                  seg_words: int = 10, min_count: int = 2):
     """C4-style corpus-wide duplicate-segment removal: split every
     document into consecutive ``seg_words``-word segments; any segment
     text appearing >= ``min_count`` times in the corpus survives only
@@ -219,7 +219,16 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def _segments(doc_id: int, text: str):
         words = (text or "").split(" ")
-        for seg in range(0, (len(words) + seg_words - 1) // seg_words):
+        n_segs = (len(words) + seg_words - 1) // seg_words
+        # packed (doc_id, seg) ordering key: guard the encoding's
+        # ranges instead of silently bleeding seg bits into doc_id
+        # (a >= 2^20-segment doc or doc_id >= 2^43 would corrupt
+        # survivor selection)
+        if n_segs >= _SEG_ENC or doc_id >= (1 << 63) // _SEG_ENC:
+            raise ValueError(
+                f"segment_dedup packed key overflow: doc_id={doc_id} "
+                f"n_segs={n_segs} (limits: doc_id < 2^43, segs < 2^20)")
+        for seg in range(0, n_segs):
             seg_text = " ".join(words[seg * seg_words:
                                       (seg + 1) * seg_words])
             yield seg, seg_text, doc_id * _SEG_ENC + seg
@@ -275,8 +284,9 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: ids, "clean_text": texts,
                              "n_dropped": np.array(dropped, np.int64)})
 
-    out = ds.map_batches(rewrite, batch_format="pandas", batch_size=None).to_pandas()
-    return out.sort_values(id_col).reset_index(drop=True)
+    # stays a Dataset: the rewritten corpus is corpus-sized — callers
+    # write_parquet it or aggregate it; tests sort a collected copy
+    return ds.map_batches(rewrite, batch_format="pandas", batch_size=None)
 
 
 _CLIQUE_CUTOFF = 64

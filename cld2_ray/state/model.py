@@ -132,8 +132,7 @@ class LangModel:
 
     def save(self, path: str = ARTIFACT) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        np.savez_compressed(
-            path,
+        arrays = dict(
             quad_keys=self.quad.keys, quad_vals=self.quad.vals,
             octa_keys=self.octa.keys, octa_vals=self.octa.vals,
             uni_keys=self.uni.keys, uni_vals=self.uni.vals,
@@ -142,15 +141,25 @@ class LangModel:
             expected_uni=self.expected_uni,
             lang_codes=np.array(langs.CODES),
         )
+        # checksum manifest (the verifyDataFile analogue, reference:
+        # internal/cld2_dynamic_data.h:220 + cld2_dynamic_data_tool.cc
+        # --verify): one digest per array so a corrupted artifact fails
+        # loudly at load, not as silently-wrong probe results
+        arrays["manifest"] = np.array(
+            [f"{k}={_digest(v)}" for k, v in sorted(arrays.items())])
+        np.savez_compressed(path, **arrays)
 
     @classmethod
-    def load(cls, path: str = ARTIFACT) -> "LangModel":
+    def load(cls, path: str = ARTIFACT,
+             verify_checksums: bool = True) -> "LangModel":
         # mmap-shared across all worker processes on the node — one
         # physical copy of the probe tables in page cache, not one per
         # actor (see state/mmapcache.py; analogue of the reference's
         # mmap'd dynamic-data file, cld2_dynamic_data_loader.cc)
         from cld2_ray.state import mmapcache
         z = mmapcache.load_shared(path)
+        if verify_checksums:
+            _verify_arrays(z, path)
         codes = [str(c) for c in z["lang_codes"]]
         if codes != langs.CODES:
             raise ValueError("langmodel artifact does not match the language "
@@ -161,6 +170,45 @@ class LangModel:
             return HashTable(keys, z[f"{name}_vals"], np.uint64(len(keys) - 1))
         return cls(t("quad"), t("octa"), t("uni"), t("bi"),
                    z["expected_quad"], z["expected_uni"])
+
+
+def _digest(arr: np.ndarray) -> str:
+    """blake2b over dtype + shape + raw bytes (shape/dtype are part of
+    the contract: a truncated or re-typed array must not pass)."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(arr.dtype).encode())
+    h.update(str(arr.shape).encode())
+    h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
+def _verify_arrays(z: dict, path: str) -> None:
+    """Check every array against the saved manifest; raise on any
+    mismatch (the dump->verify->load round trip of
+    cld2_unittest.cc:296-401)."""
+    if "manifest" not in z:
+        raise ValueError(
+            f"langmodel artifact {path} has no checksum manifest — "
+            "rebuild with python -m cld2_ray.state.model")
+    want = dict(str(e).split("=", 1) for e in z["manifest"])
+    names = {k for k in z if k != "manifest"}
+    if names != set(want):
+        raise ValueError(
+            f"langmodel artifact {path} manifest names mismatch: "
+            f"missing={sorted(set(want) - names)} "
+            f"extra={sorted(names - set(want))}")
+    bad = [k for k in sorted(names) if _digest(z[k]) != want[k]]
+    if bad:
+        raise ValueError(
+            f"langmodel artifact {path} is corrupted: checksum "
+            f"mismatch in {bad}")
+
+
+def verify_artifact(path: str = ARTIFACT) -> None:
+    """Standalone --verify: full checksum pass over the artifact."""
+    z = np.load(path, allow_pickle=False)
+    _verify_arrays({k: z[k] for k in z.files}, path)
 
 
 @lru_cache(maxsize=1)
@@ -315,6 +363,12 @@ def train(seed_texts: dict[str, str] | None = None) -> LangModel:
 
 
 if __name__ == "__main__":
+    import sys
+    if "--verify" in sys.argv:
+        path = ARTIFACT
+        verify_artifact(path)
+        print(f"verified {path}: all checksums match")
+        raise SystemExit(0)
     m = train()
     m.save()
     nq = int((m.quad.keys != 0).sum())

@@ -62,7 +62,7 @@ class TestSegmentDedup:
             {"doc_id": 2, "text": "all unique words here"},
             {"doc_id": 3, "text": dup},                  # dup seg -> dropped
         ]
-        out = segment_dedup(rd.from_items(rows), seg_words=10)
+        out = segment_dedup(rd.from_items(rows), seg_words=10).to_pandas()
         by_id = out.set_index("doc_id")
         assert by_id.loc[0, "clean_text"] == dup + " tail zero"  # keeper
         assert by_id.loc[1, "clean_text"] == "tail one"
@@ -76,7 +76,7 @@ class TestSegmentDedup:
         from cld2_ray.pipelines.dedup import segment_dedup
         rows = [{"doc_id": 7, "text": "short tail"},
                 {"doc_id": 9, "text": "short tail"}]     # sub-10-word dup
-        out = segment_dedup(rd.from_items(rows), seg_words=10)
+        out = segment_dedup(rd.from_items(rows), seg_words=10).to_pandas()
         by_id = out.set_index("doc_id")
         assert by_id.loc[7, "clean_text"] == "short tail"
         assert by_id.loc[9, "clean_text"] == ""

@@ -199,3 +199,40 @@ def test_top_level_detect_language_plain_bytes():
     r2 = cld2_ray.detect_language(
         "Bonjour le monde entier ce matin.".encode() + b"\xfe\xff")
     assert r2.summary_code == "fr"
+
+
+class TestArtifactVerify:
+    """Dump -> verify -> load round trip + corruption detection (the
+    cld2_dynamic_data_tool --verify analogue, cld2_unittest.cc:296-401)."""
+
+    def test_roundtrip_and_corruption(self, tmp_path):
+        import numpy as np
+        import pytest
+        from cld2_ray.state import model as M
+
+        src = M.LangModel.load()
+        p = str(tmp_path / "lm.npz")
+        src.save(p)
+        M.verify_artifact(p)                       # clean verify passes
+        again = M.LangModel.load(p)                # clean load passes
+        assert (again.quad.keys == src.quad.keys).all()
+
+        # corrupt one table value inside the npz
+        z = np.load(p, allow_pickle=False)
+        arrays = {k: np.array(z[k]) for k in z.files}
+        arrays["quad_vals"] = arrays["quad_vals"].copy()
+        arrays["quad_vals"][0] ^= np.uint64(1)
+        np.savez_compressed(p, **arrays)
+        with pytest.raises(ValueError, match="checksum|corrupt"):
+            M.verify_artifact(p)
+        with pytest.raises(ValueError, match="checksum|corrupt"):
+            M.LangModel.load(p)
+
+    def test_missing_manifest_rejected(self, tmp_path):
+        import numpy as np
+        import pytest
+        from cld2_ray.state import model as M
+        p = str(tmp_path / "nomanifest.npz")
+        np.savez_compressed(p, quad_keys=np.zeros(8, np.uint64))
+        with pytest.raises(ValueError, match="manifest"):
+            M.verify_artifact(p)
