@@ -168,53 +168,144 @@ def quad_hits(span_bytes: bytes):
     return h[keep].astype(np.uint64), s[keep]
 
 
-def octa_candidates(span_bytes: bytes, max_bytes: int | None = None):
-    """One candidate per word (OctaHash40 wordgram)."""
+def octa_candidates(span_bytes: bytes):
+    """Per-word (start, bytecount) with the reference's 8-CHARACTER
+    truncation (GetOctaHits, cldutil.cc:516-520: word_end stops
+    advancing after the 8th char; the hash then sees up to 32 bytes
+    and OctaHash40 itself ignores bytes past 24)."""
     arr, cstart, is_space, _ = _char_structure(span_bytes)
-    space_byte = cstart[is_space]
-    if len(space_byte) < 2:
+    space_char = np.flatnonzero(is_space)
+    if len(space_char) < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    w_start = space_byte[:-1] + 1
-    w_end = space_byte[1:]
-    ok = w_end > w_start
-    if max_bytes is not None:
-        ok &= w_start < max_bytes
-    w_start, w_end = w_start[ok], w_end[ok]
-    return w_start.astype(np.int64), np.minimum(w_end - w_start, 24).astype(np.int64)
+    w_first = space_char[:-1] + 1          # char index of word start
+    w_last = space_char[1:]                # char index of the end space
+    ok = w_last > w_first
+    w_first, w_last = w_first[ok], w_last[ok]
+    w_end8 = np.minimum(w_first + 8, w_last)
+    starts = cstart[w_first]
+    bc = cstart[w_end8] - starts
+    return starts.astype(np.int64), bc.astype(np.int64)
+
+
+def octa_word_and_pair_hits(span_bytes: bytes, span_bounds=None):
+    """The GetOctaHits walk (cldutil.cc:416-533): per word an
+    OctaHash40, filtered by the last-2 repeat ring (updated ONLY on
+    non-repeat, :461-466), plus a PairHash(prev, cur) candidate at the
+    PRIOR word's offset for consecutive distinct words (:468-483).
+
+    Returns (word_hashes u64, word_offsets, pair_hashes u64,
+    pair_offsets). ``span_bounds``: sorted end offsets of concatenated
+    spans — rings and pairing never cross a span boundary, so batch
+    scoring equals span-by-span scoring.
+    """
+    s, c = octa_candidates(span_bytes)
+    if len(s) == 0:
+        e = np.empty(0, np.uint64)
+        z = np.empty(0, np.int64)
+        return e, z, e.copy(), z.copy()
+    buf = np.frombuffer(span_bytes + b" " * 36, dtype=np.uint8)
+    wins = ngram.gather_windows(buf, s, 24)
+    ones = np.ones(len(s), dtype=bool)  # words are space-framed
+    # bc is UNCAPPED (up to 32 for 8 four-byte chars): OctaHash40 reads
+    # at most 24 bytes but its final-word mask uses bc & 3 verbatim
+    # (cldutil_shared.cc "ignores beyond 24")
+    h = ngram.octa_hash40(wins, c, ones, ones)
+    if span_bounds is not None:
+        sid = np.searchsorted(span_bounds, s, side="right")
+    else:
+        sid = np.zeros(len(s), dtype=np.int64)
+
+    # sequential ring walk (plain ints over numpy-derived lists; a few
+    # ops per word — the C kernel fuses this same walk)
+    hl = h.tolist()
+    sl = s.tolist()
+    il = sid.tolist()
+    w_h: list[int] = []
+    w_off: list[int] = []
+    p_h: list[int] = []
+    p_off: list[int] = []
+    r1 = r2 = 0
+    nxt = 0
+    prior_start = -1
+    cur_sid = -1
+    for i in range(len(hl)):
+        if il[i] != cur_sid:
+            cur_sid = il[i]
+            r1 = r2 = 0
+            nxt = 0
+            prior_start = -1
+        hv = hl[i]
+        if hv != r1 and hv != r2:
+            if nxt == 0:
+                r1 = hv
+            else:
+                r2 = hv
+            nxt = 1 - nxt
+            tmp_prior = r1 if nxt == 0 else r2
+            if tmp_prior != 0 and tmp_prior != hv and prior_start >= 0:
+                p_h.append((((tmp_prior >> 13)
+                             | (tmp_prior << 51)) + hv)
+                           & 0xFFFFFFFFFFFFFFFF)
+                p_off.append(prior_start)
+            w_h.append(hv)
+            w_off.append(sl[i])
+        prior_start = sl[i]
+    return (np.array(w_h, dtype=np.uint64),
+            np.array(w_off, dtype=np.int64),
+            np.array(p_h, dtype=np.uint64),
+            np.array(p_off, dtype=np.int64))
 
 
 def octa_hits(span_bytes: bytes, max_bytes: int | None = None,
               span_bounds=None):
-    """(hashes uint64, byte offsets) of deduped word hits."""
-    s, c = octa_candidates(span_bytes, max_bytes)
-    if len(s) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    buf = np.frombuffer(span_bytes + b" " * 28, dtype=np.uint8)
-    wins = ngram.gather_windows(buf, s, 24)
-    pre = np.ones(len(s), dtype=bool)   # words are always space-delimited
-    post = np.ones(len(s), dtype=bool)
-    h = ngram.octa_hash40(wins, c, pre, post)
-    if span_bounds is not None:
-        sid = np.searchsorted(span_bounds, s, side="right")
-        keep = dedupe_ring2(h, sid)
-    else:
-        keep = dedupe_ring2(h)
-    return h[keep], s[keep]
+    """(hashes uint64, byte offsets) of ring-filtered word hits
+    (word stream only; see octa_word_and_pair_hits)."""
+    h, s, _, _ = octa_word_and_pair_hits(span_bytes, span_bounds)
+    return h, s
 
 
 def cjk_candidates(span_text: str):
-    """(uni_keys, uni_pos, bi_keys, bi_pos) for a HANI span string.
+    """(uni_keys, uni_pos, bi_hashes, bi_pos) for a HANI span string.
 
-    Unigram key = codepoint. Bigram key = cp1 << 21 | cp2 for adjacent
-    (no intervening space) char pairs. Positions are char indices.
+    Unigram key = codepoint (every char, no repeat filtering —
+    GetUniHits has none, cldutil.cc:201-244). Bigram = BiHashV2 over
+    the raw UTF-8 bytes of two adjacent chars when their combined
+    length is >= 2*kMinCJKUTF8CharBytes = 6 (GetBiHits,
+    cldutil.cc:248-310; advancing one char, so bigrams overlap).
+    Positions are char indices.
     """
-    cps = np.frombuffer(span_text.encode("utf-32-le"), dtype="<u4")
-    is_char = cps != 32
+    sb = span_text.encode("utf-8")
+    arr = np.frombuffer(sb, dtype=np.uint8)
+    cstart = np.flatnonzero((arr & 0xC0) != 0x80)
+    if len(cstart) == 0:
+        e = np.empty(0, np.uint64)
+        z = np.empty(0, np.int64)
+        return e, z, e.copy(), z.copy()
+    clen = np.diff(np.append(cstart, len(arr)))
+    first = arr[cstart]
+    is_char = first != 0x20
     pos = np.flatnonzero(is_char)
+    # unigram codepoints (decode only the kept chars)
+    cps = np.frombuffer(span_text.encode("utf-32-le"), dtype="<u4")
     uni = cps[pos].astype(np.uint64)
-    keep = dedupe_ring2(uni)
-    adj = np.flatnonzero((pos[1:] - pos[:-1]) == 1) if len(pos) > 1 else np.empty(0, np.int64)
-    bi = ((cps[pos[adj]].astype(np.uint64) << np.uint64(21))
-          | cps[pos[adj] + 1].astype(np.uint64))
-    bkeep = dedupe_ring2(bi)
-    return uni[keep], pos[keep], bi[bkeep], pos[adj][bkeep]
+
+    # bigrams: adjacent char positions, combined utf-8 length >= 6
+    if len(pos) > 1:
+        adj = np.flatnonzero((pos[1:] - pos[:-1]) == 1)
+    else:
+        adj = np.empty(0, np.int64)
+    if len(adj):
+        p1 = pos[adj]
+        blen = clen[p1] + clen[p1 + 1]
+        ok = blen >= 6
+        p1, blen = p1[ok], blen[ok]
+    else:
+        p1 = np.empty(0, np.int64)
+        blen = np.empty(0, np.int64)
+    if len(p1):
+        buf = np.frombuffer(sb + b"\x00" * 12, dtype=np.uint8)
+        wins = ngram.gather_windows(buf, cstart[p1], 8)
+        bi = ngram.bi_hash(wins, np.minimum(blen, 8)).astype(np.uint64)
+    else:
+        bi = np.empty(0, np.uint64)
+    return uni, pos, bi, p1

@@ -118,23 +118,41 @@ class Detector:
 
     # -- span scoring -------------------------------------------------------
 
-    def _many_hits(self, cat: bytes, bounds: np.ndarray):
-        """Quad+octa table hits over concatenated MANY spans, merged by
-        offset (quads before octas at equal offset). One C pass when the
-        native kernel is available (cld2_ray/native, bit-equal to the
-        numpy path — cross-checked in tests)."""
-        if native.AVAILABLE:
-            qv, qo, ov, oo = native.quad_octa_scan(
-                cat, bounds, self.model.quad, self.model.octa)
-        else:
-            h, off = hits.quad_hits_dense(cat, span_bounds=bounds)
-            vals = self.model.quad.lookup(h)
-            m = vals != 0
-            qv, qo = vals[m], off[m]
-            oh, ooff = hits.octa_hits(cat, span_bounds=bounds)
-            ovals = self.model.octa.lookup(oh)
-            om = ovals != 0
-            ov, oo = ovals[om], ooff[om]
+    def _octa_stream(self, cat: bytes, bounds: np.ndarray,
+                     latin_of_span: np.ndarray):
+        """Word-table hit stream over concatenated MANY spans: the
+        GetOctaHits triple per word — distinct-octa word, delta-octa
+        word, distinct-octa PairHash at the prior word's offset
+        (cldutil.cc:416-533) — decoded per span script class. Emission
+        order at equal offsets is [distinct word, delta word, pair],
+        the reference's walk order."""
+        wh, woff, ph, poff = hits.octa_word_and_pair_hits(
+            cat, span_bounds=bounds)
+        latw = latin_of_span[np.searchsorted(bounds, woff, side="right")]
+        latp = latin_of_span[np.searchsorted(bounds, poff, side="right")]
+        xv = self.model.xocta.lookup(wh, latw)
+        dv = self.model.docta.lookup(wh, latw)
+        sv = self.model.socta.lookup(wh)
+        pv = self.model.xocta.lookup(ph, latp)
+        vals = np.concatenate([xv, dv, sv, pv])
+        offs = np.concatenate([woff, woff, woff, poff])
+        rank = np.concatenate([
+            np.zeros(len(wh), np.int8), np.ones(len(wh), np.int8),
+            np.full(len(wh), 2, np.int8), np.full(len(ph), 3, np.int8)])
+        m = vals != 0
+        vals, offs, rank = vals[m], offs[m], rank[m]
+        order = np.lexsort((rank, offs))
+        return vals[order], offs[order]
+
+    def _many_hits(self, cat: bytes, bounds: np.ndarray,
+                   latin_of_span: np.ndarray):
+        """Quad+word table hits over concatenated MANY spans, merged by
+        offset (quads before word hits at equal offset)."""
+        h, off = hits.quad_hits_dense(cat, span_bounds=bounds)
+        vals = self.model.quad.lookup(h)
+        m = vals != 0
+        qv, qo = vals[m], off[m]
+        ov, oo = self._octa_stream(cat, bounds, latin_of_span)
         all_vals = np.concatenate([qv, ov])
         all_off = np.concatenate([qo, oo])
         order = np.argsort(all_off, kind="stable")
@@ -146,7 +164,8 @@ class Detector:
         if rt == us.RTYPE_MANY:
             sb = sp.text_utf8
             all_vals, all_off = self._many_hits(
-                sb, np.array([len(sb)], dtype=np.int64))
+                sb, np.array([len(sb)], dtype=np.int64),
+                np.array([sp.script == us.LATIN]))
             l3, q3 = unpack_langprobs(all_vals)
             c = score.score_chunks(l3, q3, all_off, len(sb),
                                    score.CHUNKSIZE_QUADS,
@@ -156,7 +175,7 @@ class Detector:
         elif rt == us.RTYPE_CJK:
             uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
             uvals = self.model.uni.lookup(uni)
-            bvals = self.model.bi.lookup(bi)
+            bvals = self.model.cjkbi.lookup(bi, False)
             all_vals = np.concatenate([uvals[uvals != 0], bvals[bvals != 0]])
             all_pos = np.concatenate([upos[uvals != 0], bpos[bvals != 0]])
             order = np.argsort(all_pos, kind="stable")
@@ -185,14 +204,15 @@ class Detector:
         n_docs = len(doc_spans)
         totes = [score.DocTote() for _ in range(n_docs)]
 
-        many: list[tuple[int, bytes, list[int] | None]] = []
+        many: list[tuple[int, bytes, list[int] | None, bool]] = []
         cjk: list[tuple[int, spans.ScriptSpan, list[int] | None]] = []
         for di, sl in enumerate(doc_spans):
             hl = hints_list[di]
             for sp in sl:
                 rt = self._rtype(sp.script)
                 if rt == us.RTYPE_MANY:
-                    many.append((di, sp.text_utf8, hl))
+                    many.append((di, sp.text_utf8, hl,
+                                 sp.script == us.LATIN))
                 elif rt == us.RTYPE_CJK:
                     cjk.append((di, sp, hl))
                 elif rt == us.RTYPE_ONE:
@@ -200,12 +220,13 @@ class Detector:
                     totes[di].add(lid, sp.text_bytes, sp.text_bytes, 100)
 
         if many:
-            bufs = [b for _, b, _ in many]
+            bufs = [b for _, b, _, _ in many]
             lens = np.array([len(b) for b in bufs], dtype=np.int64)
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             bounds = np.cumsum(lens)
             cat = b"".join(bufs)
-            hl_list = [hl for _, _, hl in many]
+            hl_list = [hl for _, _, hl, _ in many]
+            latin_of_span = np.array([la for _, _, _, la in many])
             if native.AVAILABLE:
                 # fused scan + chunk scoring: per-hit arrays never
                 # materialize (they are ~1 per 2 text bytes and were
@@ -217,12 +238,14 @@ class Detector:
                         flat.extend(hl)
                     hint_csr[k + 1] = len(flat)
                 c = native.quad_octa_chunk_score(
-                    cat, bounds, self.model.quad, self.model.octa,
+                    cat, bounds, self.model.quad, self.model.socta,
+                    self.model.docta, self.model.xocta, latin_of_span,
                     score.CHUNKSIZE_QUADS, self.model.expected_quad,
                     langs.CLOSE_SET, hint_csr,
                     np.asarray(flat, dtype=np.int64))
             else:
-                all_vals, all_off = self._many_hits(cat, bounds)
+                all_vals, all_off = self._many_hits(cat, bounds,
+                                                    latin_of_span)
                 l3, q3 = unpack_langprobs(all_vals)
                 span_of = np.searchsorted(bounds, all_off, side="right")
                 c = score.score_chunks_multi(
@@ -231,7 +254,7 @@ class Detector:
                             dtype=np.int64),
                     self.model.expected_quad, hl_list)
             lang1, cbytes, s1, rel, span_of_chunk = c
-            docs_of_span = np.array([di for di, _, _ in many])
+            docs_of_span = np.array([di for di, _, _, _ in many])
             doc_of_chunk = docs_of_span[span_of_chunk]
             _bulk_tote_add(totes, doc_of_chunk, lang1, cbytes, s1, rel)
 
@@ -251,7 +274,7 @@ class Detector:
                         flat.extend(hl)
                     hint_csr[k + 1] = len(flat)
                 c = native.cjk_chunk_score(
-                    cat, bounds, lens, self.model.uni, self.model.bi,
+                    cat, bounds, lens, self.model.uni, self.model.cjkbi,
                     score.CHUNKSIZE_UNIS, self.model.expected_uni,
                     langs.CLOSE_SET, hint_csr,
                     np.asarray(flat, dtype=np.int64))
@@ -261,7 +284,7 @@ class Detector:
                 for k, (di, sp, hl) in enumerate(cjk):
                     uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
                     uvals = self.model.uni.lookup(uni)
-                    bvals = self.model.bi.lookup(bi)
+                    bvals = self.model.cjkbi.lookup(bi, False)
                     um, bm = uvals != 0, bvals != 0
                     av = np.concatenate([uvals[um], bvals[bm]])
                     ap = np.concatenate([upos[um], bpos[bm]])
@@ -508,7 +531,8 @@ class Detector:
             if rt == us.RTYPE_MANY:
                 sb = sp.text.encode("utf-8")
                 vals, offs = self._many_hits(
-                    sb, np.array([len(sb)], dtype=np.int64))
+                    sb, np.array([len(sb)], dtype=np.int64),
+                    np.array([sp.script == us.LATIN]))
                 if len(vals) == 0:
                     raw.append((sp.offset, sp.end_offset, "un"))
                     continue

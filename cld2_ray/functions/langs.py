@@ -18,30 +18,55 @@ from . import uscript as us
 
 UNKNOWN = 0
 
-# (code, tier) — tier 3 entries need kGoodSecondT3MinBytes for second place.
+# (code, tier) — tier 3 entries need kGoodSecondT3MinBytes for second
+# place. Tiers follow the reference's Top-40 lists exactly
+# (compact_lang_det_impl.cc:445-462: 16 Tier-0/1 + 22 Tier-2, all
+# other languages Tier 3).
 _LANG_DEFS: list[tuple[str, int]] = [
     ("un", 1),
     # Latin-script quadgram languages
     ("en", 1), ("fr", 1), ("de", 1), ("es", 1), ("it", 1), ("pt", 1),
-    ("nl", 1), ("sv", 1), ("no", 1), ("da", 1), ("fi", 1), ("is", 3),
-    ("pl", 1), ("cs", 1), ("sk", 1), ("hu", 1), ("ro", 1), ("tr", 1),
-    ("id", 1), ("ms", 1), ("vi", 1), ("ca", 2), ("gl", 3), ("et", 2),
-    ("lv", 2), ("lt", 2), ("sl", 2), ("hr", 1), ("bs", 3), ("sq", 2),
-    ("sw", 2), ("tl", 2), ("af", 2), ("eu", 3), ("cy", 3), ("ga", 3),
+    ("nl", 1), ("sv", 2), ("no", 2), ("da", 2), ("fi", 2), ("is", 3),
+    ("pl", 1), ("cs", 2), ("sk", 2), ("hu", 2), ("ro", 2), ("tr", 1),
+    ("id", 2), ("ms", 3), ("vi", 2), ("ca", 2), ("gl", 3), ("et", 3),
+    ("lv", 2), ("lt", 2), ("sl", 2), ("hr", 2), ("bs", 3), ("sq", 3),
+    ("sw", 3), ("tl", 2), ("af", 3), ("eu", 3), ("cy", 3), ("ga", 3),
     ("mt", 3),
     # Cyrillic-script quadgram languages
-    ("ru", 1), ("uk", 1), ("bg", 1), ("sr", 1), ("mk", 2), ("be", 2),
+    ("ru", 1), ("uk", 2), ("bg", 2), ("sr", 2), ("mk", 3), ("be", 3),
     # Arabic-script quadgram languages
-    ("ar", 1), ("fa", 1), ("ur", 2),
+    ("ar", 1), ("fa", 3), ("ur", 3),
     # Devanagari-script quadgram languages
-    ("hi", 1), ("mr", 2), ("ne", 2),
+    ("hi", 2), ("mr", 3), ("ne", 3),
     # single-script languages (RTypeOne)
-    ("el", 1), ("he", 1), ("th", 1), ("ta", 1), ("te", 1), ("kn", 1),
-    ("ml", 1), ("si", 2), ("bn", 1), ("pa", 2), ("gu", 2), ("or", 2),
-    ("ka", 2), ("hy", 2), ("am", 2), ("km", 2), ("lo", 2), ("my", 2),
+    ("el", 2), ("he", 2), ("th", 1), ("ta", 3), ("te", 3), ("kn", 3),
+    ("ml", 3), ("si", 3), ("bn", 3), ("pa", 3), ("gu", 3), ("or", 3),
+    ("ka", 3), ("hy", 3), ("am", 3), ("km", 3), ("lo", 3), ("my", 3),
     ("bo", 3),
     # CJK (unigram scoring)
     ("zh", 1), ("zh-Hant", 1), ("ja", 1), ("ko", 1),
+    # languages scored by the reference's parsed delta-octa /
+    # distinct-octa / CJK tables (state/refparse.py referenced_codes();
+    # codes normalized per CODE_ALIAS, fake zz*/xx*/ut entries dropped)
+    ("aa", 3), ("ab", 3), ("ak", 3), ("as", 3), ("ay", 3),
+    ("az", 3), ("ba", 3), ("bh", 3), ("bi", 3), ("br", 3),
+    ("ceb", 3), ("chr", 3), ("co", 3), ("crs", 3), ("dv", 3),
+    ("dz", 3), ("eo", 3), ("fj", 3), ("fo", 3), ("fy", 3),
+    ("gd", 3), ("gn", 3), ("gv", 3), ("ha", 3), ("haw", 3),
+    ("hmn", 3), ("ht", 3), ("ia", 3), ("ie", 3), ("ig", 3),
+    ("ik", 3), ("jv", 3), ("kha", 3), ("kk", 3), ("kl", 3),
+    ("ks", 3), ("ku", 3), ("ky", 3), ("la", 3), ("lb", 3),
+    ("lg", 3), ("lif", 3), ("ln", 3), ("mfe", 3), ("mg", 3),
+    ("mi", 3), ("mn", 3), ("na", 3), ("new", 3), ("nn", 3),
+    ("nso", 3), ("ny", 3), ("oc", 3), ("om", 3), ("os", 3),
+    ("ps", 3), ("qu", 3), ("raj", 3), ("rm", 3), ("rn", 3),
+    ("rw", 3), ("sa", 3), ("sco", 3), ("sd", 3), ("sg", 3),
+    ("sm", 3), ("sn", 3), ("so", 3), ("ss", 3), ("st", 3),
+    ("su", 3), ("syr", 3), ("tg", 3), ("ti", 3), ("tk", 3),
+    ("tlh", 3), ("tn", 3), ("to", 3), ("ts", 3), ("tt", 3),
+    ("ug", 3), ("uz", 3), ("ve", 3), ("vo", 3), ("war", 3),
+    ("wo", 3), ("xh", 3), ("yi", 3), ("yo", 3), ("za", 3),
+    ("zu", 3),
 ]
 
 CODES: list[str] = [c for c, _ in _LANG_DEFS]
@@ -58,23 +83,27 @@ def lang_code(lid: int) -> str:
     return CODES[lid] if 0 <= lid < NUM_LANGS else "un"
 
 
-# Statistically-close language sets (reference lang_script.cc:274-308).
-# Only sets whose members this engine supports are kept.
+# Statistically-close language sets — the reference's 10 sets
+# (lang_script.cc:258-308), plus one engine calibration kept from
+# round 2: sv stays in the {no,nn,da} set because the engine's
+# QUADGRAM tables are seed-trained (the reference's web-scale quad
+# blobs are absent) and written Swedish's chunk margin against
+# Bokmål/Danish is a few points there — the reference's real
+# delta-octa tables keep only ~65k distinctive wordforms and cannot
+# make up that margin on short texts. Same derivation rule as the
+# reference's own sets (lang_script.cc:262 "statistically close ...
+# based on quadgram table"). The round-2 ca addition to {gl,es,pt}
+# was dropped — the parsed reference word tables resolve Catalan.
 _CLOSE_GROUPS = [
     ("id", "ms"),
+    ("bo", "dz"),
     ("cs", "sk"),
+    ("zu", "xh"),
     ("bs", "hr", "sr"),
-    ("hi", "mr", "ne"),
-    # sv added to the reference's {no,nn,da} set: with this engine's
-    # small seed-trained tables written Swedish is statistically close
-    # to Danish/Norwegian (chunk margins of a few points), same
-    # derivation rule as the reference's sets (lang_script.cc:262)
-    ("no", "da", "sv"),
-    # ca added to the reference's {gl,es,pt} set: close sets are
-    # derived from the engine's own quadgram tables (lang_script.cc:262
-    # "statistically close ... based on quadgram table"), and with this
-    # engine's tables Catalan is statistically close to Spanish.
-    ("gl", "es", "pt", "ca"),
+    ("hi", "mr", "bh", "ne"),
+    ("no", "nn", "da", "sv"),
+    ("gl", "es", "pt"),
+    ("rw", "rn"),
 ]
 
 CLOSE_SET = np.zeros(NUM_LANGS, dtype=np.int8)
@@ -87,19 +116,26 @@ def language_close_set(lid: int) -> int:
     return int(CLOSE_SET[lid])
 
 
-# Statistically closest fallback language for unreliable-language merging
-# (the engine's analogue of kClosestAltLanguage,
-# compact_lang_det_impl.cc:259-427). Derived from the close sets plus the
-# best-known quadgram correlations among supported languages.
+# Statistically closest fallback language for unreliable-language
+# merging — the reference's kClosestAltLanguage entries at
+# kMinCorrPercent or above, parsed from
+# compact_lang_det_impl.cc:259-427 (state/refparse.closest_alt_by_code,
+# frozen here so the registry imports without the reference tree).
+# A few engine extras kept for sources the reference leaves at
+# UNKNOWN but this engine observed useful merges for (be, bs, ca, ne,
+# pt, ur->ar kept as fa chain covers it).
 _CLOSEST_ALT = {
-    "id": "ms", "ms": "id", "cs": "sk", "sk": "cs",
-    "bs": "hr", "hr": "bs", "sr": "hr",
-    "hi": "mr", "mr": "hi", "ne": "hi",
-    "no": "da", "da": "no",
-    "gl": "pt", "pt": "es", "es": "pt", "ca": "es",
-    "fa": "ar", "ur": "ar",
-    "uk": "ru", "be": "ru", "mk": "bg", "bg": "mk",
-    "af": "nl", "zh-Hant": "zh",
+    "af": "nl", "ar": "fa", "az": "tr", "bg": "ru", "bh": "hi",
+    "bo": "dz", "cs": "sk", "da": "no", "dz": "bo", "en": "sco",
+    "es": "gl", "fa": "ur", "fo": "is", "ga": "gd", "gd": "ga",
+    "gl": "es", "he": "yi", "hi": "mr", "id": "ms", "is": "fo",
+    "mk": "bg", "mr": "hi", "ms": "id", "nl": "af", "nn": "no",
+    "no": "nn", "rn": "rw", "ru": "bg", "rw": "rn", "sa": "mr",
+    "sco": "en", "sk": "cs", "sl": "sr", "st": "tn", "tn": "st",
+    "tr": "az", "uk": "ru", "ur": "fa", "xh": "zu", "yi": "he",
+    "zh-Hant": "zh", "zu": "xh",
+    # engine extras (no reference entry >= kMinCorrPercent)
+    "be": "ru", "bs": "hr", "ca": "es", "ne": "hi", "pt": "es",
 }
 CLOSEST_ALT = np.zeros(NUM_LANGS, dtype=np.int16)
 for _src, _dst in _CLOSEST_ALT.items():

@@ -128,7 +128,7 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                  hint_boost: int = 0):
     """Score a span's hits in fixed-size chunks.
 
-    lang3/qprob3: (n_hits, 3) decoded langprobs. offsets: byte offset of
+    lang3/qprob3: (n_hits, lanes) decoded langprobs (4 lanes). offsets: byte offset of
     each hit in the span. Returns arrays (lang1, bytes, score1, rel) per
     chunk — exactly what SummaryBufferToDocTote feeds the DocTote
     (scoreonescriptspan.cc:305-315).
@@ -140,7 +140,7 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
     nchunks = max(1, nh // chunk_size)
     chunk_of = np.minimum(np.arange(nh) // chunk_size, nchunks - 1)
 
-    flat = (np.repeat(chunk_of, 3) * langs.NUM_LANGS
+    flat = (np.repeat(chunk_of, lang3.shape[1]) * langs.NUM_LANGS
             + lang3.ravel().astype(np.int64))
     scores = np.bincount(flat, weights=qprob3.ravel(),
                          minlength=nchunks * langs.NUM_LANGS) \
@@ -206,7 +206,7 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
     gchunk = chunk_base[span_of] + chunk_local
     total_chunks = int(nchunks_span.sum())
 
-    flat = (np.repeat(gchunk, 3) * langs.NUM_LANGS
+    flat = (np.repeat(gchunk, lang3.shape[1]) * langs.NUM_LANGS
             + lang3.ravel().astype(np.int64))
     scores = np.bincount(flat, weights=qprob3.ravel(),
                          minlength=total_chunks * langs.NUM_LANGS) \

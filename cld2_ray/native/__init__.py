@@ -91,10 +91,16 @@ def _load() -> None:
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u32bp = np.ctypeslib.ndpointer(np.uint32, ndim=2,
+                                   flags="C_CONTIGUOUS")
+    # bucket-table argument bundle: buckets, nbuckets, keymask,
+    # packed_latn, packed_othr
+    _bt = [u32bp, ctypes.c_int64, ctypes.c_uint32, u64p, u64p]
     fn.argtypes = [
         u8p, ctypes.c_int64, i64p, ctypes.c_int64,
         u64p, u64p, ctypes.c_uint64,
         u64p, u64p, ctypes.c_uint64,
+        *_bt, *_bt, u8p,
         u64p, i64p, ctypes.POINTER(ctypes.c_int64),
         u64p, i64p, ctypes.POINTER(ctypes.c_int64),
     ]
@@ -125,6 +131,7 @@ def _load() -> None:
         u8p, ctypes.c_int64, i64p, ctypes.c_int64,
         u64p, u64p, ctypes.c_uint64,
         u64p, u64p, ctypes.c_uint64,
+        *_bt, *_bt, u8p,
         ctypes.c_int64, i32p, i8p, ctypes.c_int64,
         i64p, i64p,
         u64p, i64p, u64p, i64p, i64p,
@@ -135,7 +142,7 @@ def _load() -> None:
     cj.argtypes = [
         u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
         u64p, u64p, ctypes.c_uint64,
-        u64p, u64p, ctypes.c_uint64,
+        u32bp, ctypes.c_int64, ctypes.c_uint32, u64p,
         ctypes.c_int64, i32p, i8p, ctypes.c_int64,
         i64p, i64p,
         u64p, i64p, u64p, i64p, i64p,
@@ -227,22 +234,29 @@ def _get_scratch(cap: int):
             _scratch["ovals"], _scratch["ooffs"])
 
 
+def _bt_args(bt):
+    """BucketTable -> the 5-arg C bundle."""
+    return (bt.buckets, bt.buckets.shape[0], int(bt.keymask),
+            bt.packed_latn, bt.packed_othr)
+
+
 def quad_octa_scan(cat: bytes, bounds: np.ndarray, quad_table,
-                   octa_table):
-    """One C pass: quad+octa candidate walk, hash, ring dedupe, table
-    probe. Returns (qvals, qoffs, ovals, ooffs) — table HITS only, in
-    ascending offset order, bit-equal to
-    hits.quad_hits_dense + HashTable.lookup / hits.octa_hits + lookup.
-    """
+                   socta, docta, xocta, latin_of_span: np.ndarray):
+    """One C pass: quad walk + the GetOctaHits word/pair walk with
+    bucket probes. Returns (qvals, qoffs, ovals, ooffs) — table HITS
+    only, ascending offsets, bit-equal to hits.quad_hits_dense +
+    HashTable.lookup / Detector._octa_stream."""
     n = len(cat)
     buf = np.frombuffer(cat, dtype=np.uint8)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
-    qvals, qoffs, ovals, ooffs = _get_scratch(n + 8)
+    lat = np.ascontiguousarray(latin_of_span, dtype=np.uint8)
+    qvals, qoffs, ovals, ooffs = _get_scratch(2 * n + 8)
     nq = ctypes.c_int64(0)
     no = ctypes.c_int64(0)
     _FN(buf, n, bounds, len(bounds),
         quad_table.keys, quad_table.vals, int(quad_table.mask),
-        octa_table.keys, octa_table.vals, int(octa_table.mask),
+        socta.keys, socta.vals, int(socta.mask),
+        *_bt_args(docta), *_bt_args(xocta), lat,
         qvals, qoffs, ctypes.byref(nq),
         ovals, ooffs, ctypes.byref(no))
     return (qvals[:nq.value].copy(), qoffs[:nq.value].copy(),
@@ -256,8 +270,11 @@ def _cs_grow(sc: dict, max_span: int, n: int, nb: int, chunk_size: int,
              expected_1kb: np.ndarray) -> None:
     """Shared scratch growth for the fused chunk-score kernels
     (2x headroom + page prefault; see _prefault)."""
-    if sc.get("span_cap", 0) < max_span + 8:
-        cap = max(2 * (max_span + 8), 1 << 16)
+    # worst case hit count per span: quads ~1/byte; octa stream up to
+    # 3 hits (distinct word + delta word + pair) per word, words up to
+    # span_bytes/2 -> 1.5x span bytes
+    if sc.get("span_cap", 0) < 2 * max_span + 8:
+        cap = max(3 * (max_span + 8), 1 << 16)
         sc["qvals"] = np.empty(cap, dtype=np.uint64)
         sc["qoffs"] = np.empty(cap, dtype=np.int64)
         sc["ovals"] = np.empty(cap, dtype=np.uint64)
@@ -281,7 +298,9 @@ def _cs_grow(sc: dict, max_span: int, n: int, nb: int, chunk_size: int,
 
 
 def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
-                          octa_table, chunk_size: int,
+                          socta, docta, xocta,
+                          latin_of_span: np.ndarray,
+                          chunk_size: int,
                           expected_1kb: np.ndarray, close_set: np.ndarray,
                           hint_csr: np.ndarray, hint_flat: np.ndarray):
     """Fused scan + chunk scoring: the whole _many_hits ->
@@ -291,6 +310,7 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
     n = len(cat)
     buf = np.frombuffer(cat, dtype=np.uint8)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    lat = np.ascontiguousarray(latin_of_span, dtype=np.uint8)
     nb = len(bounds)
     max_span = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
     sc = _cs_scratch
@@ -303,7 +323,8 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
         flat = np.zeros(1, dtype=np.int64)
     nch = _CS(buf, n, bounds, nb,
               quad_table.keys, quad_table.vals, int(quad_table.mask),
-              octa_table.keys, octa_table.vals, int(octa_table.mask),
+              socta.keys, socta.vals, int(socta.mask),
+              *_bt_args(docta), *_bt_args(xocta), lat,
               chunk_size, exp, cset, len(exp),
               csr, flat,
               sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
@@ -315,14 +336,15 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
 
 
 def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
-                    pseudo_lens: np.ndarray, uni_table, bi_table,
+                    pseudo_lens: np.ndarray, uni_table, cjkbi,
                     chunk_size: int, expected_1kb: np.ndarray,
                     close_set: np.ndarray, hint_csr: np.ndarray,
                     hint_flat: np.ndarray):
     """Fused CJK uni+bi scan + chunk scoring (the cjk_candidates ->
     lookup -> score_chunks_multi chain) in one C pass. bounds are END
     byte offsets into cat; pseudo_lens are the per-span text_bytes used
-    for chunk extents (char positions scale x3, as in the numpy path)."""
+    for chunk extents (char positions scale x3, as in the numpy path).
+    cjkbi is a BucketTable probed with BiHashV2 (othr decode)."""
     n = len(cat)
     buf = np.frombuffer(cat, dtype=np.uint8)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
@@ -339,7 +361,8 @@ def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
         flat = np.zeros(1, dtype=np.int64)
     nch = _CJ(buf, n, bounds, nb, plens,
               uni_table.keys, uni_table.vals, int(uni_table.mask),
-              bi_table.keys, bi_table.vals, int(bi_table.mask),
+              cjkbi.buckets, cjkbi.buckets.shape[0], int(cjkbi.keymask),
+              cjkbi.packed_othr,
               chunk_size, exp, cset, len(exp),
               csr, flat,
               sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],

@@ -94,6 +94,55 @@ static inline uint64_t table_lookup(const uint64_t *keys, const uint64_t *vals,
     }
 }
 
+/* CLD2 4-way-associative bucket probes (reference:
+ * internal/cldutil_shared.h:383-455 OctaFPJustHash/QuadFPJustHash +
+ * {Octa,Quad}HashV3Lookup4). The matched entry's low bits (below
+ * keymask) index a pre-decoded packed-langprob array built at
+ * artifact time (state/model.py _build_ref_tables); 0 = miss. */
+static inline uint64_t bucket_lookup40(const uint32_t *buckets,
+                                       uint64_t nbuckets_mask,
+                                       uint32_t keymask,
+                                       const uint64_t *packed,
+                                       uint64_t h) {
+    uint64_t subscr = (h + (h >> 12)) & nbuckets_mask;
+    uint32_t key = ((uint32_t)(h >> 4)) & keymask;
+    const uint32_t *b = buckets + 4 * subscr;
+    for (int k = 0; k < 4; k++)
+        if (((key ^ b[k]) & keymask) == 0)
+            return packed[b[k] & ~keymask];
+    return 0;
+}
+
+static inline uint64_t bucket_lookup32(const uint32_t *buckets,
+                                       uint32_t nbuckets_mask,
+                                       uint32_t keymask,
+                                       const uint64_t *packed,
+                                       uint32_t h) {
+    uint32_t subscr = (h + (h >> 12)) & nbuckets_mask;
+    uint32_t key = h & keymask;
+    const uint32_t *b = buckets + 4 * (uint64_t)subscr;
+    for (int k = 0; k < 4; k++)
+        if (((key ^ b[k]) & keymask) == 0)
+            return packed[b[k] & ~keymask];
+    return 0;
+}
+
+/* BiHashV2 (reference: internal/cldutil_shared.cc:107-122), used for
+ * CJK bigrams over the raw bytes of two adjacent chars (<= 8 bytes;
+ * bytes past bytecount are always masked, so padding never leaks). */
+static inline uint32_t bi_hash32(const uint8_t *buf, int64_t s, int64_t bc,
+                                 int64_t limit) {
+    uint32_t mask = kWordMask0[bc & 3];
+    uint32_t w0 = le32(buf, s, limit);
+    if (bc <= 4) {
+        uint32_t a = w0 & mask;
+        return a ^ (a >> 3);
+    }
+    uint32_t a = w0 ^ (w0 >> 3);
+    uint32_t w1 = le32(buf, s + 4, limit) & mask;
+    return a + (w1 ^ (w1 << 18));
+}
+
 /* 12-bit-context next-char predictor (cld2_ray/functions/repeats.py,
  * reference CountPredictedBytes compact_lang_det_impl.cc:541-580):
  * per char, mask[i] = "char equals the value last stored under the
@@ -260,8 +309,12 @@ int fastlangid_score(const uint8_t *cat, const int64_t *bounds,
 static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
                           const uint64_t *qkeys, const uint64_t *qvals,
                           uint64_t qmask,
-                          const uint64_t *okeys, const uint64_t *ovals,
-                          uint64_t omask,
+                          const uint64_t *skeys, const uint64_t *svals,
+                          uint64_t smask,
+                          const uint32_t *db, uint64_t dbmask,
+                          uint32_t dkeymask, const uint64_t *dpacked,
+                          const uint32_t *xb, uint64_t xbmask,
+                          uint32_t xkeymask, const uint64_t *xpacked,
                           uint64_t *out_qvals, int64_t *out_qoffs,
                           int64_t *nq_io,
                           uint64_t *out_ovals, int64_t *out_ooffs,
@@ -271,11 +324,9 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
 
     /* ring state, reset per span */
     uint32_t qr1 = 0, qr2 = 0; int qrn = 0;
-    uint64_t or1 = 0, or2 = 0; int orn = 0;
 
     {
         qr1 = qr2 = 0; qrn = 0;
-        or1 = or2 = 0; orn = 0;
         if (len <= 0) { *nq_io = nq; *no_io = no; return; }
 
         /* --- one forward pass over chars: quads + octas ---
@@ -283,43 +334,81 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
          * a space.  Mirror of hits.py: a char starts where
          * (b & 0xC0) != 0x80; is_space = first byte == 0x20. */
 
-        /* char starts (byte offsets) gathered on the fly; we need
-         * next_space and e = i+4 chars lookahead, so keep a small
-         * sliding window of the last/next few char starts.  Simpler:
-         * first collect char starts into a stack buffer chunk-wise is
-         * messy — instead do two mini-passes per span using a local
-         * heap-free scan: pass 1 for octas (byte-level), pass 2 for
-         * quads with a 6-slot lookahead queue. */
-
-        /* Pass A: octas — words between consecutive single-byte
-         * spaces. */
+        /* Pass A: the GetOctaHits walk (reference cldutil.cc:416-533,
+         * mirrored by hits.octa_word_and_pair_hits): per word
+         * (truncated to 8 CHARS) an OctaHash40; the last-2 repeat
+         * ring updates only on non-repeats; non-repeats probe the
+         * distinct-octa table (word), the distinct-octa table again
+         * with PairHash(prev, cur) at the PRIOR word's offset, and
+         * the delta-octa table (word). dpacked/xpacked are already
+         * selected for this span's script class by the caller. */
         {
+            uint64_t r1 = 0, r2 = 0; int nxt = 0;
+            int64_t prior_start = -1;
             int64_t prev_space = -1;
+            int64_t nchars_word = 0;
+            int64_t trunc = -1;
             for (int64_t b = 0; b < len; b++) {
                 if ((sp[b] & 0xC0) == 0x80) continue;   /* cont. byte */
-                if (sp[b] != 0x20) continue;
+                if (sp[b] != 0x20) {
+                    if (prev_space >= 0) {
+                        nchars_word++;
+                        if (nchars_word == 9 && trunc < 0) trunc = b;
+                    }
+                    continue;
+                }
                 if (prev_space >= 0) {
                     int64_t ws = prev_space + 1;
-                    int64_t we = b;
+                    int64_t we = (trunc >= 0) ? trunc : b;
                     if (we > ws) {
+                        /* bc is UNCAPPED (<= 32): OctaHash40 reads at
+                         * most 24 bytes but masks with bc & 3 */
                         int64_t bc = we - ws;
-                        if (bc > 24) bc = 24;
                         uint64_t h = octa_hash40(sp, ws, bc, len);
-                        int dup = (orn >= 1 && h == or1) ||
-                                  (orn >= 2 && h == or2);
-                        or2 = or1; or1 = h;
-                        if (orn < 2) orn++;
-                        if (!dup) {
-                            uint64_t v = table_lookup(okeys, ovals, omask, h);
+                        if (h != r1 && h != r2) {
+                            if (nxt == 0) r1 = h; else r2 = h;
+                            nxt = 1 - nxt;
+                            uint64_t prior_h = (nxt == 0) ? r1 : r2;
+                            if (prior_h != 0 && prior_h != h &&
+                                    prior_start >= 0) {
+                                uint64_t ph = ((prior_h >> 13) |
+                                               (prior_h << 51)) + h;
+                                uint64_t v = bucket_lookup40(
+                                    xb, xbmask, xkeymask, xpacked, ph);
+                                if (v) {
+                                    out_ovals[no] = v;
+                                    out_ooffs[no] = span_start + prior_start;
+                                    no++;
+                                }
+                            }
+                            uint64_t v = bucket_lookup40(
+                                xb, xbmask, xkeymask, xpacked, h);
+                            if (v) {
+                                out_ovals[no] = v;
+                                out_ooffs[no] = span_start + ws;
+                                no++;
+                            }
+                            v = bucket_lookup40(
+                                db, dbmask, dkeymask, dpacked, h);
+                            if (v) {
+                                out_ovals[no] = v;
+                                out_ooffs[no] = span_start + ws;
+                                no++;
+                            }
+                            /* seed-trained word stats (model.socta) */
+                            v = table_lookup(skeys, svals, smask, h);
                             if (v) {
                                 out_ovals[no] = v;
                                 out_ooffs[no] = span_start + ws;
                                 no++;
                             }
                         }
+                        prior_start = ws;
                     }
                 }
                 prev_space = b;
+                nchars_word = 0;
+                trunc = -1;
             }
         }
 
@@ -738,15 +827,25 @@ int quality_scan(const uint8_t *cat, const int64_t *bounds, int64_t n_docs,
 int quad_octa_scan(const uint8_t *buf, int64_t n,
                    const int64_t *bounds, int64_t nb,
                    const uint64_t *qkeys, const uint64_t *qvals, uint64_t qmask,
-                   const uint64_t *okeys, const uint64_t *ovals, uint64_t omask,
+                   const uint64_t *skeys, const uint64_t *svals, uint64_t smask,
+                   const uint32_t *db, int64_t dnb, uint32_t dkeymask,
+                   const uint64_t *dpl, const uint64_t *dpo,
+                   const uint32_t *xb, int64_t xnb, uint32_t xkeymask,
+                   const uint64_t *xpl, const uint64_t *xpo,
+                   const uint8_t *span_latin,
                    uint64_t *out_qvals, int64_t *out_qoffs, int64_t *nq_out,
                    uint64_t *out_ovals, int64_t *out_ooffs, int64_t *no_out) {
     int64_t nq = 0, no = 0;
     int64_t span_start = 0;
+    uint64_t dbmask = (uint64_t)(dnb - 1);
+    uint64_t xbmask = (uint64_t)(xnb - 1);
+    (void)n;
     for (int64_t span_i = 0; span_i < nb; span_i++) {
         int64_t span_end = bounds[span_i];
         scan_one_span(buf + span_start, span_end - span_start, span_start,
-                      qkeys, qvals, qmask, okeys, ovals, omask,
+                      qkeys, qvals, qmask, skeys, svals, smask,
+                      db, dbmask, dkeymask, span_latin[span_i] ? dpl : dpo,
+                      xb, xbmask, xkeymask, span_latin[span_i] ? xpl : xpo,
                       out_qvals, out_qoffs, &nq,
                       out_ovals, out_ooffs, &no);
         span_start = span_end;
@@ -795,7 +894,7 @@ static int64_t chunk_score_merged(
         int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
         int64_t *out_rel, int64_t *out_span, int64_t *nchunks_io) {
     int64_t nchunks_total = *nchunks_io;
-    int32_t touched[3 * 4096 + 64];   /* lanes touched per chunk */
+    int32_t touched[4 * 4096 + 64];   /* lanes touched per chunk */
     int64_t nh = na + nb_;
     if (nh == 0) return 0;
     int64_t nch = nh / chunk_size;
@@ -818,7 +917,7 @@ static int64_t chunk_score_merged(
                 v = bv[bi]; off = bo[bi]; bi++;
             }
             if (first_off < 0) first_off = off;
-            for (int lane = 0; lane < 3; lane++) {
+            for (int lane = 0; lane < 4; lane++) {
                 int64_t l = (int64_t)((v >> (16 * lane)) & 0xFF);
                 int64_t q = (int64_t)((v >> (16 * lane + 8)) & 0xFF);
                 if (l == 0) continue;    /* UNKNOWN lane suppressed */
@@ -920,7 +1019,12 @@ int64_t quad_octa_chunk_score(
         const uint8_t *buf, int64_t n,
         const int64_t *bounds, int64_t nb,
         const uint64_t *qkeys, const uint64_t *qvals, uint64_t qmask,
-        const uint64_t *okeys, const uint64_t *ovals, uint64_t omask,
+        const uint64_t *skeys, const uint64_t *svals, uint64_t smask,
+        const uint32_t *db, int64_t dnb, uint32_t dkeymask,
+        const uint64_t *dpl, const uint64_t *dpo,
+        const uint32_t *xb, int64_t xnb, uint32_t xkeymask,
+        const uint64_t *xpl, const uint64_t *xpo,
+        const uint8_t *span_latin,
         int64_t chunk_size,
         const int32_t *expected_1kb, const int8_t *close_set,
         int64_t num_langs,
@@ -932,13 +1036,20 @@ int64_t quad_octa_chunk_score(
         int64_t *out_rel, int64_t *out_span) {
     int64_t nchunks_total = 0;
     int64_t span_start = 0;
+    uint64_t dbmask = (uint64_t)(dnb - 1);
+    uint64_t xbmask = (uint64_t)(xnb - 1);
     (void)n;
     for (int64_t span_i = 0; span_i < nb; span_i++) {
         int64_t span_end = bounds[span_i];
         int64_t len = span_end - span_start;
         const uint8_t *sp = buf + span_start;
         int64_t nq = 0, no = 0;
-        scan_one_span(sp, len, 0, qkeys, qvals, qmask, okeys, ovals, omask,
+        const uint64_t *dpacked = span_latin[span_i] ? dpl : dpo;
+        const uint64_t *xpacked = span_latin[span_i] ? xpl : xpo;
+        scan_one_span(sp, len, 0, qkeys, qvals, qmask,
+                      skeys, svals, smask,
+                      db, dbmask, dkeymask, dpacked,
+                      xb, xbmask, xkeymask, xpacked,
                       sc_qvals, sc_qoffs, &nq, sc_ovals, sc_ooffs, &no);
         span_start = span_end;
         chunk_score_merged(sc_qvals, sc_qoffs, nq, sc_ovals, sc_ooffs, no,
@@ -954,22 +1065,25 @@ int64_t quad_octa_chunk_score(
 }
 
 /* CJK fused scan + chunk scoring — the cjk_candidates -> uni/bi table
- * lookup -> score_chunks_multi chain (hits.py:205-220,
+ * lookup -> score_chunks_multi chain (hits.py cjk_candidates,
  * langid.py:_fill_totes cjk branch) in one C pass per span.
  *
  * cat: concatenated utf-8 of the CJK span texts; bounds: END byte
  * offsets per span; pseudo_lens: per-span "byte length" used for
  * chunk extents (sp.text_bytes — positions are char indices scaled
- * x3, per the numpy path). Unigram key = codepoint (space cps
- * skipped); bigram key = cp1<<21|cp2 for adjacent char positions;
- * both streams ring-deduped independently BEFORE lookup, unis before
- * bis at equal position. */
+ * x3, per the numpy path). Unigram key = codepoint, open-address
+ * table enumerated from the reference CjkUni trie; bigram = BiHashV2
+ * over the raw bytes of two adjacent chars with combined length >= 6
+ * (GetBiHits, reference cldutil.cc:248-310), probed into the CJK
+ * delta-bi bucket table. No repeat filtering on either stream (the
+ * reference walks have none); unis before bis at equal position. */
 int64_t cjk_chunk_score(
         const uint8_t *cat, int64_t n,
         const int64_t *bounds, int64_t nb,
         const int64_t *pseudo_lens,
         const uint64_t *ukeys, const uint64_t *uvals, uint64_t umask,
-        const uint64_t *bkeys, const uint64_t *bvals, uint64_t bmask,
+        const uint32_t *bb, int64_t bnb, uint32_t bkeymask,
+        const uint64_t *bpacked,
         int64_t chunk_size,
         const int32_t *expected_1kb, const int8_t *close_set,
         int64_t num_langs,
@@ -981,6 +1095,7 @@ int64_t cjk_chunk_score(
         int64_t *out_rel, int64_t *out_span) {
     int64_t nchunks_total = 0;
     int64_t span_start = 0;
+    uint32_t bbmask = (uint32_t)(bnb - 1);
     (void)n;
     for (int64_t span_i = 0; span_i < nb; span_i++) {
         int64_t span_end = bounds[span_i];
@@ -989,18 +1104,17 @@ int64_t cjk_chunk_score(
         span_start = span_end;
 
         int64_t nu = 0, nbi = 0;
-        /* uni + bi candidate walk with last-2 rings, lookup inline */
-        uint64_t ur1 = 0, ur2 = 0; int urn = 0;
-        uint64_t br1 = 0, br2 = 0; int brn = 0;
         int64_t char_idx = 0;
         int64_t prev_pos = -2;     /* char pos of previous NON-SPACE cp */
-        uint64_t prev_cp = 0;
+        int64_t prev_byte = -1;    /* byte start of that char */
+        int prev_len = 0;
         for (int64_t i = 0; i < len; char_idx++) {
             uint8_t lead = sp[i];
             int l = lead < 0x80 ? 1 : (lead < 0xE0 ? 2
                         : (lead < 0xF0 ? 3 : 4));
             if (i + l > len) l = (int)(len - i);
             uint32_t cp;
+            int64_t byte_start = i;
             if (l == 1) cp = lead;
             else if (l == 2)
                 cp = ((lead & 0x1Fu) << 6) | (sp[i + 1] & 0x3Fu);
@@ -1012,37 +1126,28 @@ int64_t cjk_chunk_score(
                      | ((sp[i + 2] & 0x3Fu) << 6) | (sp[i + 3] & 0x3Fu);
             i += l;
             if (cp == 32) continue;
-            /* unigram candidate */
-            uint64_t uk = (uint64_t)cp;
-            int udup = (urn >= 1 && uk == ur1) || (urn >= 2 && uk == ur2);
-            ur2 = ur1; ur1 = uk;
-            if (urn < 2) urn++;
-            if (!udup) {
-                uint64_t v = table_lookup(ukeys, uvals, umask, uk);
-                if (v) {
-                    sc_uvals[nu] = v;
-                    sc_uoffs[nu] = char_idx * 3;
-                    nu++;
-                }
+            /* unigram */
+            uint64_t v = table_lookup(ukeys, uvals, umask, (uint64_t)cp);
+            if (v) {
+                sc_uvals[nu] = v;
+                sc_uoffs[nu] = char_idx * 3;
+                nu++;
             }
-            /* bigram candidate (adjacent char positions) */
-            if (prev_pos == char_idx - 1) {
-                uint64_t bk = (prev_cp << 21) | (uint64_t)cp;
-                int bdup = (brn >= 1 && bk == br1) ||
-                           (brn >= 2 && bk == br2);
-                br2 = br1; br1 = bk;
-                if (brn < 2) brn++;
-                if (!bdup) {
-                    uint64_t v = table_lookup(bkeys, bvals, bmask, bk);
-                    if (v) {
-                        sc_bvals[nbi] = v;
-                        sc_boffs[nbi] = prev_pos * 3;
-                        nbi++;
-                    }
+            /* bigram: adjacent chars, combined utf-8 length >= 6 */
+            if (prev_pos == char_idx - 1 && prev_len + l >= 6) {
+                uint32_t h = bi_hash32(sp, prev_byte,
+                                       (int64_t)(prev_len + l), len);
+                uint64_t bv = bucket_lookup32(bb, bbmask, bkeymask,
+                                              bpacked, h);
+                if (bv) {
+                    sc_bvals[nbi] = bv;
+                    sc_boffs[nbi] = prev_pos * 3;
+                    nbi++;
                 }
             }
             prev_pos = char_idx;
-            prev_cp = (uint64_t)cp;
+            prev_byte = byte_start;
+            prev_len = l;
         }
         chunk_score_merged(sc_uvals, sc_uoffs, nu, sc_bvals, sc_boffs, nbi,
                            pseudo_lens[span_i], chunk_size,

@@ -5,20 +5,39 @@ The engine's analogue of the reference's ScoringTables bundle
 dynamic-data artifact lifecycle (internal/cld2_dynamic_data*.cc:
 serialize once offline, mmap/load once per worker).
 
-Because the reference's trained quadgram tables are absent from this
-sandbox (SURVEY.md §0), the tables here are trained from the authored
-seed corpora in cld2_ray.data.seeds using the same mechanism: hashed
-n-gram -> up to 3 (language, quantized-log-prob) pairs, quantized so
-that +1 step is a factor of 3 in likelihood (the reference's qprob
-scale, cldutil.cc:540-552), packed into an open-addressed uint64
-key/value table looked up vectorized at runtime.
+Since round 3 the artifact carries the reference's PRESENT trained
+tables, parsed at build time by cld2_ray.state.refparse:
 
-Value layout (uint64):
-  lang1 | q1<<8 | lang2<<16 | q2<<24 | lang3<<32 | q3<<40
-Key 0 is the empty slot sentinel.
+* delta-octa + distinct-octa word tables (kDeltaOcta_obj /
+  kDistinctOcta_obj, cld2_generated_{delta,distinct}octa0527.cc) kept
+  in their native 4-way-associative bucket form (``BucketTable``) —
+  the bucket hash is lossy (OctaFPJustHash, cldutil_shared.h:383-400),
+  so the original 40-bit keys cannot be re-enumerated into an exact
+  hash table; instead the probe is reimplemented and each 12-bit
+  indirect subscript is pre-decoded to this engine's packed value,
+  once per script class (per-script language numbers differ between
+  Latin and non-Latin spans, lang_script.cc:328-341),
+* CJK unigram scoring = the cld_generated_CjkUni trie enumerated
+  offline into codepoint -> packed langprobs (compat table pairs,
+  cld2_generated_cjk_compatible.cc) held in the engine's open-address
+  ``HashTable``,
+* CJK bigram table (kCjkDeltaBi_obj) as a BucketTable probed with
+  BiHashV2.
+
+The quadgram tables remain seed-trained (the reference's quad blobs
+are absent from this environment, SURVEY.md §0): hashed n-gram -> up
+to 4 (language, quantized-log-prob) pairs on the reference's qprob
+scale (+1 step = a factor of ~3 in likelihood, cldutil.cc:540-552).
+
+Value layout (uint64, 4 lanes of 16 bits):
+  lane i (i in 0..3): lang id in bits [16i, 16i+8), qprob in
+  [16i+8, 16i+16). Lang 0 = empty lane. Key 0 is the empty slot
+  sentinel in HashTable.
 
 Artifact: ``cld2_ray/state/artifacts/langmodel.npz`` — committed,
-deterministic, rebuildable with ``python -m cld2_ray.state.model``.
+deterministic, rebuildable with ``python -m cld2_ray.state.model``
+(requires the reference tree at build time only), with a per-array
+checksum manifest verified at load (the verifyDataFile analogue).
 Actors load it once in ``__init__`` (stateful-stage pattern).
 """
 
@@ -101,52 +120,124 @@ class HashTable:
         return out
 
 
+@dataclass
+class BucketTable:
+    """The reference's 4-way-associative CLD2TableSummary bucket table
+    with pre-decoded per-indirect packed values (one array per script
+    class). ``kind`` selects the probe math: "octa40" =
+    OctaFPJustHash over a 40-bit hash (cldutil_shared.h:390-400),
+    "quad32" = QuadFPJustHash over a 32-bit hash (:383-388, used for
+    CJK bigrams via BiHashV2)."""
+    buckets: np.ndarray      # (nbuckets, 4) uint32
+    keymask: np.uint32
+    packed_latn: np.ndarray  # uint64[ind_size]
+    packed_othr: np.ndarray  # uint64[ind_size]
+    kind: str
+
+    @property
+    def nbuckets(self) -> int:
+        return self.buckets.shape[0]
+
+    def keyvalues(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized probe -> matched uint32 keyvalue (0 = miss)."""
+        h = hashes.astype(np.uint64)
+        bmask = np.uint64(self.nbuckets - 1)
+        if self.kind == "octa40":
+            sub = ((h + (h >> np.uint64(12))) & bmask).astype(np.int64)
+            key = (h >> np.uint64(4)).astype(np.uint32) & self.keymask
+        else:
+            h32 = h.astype(np.uint32)
+            sub = ((h32 + (h32 >> np.uint32(12)))
+                   & bmask.astype(np.uint32)).astype(np.int64)
+            key = h32 & self.keymask
+        entries = self.buckets[sub]              # (n, 4)
+        match = ((entries ^ key[:, None]) & self.keymask) == 0
+        first = np.argmax(match, axis=1)
+        kv = entries[np.arange(len(h)), first]
+        return np.where(match.any(axis=1), kv, np.uint32(0))
+
+    def lookup(self, hashes: np.ndarray, latin) -> np.ndarray:
+        """-> packed uint64 values (0 = miss). ``latin``: bool or
+        bool array per hash selecting the script-class decode."""
+        if len(hashes) == 0:
+            return np.empty(0, dtype=np.uint64)
+        kv = self.keyvalues(hashes)
+        ind = (kv & ~self.keymask).astype(np.int64)
+        vl = self.packed_latn[ind]
+        vo = self.packed_othr[ind]
+        out = np.where(latin, vl, vo) if not np.isscalar(latin) else \
+            (vl if latin else vo)
+        return np.where(kv != 0, out, np.uint64(0))
+
+
 def pack_langprob(entries: list[tuple[int, int]]) -> int:
-    """[(lang_id, qprob 1..12), ...] top-first -> uint64 value."""
+    """[(lang_id, qprob), ...] top-first -> uint64 value (4 lanes)."""
     v = 0
-    for i, (lid, q) in enumerate(entries[:3]):
+    for i, (lid, q) in enumerate(entries[:4]):
         v |= (lid & 0xFF) << (16 * i)
-        v |= (min(q, MAX_QPROB) & 0xFF) << (16 * i + 8)
+        v |= (min(q, 255) & 0xFF) << (16 * i + 8)
     return v
 
 
 def unpack_langprobs(vals: np.ndarray):
-    """uint64[n] -> (langs int16[n,3], qprobs int32[n,3])."""
-    l1 = (vals & np.uint64(0xFF)).astype(np.int16)
-    q1 = ((vals >> np.uint64(8)) & np.uint64(0xFF)).astype(np.int32)
-    l2 = ((vals >> np.uint64(16)) & np.uint64(0xFF)).astype(np.int16)
-    q2 = ((vals >> np.uint64(24)) & np.uint64(0xFF)).astype(np.int32)
-    l3 = ((vals >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int16)
-    q3 = ((vals >> np.uint64(40)) & np.uint64(0xFF)).astype(np.int32)
-    return (np.stack([l1, l2, l3], axis=1), np.stack([q1, q2, q3], axis=1))
+    """uint64[n] -> (langs int16[n,4], qprobs int32[n,4])."""
+    ls = []
+    qs = []
+    for i in range(4):
+        ls.append(((vals >> np.uint64(16 * i)) & np.uint64(0xFF))
+                  .astype(np.int16))
+        qs.append(((vals >> np.uint64(16 * i + 8)) & np.uint64(0xFF))
+                  .astype(np.int32))
+    return np.stack(ls, axis=1), np.stack(qs, axis=1)
 
 
 @dataclass
 class LangModel:
-    quad: HashTable
-    octa: HashTable
-    uni: HashTable
-    bi: HashTable
-    expected_quad: np.ndarray  # int32[NUM_LANGS] score per 1024 span bytes
+    quad: HashTable          # seed-trained quadgrams
+    socta: HashTable         # seed-trained word stats (same walk as
+                             # the reference tables; compensates for
+                             # the seed-scale quadgrams — the sparse
+                             # reference octa tables keep only the
+                             # ~65k most DISTINCTIVE wordforms, while
+                             # the reference's quad evidence comes
+                             # from web-scale tables this sandbox
+                             # does not have)
+    docta: BucketTable       # reference delta-octa words
+    xocta: BucketTable       # reference distinct-octa words + pairs
+    uni: HashTable           # reference CJK unigrams (cp -> packed)
+    cjkbi: BucketTable       # reference CJK bigrams (BiHashV2 probe)
+    expected_quad: np.ndarray  # int32[NUM_LANGS] score per 1024 bytes
     expected_uni: np.ndarray
 
     def save(self, path: str = ARTIFACT) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+
+        def bt(name, t: BucketTable):
+            # keymask as a 1-element array: 0-d scalars change shape
+            # through the mmap extraction cache
+            return {f"{name}_buckets": np.ascontiguousarray(t.buckets),
+                    f"{name}_keymask": np.array([t.keymask], np.uint32),
+                    f"{name}_packed_latn": t.packed_latn,
+                    f"{name}_packed_othr": t.packed_othr}
+
         arrays = dict(
             quad_keys=self.quad.keys, quad_vals=self.quad.vals,
-            octa_keys=self.octa.keys, octa_vals=self.octa.vals,
+            socta_keys=self.socta.keys, socta_vals=self.socta.vals,
             uni_keys=self.uni.keys, uni_vals=self.uni.vals,
-            bi_keys=self.bi.keys, bi_vals=self.bi.vals,
             expected_quad=self.expected_quad,
             expected_uni=self.expected_uni,
             lang_codes=np.array(langs.CODES),
+            **bt("docta", self.docta),
+            **bt("xocta", self.xocta),
+            **bt("cjkbi", self.cjkbi),
         )
         # checksum manifest (the verifyDataFile analogue, reference:
         # internal/cld2_dynamic_data.h:220 + cld2_dynamic_data_tool.cc
         # --verify): one digest per array so a corrupted artifact fails
         # loudly at load, not as silently-wrong probe results
         arrays["manifest"] = np.array(
-            [f"{k}={_digest(v)}" for k, v in sorted(arrays.items())])
+            [f"{k}={_digest(np.asarray(v))}"
+             for k, v in sorted(arrays.items())])
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -168,7 +259,18 @@ class LangModel:
         def t(name):
             keys = z[f"{name}_keys"]
             return HashTable(keys, z[f"{name}_vals"], np.uint64(len(keys) - 1))
-        return cls(t("quad"), t("octa"), t("uni"), t("bi"),
+
+        def bt(name, kind):
+            buckets = z[f"{name}_buckets"]
+            return BucketTable(buckets,
+                               np.uint32(np.asarray(
+                                   z[f"{name}_keymask"]).ravel()[0]),
+                               z[f"{name}_packed_latn"],
+                               z[f"{name}_packed_othr"], kind)
+
+        return cls(t("quad"), t("socta"),
+                   bt("docta", "octa40"), bt("xocta", "octa40"),
+                   t("uni"), bt("cjkbi", "quad32"),
                    z["expected_quad"], z["expected_uni"])
 
 
@@ -198,7 +300,8 @@ def _verify_arrays(z: dict, path: str) -> None:
             f"langmodel artifact {path} manifest names mismatch: "
             f"missing={sorted(set(want) - names)} "
             f"extra={sorted(names - set(want))}")
-    bad = [k for k in sorted(names) if _digest(z[k]) != want[k]]
+    bad = [k for k in sorted(names)
+           if _digest(np.asarray(z[k])) != want[k]]
     if bad:
         raise ValueError(
             f"langmodel artifact {path} is corrupted: checksum "
@@ -217,7 +320,9 @@ def default_model() -> LangModel:
 
 
 # ---------------------------------------------------------------------------
-# Training (offline; deterministic; python -m cld2_ray.state.model)
+# Build (offline; deterministic; python -m cld2_ray.state.model).
+# Quadgrams train on the authored seed corpora; everything else parses
+# from the reference's generated tables.
 # ---------------------------------------------------------------------------
 
 def _count_table(counts: dict[int, dict[int, int]],
@@ -234,14 +339,21 @@ def _count_table(counts: dict[int, dict[int, int]],
     # (the analogue of corpus-frequency priors in the reference's
     # training data; keeps pt/gl, sr/bs, bg/mk, ru/be resolvable with
     # small seed corpora)
-    demote = {langs.lang_id(c) for c in ("gl", "bs", "mk", "be")}
+    # (mk was demoted through round 2; with the reference word tables
+    # in play Serbian evidence leaks into Macedonian text and the
+    # demotion tipped mk under sr — bg/mk stay resolvable through the
+    # closest-alt merge instead)
+    # ms: Indonesian is the web-majority member of the {id, ms} close
+    # pair; without the demotion shared grams tip the close-pair
+    # refinement toward ms on Indonesian text
+    demote = {langs.lang_id(c) for c in ("gl", "bs", "be", "ms")}
     ln3 = math.log(3.0)
     kv: dict[int, int] = {}
     for key, per_lang in counts.items():
         weighted = sorted(
             (((cnt / totals[lid]) / (3.0 if lid in demote else 1.0), lid)
              for lid, cnt in per_lang.items()),
-            reverse=True)[:3]
+            reverse=True)[:4]
         w_max = weighted[0][0]
         if w_max <= 0:
             continue
@@ -261,15 +373,13 @@ def _count_table(counts: dict[int, dict[int, int]],
     return HashTable.build(kv)
 
 
-def _build_tables(seed_texts: dict[str, str]):
+def _build_seed_tables(seed_texts: dict[str, str]):
+    """-> (quad HashTable, seed-word HashTable), both trained from
+    the authored seed corpora with the RUNTIME walks."""
     quad_counts: dict[int, dict[int, int]] = {}
-    octa_counts: dict[int, dict[int, int]] = {}
-    uni_counts: dict[int, dict[int, int]] = {}
-    bi_counts: dict[int, dict[int, int]] = {}
     quad_totals: dict[int, int] = {}
+    octa_counts: dict[int, dict[int, int]] = {}
     octa_totals: dict[int, int] = {}
-    uni_totals: dict[int, int] = {}
-    bi_totals: dict[int, int] = {}
 
     def bump(counts, totals, lid, keys):
         totals[lid] = totals.get(lid, 0) + max(len(keys), 1)
@@ -283,21 +393,71 @@ def _build_tables(seed_texts: dict[str, str]):
             raise ValueError(f"seed corpus for unknown language {code!r}")
         for sp in spans.script_spans(" ".join(text.split())):
             rt = us.script_rtype(sp.script)
-            sb = sp.text.encode("utf-8")
             if rt == us.RTYPE_MANY:
                 # dense (every-alignment) sampling for table coverage
-                bump(quad_counts, quad_totals, lid, hits.quad_hits_dense(sb)[0])
-                h, _ = hits.octa_hits(sb)
-                bump(octa_counts, octa_totals, lid, h)
-            elif rt == us.RTYPE_CJK:
-                uni, _, bi, _ = hits.cjk_candidates(sp.text)
-                bump(uni_counts, uni_totals, lid, uni)
-                bump(bi_counts, bi_totals, lid, bi)
-
+                sb = sp.text.encode("utf-8")
+                bump(quad_counts, quad_totals, lid,
+                     hits.quad_hits_dense(sb)[0])
+                wh, _, _, _ = hits.octa_word_and_pair_hits(sb)
+                bump(octa_counts, octa_totals, lid, wh)
     return (_count_table(quad_counts, quad_totals),
-            _count_table(octa_counts, octa_totals),
-            _count_table(uni_counts, uni_totals),
-            _count_table(bi_counts, bi_totals))
+            _count_table(octa_counts, octa_totals))
+
+
+def _build_ref_tables():
+    """Parse the reference's generated tables into BucketTables + the
+    unigram HashTable (see module docstring)."""
+    from cld2_ray.state import refparse as rp
+
+    def packed_for(ind: np.ndarray, latin: bool) -> np.ndarray:
+        out = np.zeros(len(ind), dtype=np.uint64)
+        for i, lp in enumerate(ind.tolist()):
+            entries = []
+            for code, q in rp.decode_langprob(int(lp), latin):
+                lid = langs.lang_id(code)
+                if lid != langs.UNKNOWN:
+                    entries.append((lid, q))
+            out[i] = pack_langprob(entries)
+        return out
+
+    def bucket(name: str, kind: str) -> BucketTable:
+        t = rp.bucket_table(name)
+        ind = t["ind"]
+        return BucketTable(
+            buckets=np.ascontiguousarray(t["buckets"]),
+            keymask=np.uint32(t["keymask"]),
+            packed_latn=packed_for(ind, True),
+            packed_othr=packed_for(ind, False),
+            kind=kind)
+
+    docta = bucket("deltaocta", "octa40")
+    xocta = bucket("distinctocta", "octa40")
+    cjkbi = bucket("cjkbi", "quad32")
+
+    # CJK unigrams: trie-enumerated codepoints -> merged compat pairs
+    # (SizeOne=0: every propval p decodes Ind[2p] + Ind[2p+1]; same
+    # language in both langprobs sums, as two tote adds would)
+    compat = rp.compat_ind()
+    packed_prop = np.zeros(len(compat) // 2, dtype=np.uint64)
+    for p in range(len(packed_prop)):
+        merged: dict[int, int] = {}
+        order: list[int] = []
+        for lp in (int(compat[2 * p]), int(compat[2 * p + 1])):
+            for code, q in rp.decode_langprob(lp, False):
+                lid = langs.lang_id(code)
+                if lid == langs.UNKNOWN:
+                    continue
+                if lid not in merged:
+                    order.append(lid)
+                    merged[lid] = 0
+                merged[lid] += q
+        packed_prop[p] = pack_langprob([(lid, merged[lid])
+                                        for lid in order])
+    uni_kv = {cp: int(packed_prop[p])
+              for cp, p in sorted(rp.cjk_uni_props().items())
+              if packed_prop[p] != 0}
+    uni = HashTable.build(uni_kv)
+    return docta, xocta, uni, cjkbi
 
 
 def _score_text_for_lang(model: "LangModel", text: str, lid: int):
@@ -305,21 +465,27 @@ def _score_text_for_lang(model: "LangModel", text: str, lid: int):
     tot_score, tot_bytes, is_cjk = 0, 0, False
     for sp in spans.script_spans(" ".join(text.split())):
         rt = us.script_rtype(sp.script)
+        latin = sp.script == us.LATIN
         if rt == us.RTYPE_MANY:
             sb = sp.text.encode("utf-8")
             h, _ = hits.quad_hits_dense(sb)
-            l3, q3 = unpack_langprobs(model.quad.lookup(h))
-            tot_score += int(np.where(l3 == lid, q3, 0).sum())
-            ho, _ = hits.octa_hits(sb)
-            l3, q3 = unpack_langprobs(model.octa.lookup(ho))
-            tot_score += int(np.where(l3 == lid, q3, 0).sum())
+            l4, q4 = unpack_langprobs(model.quad.lookup(h))
+            tot_score += int(np.where(l4 == lid, q4, 0).sum())
+            ho, oo, hp, po = hits.octa_word_and_pair_hits(sb)
+            for tbl, keys in ((model.docta, ho), (model.xocta, ho),
+                              (model.xocta, hp)):
+                l4, q4 = unpack_langprobs(tbl.lookup(keys, latin))
+                tot_score += int(np.where(l4 == lid, q4, 0).sum())
+            l4, q4 = unpack_langprobs(model.socta.lookup(ho))
+            tot_score += int(np.where(l4 == lid, q4, 0).sum())
             tot_bytes += sp.text_bytes
         elif rt == us.RTYPE_CJK:
             is_cjk = True
-            uni, _, bi, _ = hits.cjk_candidates(sp.text)
-            for tbl, keys in ((model.uni, uni), (model.bi, bi)):
-                l3, q3 = unpack_langprobs(tbl.lookup(keys))
-                tot_score += int(np.where(l3 == lid, q3, 0).sum())
+            uni, _, bih, _ = hits.cjk_candidates(sp.text)
+            l4, q4 = unpack_langprobs(model.uni.lookup(uni))
+            tot_score += int(np.where(l4 == lid, q4, 0).sum())
+            l4, q4 = unpack_langprobs(model.cjkbi.lookup(bih, False))
+            tot_score += int(np.where(l4 == lid, q4, 0).sum())
             tot_bytes += sp.text_bytes
     return tot_score, tot_bytes, is_cjk
 
@@ -330,25 +496,31 @@ def train(seed_texts: dict[str, str] | None = None) -> LangModel:
         from cld2_ray.data.seeds_extra import EXTRA
         seed_texts = {c: t + " " + EXTRA.get(c, "") for c, t in SEEDS.items()}
 
-    quad, octa, uni, bi = _build_tables(seed_texts)
+    docta, xocta, uni, cjkbi = _build_ref_tables()
+    quad, socta = _build_seed_tables(seed_texts)
     model = LangModel(
-        quad=quad, octa=octa, uni=uni, bi=bi,
+        quad=quad, socta=socta,
+        docta=docta, xocta=xocta, uni=uni, cjkbi=cjkbi,
         expected_quad=np.zeros(langs.NUM_LANGS, dtype=np.int32),
         expected_uni=np.zeros(langs.NUM_LANGS, dtype=np.int32),
     )
 
     # Expected score per 1KB per language (the analogue of
     # kAvgDeltaOctaScore, cld_generated_score_quad_octa_*.cc), measured
-    # split-half: tables trained on the first half of each corpus score
-    # the unseen second half, giving a realistic out-of-vocabulary rate.
+    # split-half: quad tables trained on the first half of each corpus
+    # score the unseen second half (the reference word/CJK tables are
+    # full either way), giving a realistic out-of-vocabulary rate.
+    # Languages without seed corpora keep expected 0 = "no estimate",
+    # which reliability_expected treats as fully reliable.
     halves_a = {}
     halves_b = {}
     for code, text in seed_texts.items():
         words = text.split()
         halves_a[code] = " ".join(words[: len(words) // 2])
         halves_b[code] = " ".join(words[len(words) // 2:])
-    qa, oa, ua, ba = _build_tables(halves_a)
-    half_model = LangModel(qa, oa, ua, ba, model.expected_quad,
+    hq, hs = _build_seed_tables(halves_a)
+    half_model = LangModel(hq, hs, docta, xocta,
+                           uni, cjkbi, model.expected_quad,
                            model.expected_uni)
     for code, text_b in sorted(halves_b.items()):
         lid = langs.lang_id(code)
@@ -372,7 +544,8 @@ if __name__ == "__main__":
     m = train()
     m.save()
     nq = int((m.quad.keys != 0).sum())
-    no = int((m.octa.keys != 0).sum())
+    ns = int((m.socta.keys != 0).sum())
     nu = int((m.uni.keys != 0).sum())
-    nb = int((m.bi.keys != 0).sum())
-    print(f"saved {ARTIFACT}: quads={nq} octas={no} unis={nu} bis={nb}")
+    print(f"saved {ARTIFACT}: quads={nq} soctas={ns} unis={nu} "
+          f"docta={m.docta.nbuckets}x4 xocta={m.xocta.nbuckets}x4 "
+          f"cjkbi={m.cjkbi.nbuckets}x4")

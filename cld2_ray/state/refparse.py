@@ -1,0 +1,340 @@
+"""Offline parser for the reference's PRESENT generated model tables.
+
+The reference ships its trained delta-octa / distinct-octa word tables,
+CJK unigram property trie + compatible-langprob table, CJK bigram
+table, and expected-score table as generated C arrays
+(reference: internal/cld2_generated_deltaocta0527.cc,
+cld2_generated_distinctocta0527.cc, cld_generated_cjk_uni_prop_80.cc,
+cld2_generated_cjk_compatible.cc, cld_generated_cjk_delta_bi_32.cc,
+cld_generated_score_quad_octa_2.cc).  This module parses them at
+ARTIFACT BUILD time (``python -m cld2_ray.state.model``) into numpy
+arrays; nothing here runs in the pipeline hot path.
+
+What is extracted is the reference's MODEL — pure data (hash-bucket
+contents, quantized probabilities, per-script language numberings),
+i.e. "what to compute", not code.  The lookup semantics they imply
+(OctaFPJustHash bucket probe, langprob decode through kLgProbV2Tbl,
+per-script language numbers via kPLangToLanguageLatn/Othr) are
+reimplemented in cld2_ray.state.model / functions.* in this engine's
+vectorized style.
+
+Validated against the generated files' own decode comments (e.g.
+deltaocta Ind entry 0x500d2d0d == "sk.cs.fj_554") in
+tests/test_refparse.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+import numpy as np
+
+REF_DIR = os.environ.get("CLD2_REF_DIR", "/root/reference")
+
+# utf8statetable.h:47-65 exit codes (the trie stores them inline)
+_EXITS = {"X__": 240, "RJ_": 242, "S1_": 243, "S2_": 244, "S3_": 245,
+          "S21": 246, "S31": 247, "S32": 248, "T1_": 249, "T2_": 250,
+          "S11": 251, "SP_": 252, "D__": 253, "RJA": 254}
+
+
+def _read(rel: str) -> str:
+    with open(os.path.join(REF_DIR, "internal", rel),
+              encoding="utf-8", errors="replace") as f:
+        return f.read()
+
+
+def _strip_comments(s: str) -> str:
+    return re.sub(r"//[^\n]*", "", s)
+
+
+def _array_body(text: str, name: str) -> str:
+    m = re.search(re.escape(name) + r"\s*\[[^\]]*\]\s*=\s*\{", text)
+    if m is None:
+        raise ValueError(f"array {name} not found")
+    start = m.end()
+    depth, i = 1, start
+    while depth:
+        c = text[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+        i += 1
+    return _strip_comments(text[start:i - 1])
+
+
+def parse_int_array(text: str, name: str) -> list[int]:
+    body = _array_body(text, name)
+    return [int(t, 0)
+            for t in re.findall(r"0[xX][0-9a-fA-F]+|-?\d+", body)]
+
+
+def parse_const(text: str, name: str) -> int:
+    m = re.search(re.escape(name) + r"\s*=\s*(0[xX][0-9a-fA-F]+|\d+)",
+                  text)
+    if m is None:
+        raise ValueError(f"const {name} not found")
+    return int(m.group(1), 0)
+
+
+# ---------------------------------------------------------------------------
+# Language tables (generated_language.{h,cc})
+# ---------------------------------------------------------------------------
+
+# legacy ISO codes the reference uses -> the codes this engine emits
+CODE_ALIAS = {"iw": "he", "jw": "jv", "in": "id", "ji": "yi"}
+
+
+@lru_cache(maxsize=1)
+def language_tables():
+    """Returns (code_of_id: dict, plang_latn: int[256], plang_othr:
+    int[256]) where plang_* map per-script language numbers to
+    reference Language enum ids (generated_language.cc:3022-3281)."""
+    gh = _read("generated_language.h")
+    name_id: dict[str, int] = {}
+    for mm in re.finditer(r"^\s*([A-Z][A-Z_0-9]*)\s*=\s*(\d+),", gh,
+                          re.M):
+        name_id.setdefault(mm.group(1), int(mm.group(2)))
+
+    gl = _read("generated_language.cc")
+    m = re.search(r"kLanguageToCode\[kLanguageToCodeSize\] = \{(.*?)\n\};",
+                  gl, re.S)
+    code_of: dict[int, str] = {}
+    for mm in re.finditer(r'"([^"]*)",\s*//\s*(\d+)', m.group(1)):
+        code_of[int(mm.group(2))] = mm.group(1)
+
+    def enum_arr(name: str) -> list[int]:
+        mm = re.search(re.escape(name) + r"\[\d+\] = \{(.*?)\n\};", gl,
+                       re.S)
+        return [name_id.get(t, 26)  # 26 = UNKNOWN_LANGUAGE
+                for t in re.findall(r"([A-Z][A-Z_0-9]+)\s*,",
+                                    mm.group(1))]
+
+    return code_of, enum_arr("kPLangToLanguageLatn"), \
+        enum_arr("kPLangToLanguageOthr")
+
+
+def pslang_code(ps: int, latin: bool) -> str:
+    """Per-script language number -> engine language code ('' for
+    unknown/fake languages)."""
+    code_of, latn, othr = language_tables()
+    ref_id = (latn if latin else othr)[ps]
+    code = code_of.get(ref_id, "")
+    code = CODE_ALIAS.get(code, code)
+    # fake/test/unknown languages score as nothing
+    if code in ("un", "xxx", "ut") or code.startswith(("zz", "xx-")):
+        return ""
+    return code
+
+
+# ---------------------------------------------------------------------------
+# kLgProbV2Tbl (cldutil_shared.h:62-308)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def lgprob_table() -> np.ndarray:
+    cu = _read("cldutil_shared.h")
+    arr = np.array(parse_int_array(cu, "kLgProbV2Tbl"), dtype=np.uint8)
+    return arr.reshape(240, 8)
+
+
+def decode_langprob(lp: int, latin: bool) -> list[tuple[str, int]]:
+    """uint32 langprob -> [(code, qprob), ...] (ProcessProbV2Tote,
+    cldutil.cc:128-141: byte0 = kLgProbV2Tbl subscript, bytes 1..3 =
+    per-script language numbers scored with the entry's 3-byte side)."""
+    lg = lgprob_table()
+    sub = lp & 0xFF
+    out = []
+    for j, sh in enumerate((8, 16, 24)):
+        ps = (lp >> sh) & 0xFF
+        if ps:
+            code = pslang_code(ps, latin)
+            if code:
+                out.append((code, int(lg[sub, 5 + j])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bucket tables (CLD2TableSummary: buckets + indirect langprob array)
+# ---------------------------------------------------------------------------
+
+_TABLE_FILES = {
+    "deltaocta": ("cld2_generated_deltaocta0527.cc", "kDeltaOcta0527"),
+    "distinctocta": ("cld2_generated_distinctocta0527.cc",
+                     "kDistinctOcta0527"),
+    "cjkbi": ("cld_generated_cjk_delta_bi_32.cc", "kCjkDeltaBi"),
+}
+
+
+@lru_cache(maxsize=None)
+def bucket_table(name: str):
+    """-> dict(buckets (n,4) uint32, ind uint32[], keymask, size_one)."""
+    fn, prefix = _TABLE_FILES[name]
+    text = _read(fn)
+    nbuckets = parse_const(text, prefix + "Size")
+    keymask = parse_const(text, prefix + "KeyMask")
+    size_one = parse_const(text, prefix + "SizeOne")
+    flat = np.array(parse_int_array(text, prefix), dtype=np.uint32)
+    if len(flat) != nbuckets * 4:
+        raise ValueError(f"{name}: {len(flat)} entries != {nbuckets}*4")
+    ind = np.array(parse_int_array(text, prefix + "Ind"), dtype=np.uint32)
+    return {"buckets": flat.reshape(nbuckets, 4), "ind": ind,
+            "keymask": np.uint32(keymask), "size_one": size_one}
+
+
+@lru_cache(maxsize=1)
+def compat_ind() -> np.ndarray:
+    """CJK unigram compatible table: 239 propvals x 2 langprobs
+    (cld2_generated_cjk_compatible.cc; SizeOne=0 so every propval uses
+    the double-langprob form Ind[2p], Ind[2p+1])."""
+    text = _read("cld2_generated_cjk_compatible.cc")
+    return np.array(parse_int_array(text, "kCompatTableInd"),
+                    dtype=np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# CJK unigram property trie (cld_generated_cjk_uni_prop_80.cc), a
+# UTF8PropObj state machine walked with the BigOneByte rules
+# (utf8statetable.cc:271-321: byte-2-of-3 and byte-3-of-4 offsets are
+# 16x, last-byte offsets are signed-relative).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _cjk_trie() -> np.ndarray:
+    src = _read("cld_generated_cjk_uni_prop_80.cc")
+    body = _array_body(src, "static const uint8 cld_generated_CjkUni")
+    toks = re.findall(r"[A-Z][A-Z_0-9]{2}|-?\d+", body)
+    vals = [_EXITS[t] if t in _EXITS else (int(t) & 0xFF) for t in toks]
+    total = parse_const(src, "cld_generated_CjkUni_TOTAL_SIZE")
+    if len(vals) != total:
+        raise ValueError(f"CjkUni trie: {len(vals)} != {total}")
+    return np.array(vals, dtype=np.uint8)
+
+
+def cjk_uni_props() -> dict[int, int]:
+    """Enumerate codepoint -> propval (compat-table subscript) by
+    walking the trie for every codepoint; only propvals 1..238 kept
+    (>=240 are structural exit codes)."""
+    st = _cjk_trie().astype(np.int64)
+    sts = _cjk_trie().view(np.int8).astype(np.int64)
+    shift = 6
+    out: dict[int, int] = {}
+    for cp in range(0x80, 0x110000):
+        if 0xD800 <= cp < 0xE000:
+            continue
+        bs = chr(cp).encode("utf-8")
+        c = bs[0]
+        if (c & 0xE0) == 0xC0:
+            e = st[c]
+            p = st[(e << shift) + bs[1]]
+        elif (c & 0xF0) == 0xE0:
+            e = st[c]
+            base = e << (shift + 4)
+            e2 = sts[base + bs[1]]
+            p = st[base + (e2 << shift) + bs[2]]
+        else:
+            e = st[c]
+            e2 = st[(e << shift) + bs[1]]
+            base = e2 << (shift + 4)
+            e3 = sts[base + bs[2]]
+            p = st[base + (e3 << shift) + bs[3]]
+        p = int(p)
+        if 0 < p < 239:
+            out[cp] = p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Expected-score table (cld_generated_score_quad_octa_2.cc):
+# kAvgDeltaOctaScore[lang*4 + LScript4(script)], score per 1024 bytes
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def avg_delta_octa_score() -> np.ndarray:
+    text = _read("cld_generated_score_quad_octa_2.cc")
+    arr = np.array(parse_int_array(text, "kAvgDeltaOctaScore"),
+                   dtype=np.int32)
+    return arr.reshape(-1, 4)  # [ref_lang_id][lscript4]
+
+
+def expected_score_by_code() -> dict[str, tuple[int, int, int, int]]:
+    code_of, _, _ = language_tables()
+    arr = avg_delta_octa_score()
+    out = {}
+    for ref_id in range(min(len(arr), 614)):
+        code = CODE_ALIAS.get(code_of.get(ref_id, ""),
+                              code_of.get(ref_id, ""))
+        if code and not code.startswith(("zz", "xx")) \
+                and code not in ("un", "xxx", "ut"):
+            out[code] = tuple(int(x) for x in arr[ref_id])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Closest-alt correlations (compact_lang_det_impl.cc:259-427)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def closest_alt_by_code() -> dict[str, str]:
+    impl = _read("compact_lang_det_impl.cc")
+    min_corr = parse_const(impl, "kMinCorrPercent")
+    m = re.search(r"kClosestAltLanguage\[\] = \{(.*?)\n\};", impl, re.S)
+    code_of, _, _ = language_tables()
+    # enum-name -> ref id (reuse the header enum)
+    gh = _read("generated_language.h")
+    name_id: dict[str, int] = {}
+    for mm in re.finditer(r"^\s*([A-Z][A-Z_0-9]*)\s*=\s*(\d+),", gh,
+                          re.M):
+        name_id.setdefault(mm.group(1), int(mm.group(2)))
+    out: dict[str, str] = {}
+    # one entry per line; the trailing comment names the SOURCE
+    # language (the array's own positions have drifted from the enum —
+    # its size COMPILE_ASSERT is commented out in the reference — so
+    # the comments are the reliable identity)
+    norm_id = {k.replace("_", "").upper(): v for k, v in name_id.items()}
+    pat = re.compile(r"\(\s*(\d+)\s*>=\s*kMinCorrPercent\s*\)\s*\?\s*"
+                     r"([A-Za-z][A-Za-z_0-9]*)\s*:.*//\s*(\S+)")
+    for line in m.group(1).splitlines():
+        mm = pat.search(line)
+        if not mm:
+            continue
+        pct, alt_name, src_name = int(mm.group(1)), mm.group(2), \
+            mm.group(3)
+        if pct < min_corr or alt_name not in name_id:
+            continue
+        src_id = norm_id.get(src_name.replace("_", "").upper())
+        if src_id is None:
+            continue
+        src_code = CODE_ALIAS.get(code_of.get(src_id, ""),
+                                  code_of.get(src_id, ""))
+        alt_code = code_of.get(name_id[alt_name], "")
+        alt_code = CODE_ALIAS.get(alt_code, alt_code)
+        if src_code and alt_code and alt_code != "un":
+            out[src_code] = alt_code
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Registry of languages the parsed tables can score (used to generate
+# the static extension of functions/langs.py)
+# ---------------------------------------------------------------------------
+
+def referenced_codes() -> set[str]:
+    codes: set[str] = set()
+    for name in ("deltaocta", "distinctocta", "cjkbi"):
+        for lp in bucket_table(name)["ind"].tolist():
+            for latin in (True, False) if name != "cjkbi" else (False,):
+                for code, _q in decode_langprob(int(lp), latin):
+                    codes.add(code)
+    for lp in compat_ind().tolist():
+        for code, _q in decode_langprob(int(lp), False):
+            codes.add(code)
+    return codes
+
+
+if __name__ == "__main__":
+    codes = referenced_codes()
+    print(f"{len(codes)} referenced language codes:")
+    print(" ".join(sorted(codes)))

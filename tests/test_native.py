@@ -12,22 +12,26 @@ pytestmark = pytest.mark.skipif(not native.AVAILABLE,
                                 reason="no C compiler in environment")
 
 
-def _numpy_path(model, cat, bounds):
+def _numpy_path(model, cat, bounds, latin_of_span):
+    from cld2_ray.functions.langid import Detector
     h, off = hits.quad_hits_dense(cat, span_bounds=bounds)
     vals = model.quad.lookup_numpy(h)
     m = vals != 0
-    oh, ooff = hits.octa_hits(cat, span_bounds=bounds)
-    ovals = model.octa.lookup_numpy(oh)
-    om = ovals != 0
-    return vals[m], off[m], ovals[om], ooff[om]
+    d = Detector(model)
+    ov, oo = d._octa_stream(cat, bounds, latin_of_span)
+    return vals[m], off[m], ov, oo
 
 
-def _check(model, span_texts):
+def _check(model, span_texts, latin=None):
     bufs = [s.encode("utf-8") for s in span_texts]
     cat = b"".join(bufs)
     bounds = np.cumsum([len(b) for b in bufs]).astype(np.int64)
-    a = _numpy_path(model, cat, bounds)
-    b = native.quad_octa_scan(cat, bounds, model.quad, model.octa)
+    if latin is None:
+        latin = np.ones(len(bufs), dtype=bool)
+    latin = np.asarray(latin, dtype=bool)
+    a = _numpy_path(model, cat, bounds, latin)
+    b = native.quad_octa_scan(cat, bounds, model.quad, model.socta,
+                              model.docta, model.xocta, latin)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
 
@@ -37,10 +41,12 @@ class TestQuadOctaScan:
         from cld2_ray.data.seeds import HELDOUT, SEEDS
         model = default_model()
         for code, text in sorted({**SEEDS, **HELDOUT}.items()):
-            sl = [sp.text for sp in spans.script_spans(text)
+            sl = [(sp.text, sp.script == us.LATIN)
+                  for sp in spans.script_spans(text)
                   if us.script_rtype(sp.script) == us.RTYPE_MANY]
             if sl:
-                _check(model, sl)
+                _check(model, [t for t, _ in sl],
+                       [la for _, la in sl])
 
     def test_edge_cases(self):
         model = default_model()
@@ -48,6 +54,8 @@ class TestQuadOctaScan:
         _check(model, [" aaaa aaaa aaaa bbbb aaaa " * 20])
         # giant spaceless word exercises the C spill path
         _check(model, [" " + "abcdé" * 2000 + " "])
+        # 8-char word truncation boundary + repeats + pairs
+        _check(model, [" abcdefgh abcdefghi abcdefghi abcdefgh x y x y "])
 
     @settings(max_examples=60, deadline=None)
     @given(st.lists(
@@ -128,18 +136,21 @@ class TestFusedChunkScore:
         from cld2_ray.state.model import unpack_langprobs
         det = Detector()
         many = []
+        latin = []
         for t in _page_texts():
             for sp in spans.script_spans(t):
                 if us.script_rtype(sp.script) == us.RTYPE_MANY:
                     many.append(sp.text.encode("utf-8"))
+                    latin.append(sp.script == us.LATIN)
         bufs = many
+        latin = np.asarray(latin, dtype=bool)
         lens = np.array([len(x) for x in bufs], dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         bounds = np.cumsum(lens)
         cat = b"".join(bufs)
         hl_list = [None] * len(bufs)
         hl_list[2] = [5, 9]  # exercise the hint-boost path
-        all_vals, all_off = det._many_hits(cat, bounds)
+        all_vals, all_off = det._many_hits(cat, bounds, latin)
         l3, q3 = unpack_langprobs(all_vals)
         span_of = np.searchsorted(bounds, all_off, side="right")
         c_np = score.score_chunks_multi(
@@ -153,7 +164,8 @@ class TestFusedChunkScore:
                 flat.extend(hl)
             hint_csr[k + 1] = len(flat)
         c_c = native.quad_octa_chunk_score(
-            cat, bounds, det.model.quad, det.model.octa,
+            cat, bounds, det.model.quad, det.model.socta,
+            det.model.docta, det.model.xocta, latin,
             score.CHUNKSIZE_QUADS, det.model.expected_quad,
             langs.CLOSE_SET, hint_csr, np.asarray(flat, dtype=np.int64))
         assert len(c_np[0]) > 100
@@ -179,7 +191,7 @@ class TestFusedChunkScore:
         for k, sp in enumerate(cjk):
             uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
             uvals = det.model.uni.lookup_numpy(uni)
-            bvals = det.model.bi.lookup_numpy(bi)
+            bvals = det.model.cjkbi.lookup(bi, False)
             um, bm = uvals != 0, bvals != 0
             av = np.concatenate([uvals[um], bvals[bm]])
             ap = np.concatenate([upos[um], bpos[bm]])
@@ -206,7 +218,7 @@ class TestFusedChunkScore:
                 flat.extend(hl)
             hint_csr[k + 1] = len(flat)
         c_c = native.cjk_chunk_score(
-            cat, bounds, lens, det.model.uni, det.model.bi,
+            cat, bounds, lens, det.model.uni, det.model.cjkbi,
             score.CHUNKSIZE_UNIS, det.model.expected_uni,
             langs.CLOSE_SET, hint_csr, np.asarray(flat, dtype=np.int64))
         for x, y in zip(c_np, c_c):
