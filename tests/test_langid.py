@@ -236,3 +236,31 @@ class TestArtifactVerify:
         np.savez_compressed(p, quad_keys=np.zeros(8, np.uint64))
         with pytest.raises(ValueError, match="manifest"):
             M.verify_artifact(p)
+
+
+def test_reliability_expected_exact_reference_values():
+    """Bit-check against cldutil.cc:586-605 (kRatio100=1.5, kRatio0=4.0,
+    int truncation): ratio 1.0..1.5 -> 100, 2.0 -> 80, 3.0 -> 40,
+    4.0 -> 0(+eps), no-data expected=0 -> 100, actual=0 -> 0. The
+    formula is symmetric above/below expected."""
+    import numpy as np
+    from cld2_ray.functions.score import reliability_expected_exact as rx
+
+    def one(actual, expected):
+        return int(rx(np.array([actual]), np.array([expected]))[0])
+
+    assert one(1000, 0) == 100          # no reliability data yet
+    assert one(0, 1000) == 0            # zero score
+    assert one(1000, 1000) == 100       # ratio 1.0
+    assert one(1000, 1500) == 100       # ratio 1.5 boundary
+    assert one(1500, 1000) == 100       # symmetric
+    assert one(1000, 2000) == 80        # ratio 2.0 -> 80 (code comment)
+    assert one(2000, 1000) == 80
+    assert one(1000, 3000) == 40        # ratio 3.0 -> 100*(1/2.5)
+    assert one(1000, 4000) == 0         # ratio 4.0 -> 0
+    assert one(1000, 4001) == 0         # past the ramp
+    assert one(4001, 1000) == 0
+    # int truncation, not rounding: ratio 2.1 -> 100*1.9/2.5 = 76.0
+    assert one(1000, 2100) == 76
+    # ratio 1.6 -> 100*2.4/2.5 = 96
+    assert one(1000, 1600) == 96
