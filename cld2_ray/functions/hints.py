@@ -2,18 +2,27 @@
 compact_lang_det_hint_code.cc).
 
 Hint sources, as in the reference:
-* TLD from the url (tld_hint; :1446-1462 uses a TLD->language table),
+* TLD from the url (tld_hint; :1446-1462, per-entry packed strengths
+  from kCLDTLDHintTable, Boost-merged +2 on repeats),
 * ``lang="xx"`` / ``xml:lang`` attributes and Content-Language metas
   scanned in the first 8KB of HTML (:1557-1612,
-  FLAGS_cld_max_lang_tag_scan_kb = 8),
-* an explicit caller hint.
+  FLAGS_cld_max_lang_tag_scan_kb = 8), looked up in the long/short
+  lang-tag tables (kCLDLangTagsHintTable1/2, Max-merged),
+* legacy encoding (kCLDPriorEncodingWeight = 4),
+* an explicit caller hint (kCLDPriorLanguageWeight = 8).
 
-Application: hinted languages get a per-chunk score boost — the
-analogue of kLangHintInitial/kLangHintBoost (compact_lang_det_impl.cc:
-200-201); this engine applies a flat +HINT_BOOST to the hinted
-language's chunk scores, which shifts both ranking and the
-ReliabilityDelta margin exactly where the reference's langprob boosts
-would.
+The per-entry strengths, table contents and per-script-class language
+sets are parsed from the reference at build time
+(scripts/gen_hintdata.py -> cld2_ray/data/hintdata.py). Application
+follows ApplyHints (compact_lang_det_impl.cc:1589-1686): priors are
+trimmed to the 4 largest absolute weights; positive priors become
+per-chunk score boosts of their weight on spans whose script class
+can carry the language; when exactly ONE member of a statistically
+close set is hinted, the other members are whacked (zeroed) per chunk
+(:1656-1683 + AddCloseLangWhack).
+
+Payload encoding (shared with the C kernel): one int64 per entry;
+boost = lang_id | (weight << 16), whack = -lang_id.
 """
 
 from __future__ import annotations
@@ -21,26 +30,21 @@ from __future__ import annotations
 import re
 
 from . import langs
+from cld2_ray.data.hintdata import (LANGTAG_LONG, LANGTAG_SHORT,
+                                    LATN_LANGS, OTHR_LANGS, TLD_PRIORS)
 
-HINT_BOOST = 6          # per-chunk score points for a hinted language
+HINT_BOOST = 6          # legacy flat boost (detect(hint_langs=[ids]))
 MAX_SCAN_BYTES = 8192   # first 8KB of HTML (FLAGS_cld_max_lang_tag_scan_kb)
+ENCODING_WEIGHT = 4     # kCLDPriorEncodingWeight
+LANGUAGE_WEIGHT = 8     # kCLDPriorLanguageWeight (explicit caller hint)
+MAX_PRIORS = 4          # TrimCLDLangPriors(4, ...)
 
-# TLD -> likely language (only entries where the tld is strongly
-# language-identifying; com/org/net etc. carry no hint, as in the
-# reference's table where ambiguous TLDs map to UNKNOWN)
+# compat view of the parsed TLD table: tld -> its strongest
+# positively-weighted language code
 TLD_HINTS: dict[str, str] = {
-    "de": "de", "at": "de", "fr": "fr", "es": "es", "it": "it",
-    "pt": "pt", "br": "pt", "nl": "nl", "se": "sv", "no": "no",
-    "dk": "da", "fi": "fi", "pl": "pl", "cz": "cs", "sk": "sk",
-    "hu": "hu", "ro": "ro", "tr": "tr", "id": "id", "my": "ms",
-    "vn": "vi", "ru": "ru", "ua": "uk", "bg": "bg", "rs": "sr",
-    "gr": "el", "il": "he", "sa": "ar", "eg": "ar", "ir": "fa",
-    "pk": "ur", "in": "hi", "th": "th", "cn": "zh", "tw": "zh-Hant",
-    "jp": "ja", "kr": "ko", "ge": "ka", "am": "hy", "kh": "km",
-    "la": "lo", "mm": "my", "lk": "si", "np": "ne", "bd": "bn",
-    "ee": "et", "lv": "lv", "lt": "lt", "si": "sl", "hr": "hr",
-    "ba": "bs", "mk": "mk", "by": "be", "al": "sq", "is": "is",
-    "mt": "mt", "ie": "ga",
+    tld: max((p for p in priors if p[1] > 0), key=lambda p: p[1])[0]
+    for tld, priors in TLD_PRIORS.items()
+    if any(w > 0 for _, w in priors)
 }
 
 # legacy-encoding -> likely language (the encoding_hint analogue,
@@ -139,10 +143,47 @@ def tld_of(url: str) -> str:
     return host.rsplit(".", 1)[-1].lower() if "." in host else ""
 
 
-def hints_from_page(url: str, html: bytes) -> list[int]:
-    """Derive hinted lang ids (deduped, order: lang= attr, content-lang
-    meta, tld)."""
-    out: list[int] = []
+def _merge_max(priors: list[list], code: str, w: int) -> None:
+    """MergeCLDLangPriorsMax (hint_code.cc:941-955)."""
+    for p in priors:
+        if p[0] == code:
+            p[1] = max(p[1], w)
+            return
+    priors.append([code, w])
+
+
+def _merge_boost(priors: list[list], code: str, w: int) -> None:
+    """MergeCLDLangPriorsBoost (hint_code.cc:958-971): +2 on repeat."""
+    for p in priors:
+        if p[0] == code:
+            p[1] += 2
+            return
+    priors.append([code, w])
+
+
+def _langtag_priors(tag: str, priors: list[list]) -> None:
+    """One lang tag value -> Max-merged priors (SetCLDLangTagsHint,
+    hint_code.cc:1394-1435: long table first, else short table with
+    the code truncated at the first hyphen)."""
+    tag = tag.strip().lower()
+    if not tag or len(tag) > 16:
+        return
+    entry = LANGTAG_LONG.get(tag)
+    if entry is None:
+        short = tag.split("-", 1)[0]
+        if len(short) <= 3:
+            entry = LANGTAG_SHORT.get(short)
+    if entry:
+        for code, w in entry:
+            _merge_max(priors, code, w)
+
+
+def priors_from_page(url: str, html: bytes) -> list[tuple[int, int]]:
+    """Derive (lang_id, signed_weight) priors from a page — lang=
+    attrs + content-language metas (Max merge), charset (encoding
+    weight, Boost merge), TLD (per-entry strengths, Boost merge) —
+    trimmed to the 4 largest absolute weights (TrimCLDLangPriors)."""
+    priors: list[list] = []   # [code, weight], insertion-ordered
 
     raw_head = html[:MAX_SCAN_BYTES]
     # fast substring pre-filter: the three regexes each scan the full
@@ -156,31 +197,92 @@ def hints_from_page(url: str, html: bytes) -> list[int]:
         head = _SKIP_TAG_RE.sub(b" ", raw_head)
         if has_lang:
             for m in _iter_lang_attrs(head):
-                lid = langs.lang_id(m.group(1).decode("ascii").lower())
-                if lid:
-                    out.append(lid)
+                _langtag_priors(m.group(1).decode("ascii"), priors)
         if has_cl:
             m = _CONTENT_LANG_RE.search(head)
             if m:
-                lid = langs.lang_id(m.group(1).decode("ascii").lower())
-                if lid:
-                    out.append(lid)
+                _langtag_priors(m.group(1).decode("ascii"), priors)
         if has_cs:
             m = _CHARSET_RE.search(head)
             if m:
                 enc = m.group(1).decode("ascii").lower()
                 code = ENCODING_HINTS.get(enc, "")
                 if code:
-                    lid = langs.lang_id(code)
-                    if lid:
-                        out.append(lid)
-    code = TLD_HINTS.get(tld_of(url), "")
-    if code:
+                    _merge_boost(priors, code, ENCODING_WEIGHT)
+    tld_entry = TLD_PRIORS.get(tld_of(url))
+    if tld_entry:
+        for code, w in tld_entry:
+            _merge_boost(priors, code, w)
+
+    # TrimCLDLangPriors(4): keep largest |weight|, stable on ties
+    priors.sort(key=lambda p: -abs(p[1]))
+    out = []
+    for code, w in priors[:MAX_PRIORS]:
         lid = langs.lang_id(code)
         if lid:
-            out.append(lid)
-    seen: list[int] = []
-    for lid in out:
-        if lid not in seen:
-            seen.append(lid)
-    return seen
+            out.append((lid, w))
+    return out
+
+
+def _whacks(priors: list[tuple[int, int]]) -> list[int]:
+    """Close-set whack targets (ApplyHints, impl.cc:1656-1683): when
+    exactly one member of a close set carries a prior, suppress the
+    other members; zh/zh-Hant are a whack-pair here even though they
+    are not a close set elsewhere."""
+    zh, zht = langs.lang_id("zh"), langs.lang_id("zh-Hant")
+    set_count: dict[int, int] = {}
+    zh_count = 0
+    for lid, _w in priors:
+        cs = langs.language_close_set(lid)
+        if cs:
+            set_count[cs] = set_count.get(cs, 0) + 1
+        if lid in (zh, zht):
+            zh_count += 1
+    out: list[int] = []
+    for lid, w in priors:
+        if w <= 0:
+            continue
+        cs = langs.language_close_set(lid)
+        if cs and set_count.get(cs) == 1:
+            for other in range(langs.NUM_LANGS):
+                if other != lid and langs.language_close_set(other) == cs:
+                    out.append(other)
+        if lid in (zh, zht) and zh_count == 1:
+            out.append(zht if lid == zh else zh)
+    return out
+
+
+def payloads(priors: list[tuple[int, int]]) -> tuple[list[int], list[int]]:
+    """(latn_payload, othr_payload): packed per-chunk hint entries,
+    filtered by script class (AddLangPriorBoost/AddOneWhack,
+    impl.cc:1524-1562: a hint only applies to spans whose script class
+    can carry the language). Boost = lid | (w << 16); whack = -lid;
+    boosts precede whacks (ScoreBoosts applies whacks last)."""
+    latn: list[int] = []
+    othr: list[int] = []
+    for lid, w in priors:
+        if w <= 0:
+            continue
+        code = langs.lang_code(lid)
+        v = lid | (w << 16)
+        if code in LATN_LANGS:
+            latn.append(v)
+        if code in OTHR_LANGS:
+            othr.append(v)
+    wh = _whacks(priors)
+    hinted_latn = any(langs.lang_code(lid) in LATN_LANGS
+                      for lid, w in priors if w > 0)
+    hinted_othr = any(langs.lang_code(lid) in OTHR_LANGS
+                      for lid, w in priors if w > 0)
+    for lid in wh:
+        code = langs.lang_code(lid)
+        if hinted_latn and code in LATN_LANGS:
+            latn.append(-lid)
+        if hinted_othr and code in OTHR_LANGS:
+            othr.append(-lid)
+    return latn, othr
+
+
+def hints_from_page(url: str, html: bytes) -> list[int]:
+    """Compat view: positively-hinted lang ids in prior order."""
+    return [lid for lid, w in priors_from_page(url, html) if w > 0]

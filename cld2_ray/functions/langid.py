@@ -22,7 +22,8 @@ import numpy as np
 from . import hits, langs, score, spans, uscript as us
 from cld2_ray import native
 from .extract import extract_text, valid_utf8_prefix
-from .hints import HINT_BOOST, hints_from_page
+from . import hints as hints_mod
+from .hints import hints_from_page
 from .repeats import SQUEEZE_TEST_THRESH, remove_repeated_words, squeeze, \
     squeeze_trigger
 from cld2_ray.state.model import unpack_langprobs
@@ -109,6 +110,28 @@ class Detector:
         self.score_as_quads = score_as_quads
         self.echo = echo
 
+    @staticmethod
+    def _norm_hints(hint_langs):
+        """Normalize the public hint argument to per-script-class
+        packed payloads (see functions/hints.py payloads):
+        - None/empty -> None
+        - list[(lang_id, weight)] priors -> payloads(priors)
+        - list[int] lang ids (legacy caller hint) -> weight
+          LANGUAGE_WEIGHT each (SetCLDLanguageHint,
+          hint_code.cc:1503-1506)
+        - an already-normalized (latn, othr) tuple passes through."""
+        if not hint_langs:
+            return None
+        if isinstance(hint_langs, tuple) and len(hint_langs) == 2 \
+                and all(isinstance(x, list) for x in hint_langs):
+            return hint_langs
+        if isinstance(hint_langs[0], tuple):
+            priors = list(hint_langs)
+        else:
+            priors = [(int(lid), hints_mod.LANGUAGE_WEIGHT)
+                      for lid in hint_langs]
+        return hints_mod.payloads(priors)
+
     def _rtype(self, script: int) -> int:
         rt = us.script_rtype(script)
         if (self.score_as_quads and rt != us.RTYPE_CJK
@@ -159,18 +182,20 @@ class Detector:
         return all_vals[order], all_off[order]
 
     def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote,
-                    hint_langs: list[int] | None = None) -> None:
+                    hints=None) -> None:
+        hints = self._norm_hints(hints)
         rt = self._rtype(sp.script)
         if rt == us.RTYPE_MANY:
+            latin = sp.script == us.LATIN
+            hp = hints[0 if latin else 1] if hints else None
             sb = sp.text_utf8
             all_vals, all_off = self._many_hits(
                 sb, np.array([len(sb)], dtype=np.int64),
-                np.array([sp.script == us.LATIN]))
+                np.array([latin]))
             l3, q3 = unpack_langprobs(all_vals)
             c = score.score_chunks(l3, q3, all_off, len(sb),
                                    score.CHUNKSIZE_QUADS,
-                                   self.model.expected_quad,
-                                   hint_langs, HINT_BOOST)
+                                   self.model.expected_quad, hp)
             tote.add_chunks(*c)
         elif rt == us.RTYPE_CJK:
             uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
@@ -184,7 +209,7 @@ class Detector:
             c = score.score_chunks(l3, q3, all_pos[order] * 3,
                                    sp.text_bytes, score.CHUNKSIZE_UNIS,
                                    self.model.expected_uni,
-                                   hint_langs, HINT_BOOST)
+                                   hints[1] if hints else None)
             tote.add_chunks(*c)
         elif rt == us.RTYPE_ONE:
             # script implies the language: score = bytes, reliability 100
@@ -204,8 +229,9 @@ class Detector:
         n_docs = len(doc_spans)
         totes = [score.DocTote() for _ in range(n_docs)]
 
-        many: list[tuple[int, bytes, list[int] | None, bool]] = []
-        cjk: list[tuple[int, spans.ScriptSpan, list[int] | None]] = []
+        many: list[tuple[int, bytes, object, bool]] = []
+        cjk: list[tuple[int, spans.ScriptSpan, object]] = []
+        hints_list = [self._norm_hints(h) for h in hints_list]
         for di, sl in enumerate(doc_spans):
             hl = hints_list[di]
             for sp in sl:
@@ -225,7 +251,8 @@ class Detector:
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             bounds = np.cumsum(lens)
             cat = b"".join(bufs)
-            hl_list = [hl for _, _, hl, _ in many]
+            hl_list = [hl[0 if la else 1] if hl else None
+                       for _, _, hl, la in many]
             latin_of_span = np.array([la for _, _, _, la in many])
             if native.AVAILABLE:
                 # fused scan + chunk scoring: per-hit arrays never
@@ -259,7 +286,7 @@ class Detector:
             _bulk_tote_add(totes, doc_of_chunk, lang1, cbytes, s1, rel)
 
         if cjk:
-            hl_list = [hl for _, _, hl in cjk]
+            hl_list = [hl[1] if hl else None for _, _, hl in cjk]
             lens = np.array([sp.text_bytes for _, sp, _ in cjk],
                             dtype=np.int64)
             if native.AVAILABLE:
@@ -622,5 +649,6 @@ class Detector:
                                        (0.0, 0.0, 0.0), vp, False),
                     text, vp)
         text = extract_text(html)
-        hl = hints_from_page(url, html) if (url or html) else None
+        hl = (hints_mod.priors_from_page(url, html)
+              if (url or html) else None)
         return self.detect(text, hint_langs=hl), text, vp

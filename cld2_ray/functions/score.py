@@ -155,8 +155,7 @@ def _top2(scores: np.ndarray):
 def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                  offsets: np.ndarray, span_end: int, chunk_size: int,
                  expected_1kb: np.ndarray,
-                 hint_langs: list[int] | None = None,
-                 hint_boost: int = 0):
+                 hint_payload: list[int] | None = None):
     """Score a span's hits in fixed-size chunks.
 
     lang3/qprob3: (n_hits, lanes) decoded langprobs (4 lanes). offsets: byte offset of
@@ -178,16 +177,17 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
         .reshape(nchunks, langs.NUM_LANGS).astype(np.int64)
     scores[:, langs.UNKNOWN] = 0  # slot 0 holds empty decode lanes
     grams = np.bincount(chunk_of, minlength=nchunks)
-    if hint_langs:
-        # language-prior boost from hints (ScoreBoosts analogue,
-        # scoreonescriptspan.cc:126-150): the reference applies
-        # kLangHintInitial=12 once plus kLangHintBoost=12 per 16 grams
-        # (compact_lang_det_impl.cc:200-201); only languages with some
-        # chunk evidence are boosted (a hint cannot fabricate a language)
-        boost = 12 + (grams * 12) // 16
-        for hl in hint_langs:
-            has = scores[:, hl] > 0
-            scores[has, hl] += boost[has]
+    if hint_payload:
+        # per-chunk language priors (ScoreBoosts, scoreonescriptspan.cc:
+        # 126-152): each packed boost entry adds its parsed per-entry
+        # weight to every chunk unconditionally; whack entries then
+        # zero their close-set rival (ZeroPSLang). Encoding:
+        # boost = lid | (w << 16), whack = -lid (functions/hints.py)
+        for v in hint_payload:
+            if v >= 0:
+                scores[:, v & 0xFFFF] += (v >> 16)
+            else:
+                scores[:, -v] = 0
 
     top1, top2, s1, s2 = _top2(scores)
 
@@ -211,7 +211,7 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
                        offsets: np.ndarray, span_of: np.ndarray,
                        span_starts: np.ndarray, span_lens: np.ndarray,
                        chunk_sizes: np.ndarray, expected_1kb: np.ndarray,
-                       hint_langs_per_span: list | None = None):
+                       hint_payload_per_span: list | None = None):
     """Batch version of score_chunks over MANY concatenated spans.
 
     Hits must be sorted by (span, offset) with quad-before-octa tie
@@ -246,16 +246,17 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
     grams = np.bincount(gchunk, minlength=total_chunks)
     span_of_chunk = np.repeat(np.arange(nspans), nchunks_span)
 
-    if hint_langs_per_span is not None:
-        for si, hl in enumerate(hint_langs_per_span):
+    if hint_payload_per_span is not None:
+        for si, hl in enumerate(hint_payload_per_span):
             if not hl or nchunks_span[si] == 0:
                 continue
             idx = np.arange(chunk_base[si],
                             chunk_base[si] + nchunks_span[si])
-            boost = 12 + (grams[idx] * 12) // 16
-            for lid in hl:
-                has = scores[idx, lid] > 0
-                scores[idx[has], lid] += boost[has]
+            for v in hl:
+                if v >= 0:
+                    scores[idx, v & 0xFFFF] += (v >> 16)
+                else:
+                    scores[idx, -v] = 0
 
     top1, top2, s1, s2 = _top2(scores)
 

@@ -925,11 +925,18 @@ static int64_t chunk_score_merged(
                 sc_scores[l] += q;
             }
         }
-        /* hint boost (score.py:203-212) */
+        /* per-chunk language priors (functions/hints.py payloads:
+         * boost = lid | (w << 16) adds unconditionally; whack = -lid
+         * zeroes; boosts precede whacks in the payload) */
         for (int64_t hj = 0; hj < nhints; hj++) {
-            int64_t hl = hints[hj];
-            if (sc_scores[hl] > 0)
-                sc_scores[hl] += 12 + (grams * 12) / 16;
+            int64_t v = hints[hj];
+            if (v >= 0) {
+                int64_t l = v & 0xFFFF;
+                if (sc_scores[l] == 0) touched[nt++] = (int32_t)l;
+                sc_scores[l] += v >> 16;
+            } else {
+                sc_scores[-v] = 0;
+            }
         }
         /* deterministic top-2 (ties -> smaller id, = score.py _top2) */
         int64_t s1 = sc_scores[0], s2 = sc_scores[1];

@@ -338,3 +338,91 @@ if __name__ == "__main__":
     codes = referenced_codes()
     print(f"{len(codes)} referenced language codes:")
     print(" ".join(sorted(codes)))
+
+
+# ---------------------------------------------------------------------------
+# Hint tables (compact_lang_det_hint_code.cc): per-entry packed prior
+# strengths. Weights are the W-macros >> 10 (W2=2 .. W12=12, qprob
+# units; negative = suppression), :67-72.
+# ---------------------------------------------------------------------------
+
+def _parse_hint_entries(body: str, name_id: dict[str, int],
+                        code_of: dict[int, str], with_code: bool):
+    """Parse {"tag"[, "code"], NAME +/- Wk | 0, NAME +/- Wk | 0} rows."""
+    out: dict[str, list[tuple[str, int]]] = {}
+    pat = re.compile(
+        r'\{\s*"([^"]+)"\s*,' +
+        (r'\s*"[^"]*"\s*,' if with_code else "") +
+        r'\s*([A-Z][A-Z_0-9]*\s*[+-]\s*W\d+|0)\s*,'
+        r'\s*([A-Z][A-Z_0-9]*\s*[+-]\s*W\d+|0)\s*\}')
+    for mm in pat.finditer(body):
+        tag = mm.group(1)
+        priors: list[tuple[str, int]] = []
+        for g in (mm.group(2), mm.group(3)):
+            if g == "0":
+                continue
+            m2 = re.match(r"([A-Z][A-Z_0-9]*)\s*([+-])\s*W(\d+)", g)
+            if not m2 or m2.group(1) not in name_id:
+                continue
+            code = code_of.get(name_id[m2.group(1)], "")
+            code = CODE_ALIAS.get(code, code)
+            if not code or code == "un":
+                continue
+            w = int(m2.group(3))
+            priors.append((code, w if m2.group(2) == "+" else -w))
+        if priors:
+            out[tag] = priors
+    return out
+
+
+@lru_cache(maxsize=1)
+def hint_tables():
+    """-> (langtag_long, langtag_short, tld) dicts of
+    tag -> [(code, signed_weight), ...] parsed from
+    kCLDLangTagsHintTable1 (213 long tags), kCLDLangTagsHintTable2
+    (257 short tags), kCLDTLDHintTable (181 TLDs)."""
+    hc = _read("compact_lang_det_hint_code.cc")
+    gh = _read("generated_language.h")
+    name_id: dict[str, int] = {}
+    for mm in re.finditer(r"^\s*([A-Z][A-Z_0-9]*)\s*=\s*(\d+),", gh,
+                          re.M):
+        name_id.setdefault(mm.group(1), int(mm.group(2)))
+    code_of, _, _ = language_tables()
+    hc_nc = re.sub(r"//[^\n]*", "", hc)
+
+    def section(name):
+        m = re.search(re.escape(name) + r"\[[^\]]*\] = \{(.*?)\n\};",
+                      hc_nc, re.S)
+        return m.group(1)
+
+    return (_parse_hint_entries(section("kCLDLangTagsHintTable1"),
+                                name_id, code_of, True),
+            _parse_hint_entries(section("kCLDLangTagsHintTable2"),
+                                name_id, code_of, True),
+            _parse_hint_entries(section("kCLDTLDHintTable"),
+                                name_id, code_of, False))
+
+
+@lru_cache(maxsize=1)
+def latn_othr_codes():
+    """-> (latn_codes, othr_codes): which languages can occur in
+    Latin / non-Latin script per the reference's per-script round-trip
+    (IsLatnLanguage/IsOthrLanguage, lang_script.cc:344-353)."""
+    code_of, latn, othr = language_tables()
+    gl = _read("generated_language.cc")
+    m = re.search(r"kLanguageToPLang\[kLanguageToPLangSize\] = \{(.*?)\n\};",
+                  gl, re.S)
+    to_plang = [int(t) for t in re.findall(
+        r"\d+", re.sub(r"//[^\n]*", "", m.group(1)))]
+    latn_codes, othr_codes = set(), set()
+    for ref_id in range(len(to_plang)):
+        ps = to_plang[ref_id]
+        code = CODE_ALIAS.get(code_of.get(ref_id, ""),
+                              code_of.get(ref_id, ""))
+        if not code or code == "un":
+            continue
+        if ps < len(latn) and latn[ps] == ref_id:
+            latn_codes.add(code)
+        if ps < len(othr) and othr[ps] == ref_id:
+            othr_codes.add(code)
+    return latn_codes, othr_codes

@@ -172,3 +172,76 @@ class TestLangAttrScanEquivalence:
             a = [(m.span(), m.group(1)) for m in _LANG_ATTR_RE.finditer(s)]
             b = [(m.span(), m.group(1)) for m in _iter_lang_attrs(s)]
             assert a == b, s
+
+
+class TestHintStrengths:
+    """Per-entry packed prior strengths (verdict r2 item 8): parsed
+    from compact_lang_det_hint_code.cc tables rather than one flat
+    boost."""
+
+    def test_lang_attr_outweighs_tld(self):
+        """lang= carries W10, a TLD carries W2..W8 ('lang= always
+        overcomes tld', hint_code.cc:44-45): with both present, the
+        lang= language must hold the larger weight after the merge."""
+        from cld2_ray.functions.hints import priors_from_page
+        pri = dict(priors_from_page("https://x.se/", b'<html lang="fr">'))
+        fr, sv = langs.lang_id("fr"), langs.lang_id("sv")
+        assert pri[fr] == 10          # W10 from the lang-tag table
+        assert 0 < pri[sv] < pri[fr]  # W4-ish from the TLD table
+
+    def test_tld_secondary_negative_weight(self):
+        """tld .ba carries BOSNIAN+W8, CROATIAN-W4 — the negative
+        prior is kept (it blocks the close-set whack of hr) but never
+        boosts."""
+        from cld2_ray.functions.hints import payloads, priors_from_page
+        pri = priors_from_page("https://x.ba/", b"<html>")
+        d = dict(pri)
+        assert d[langs.lang_id("bs")] == 8
+        assert d[langs.lang_id("hr")] == -4
+        latn, _ = payloads(pri)
+        boosted = [v & 0xFFFF for v in latn if v >= 0]
+        assert langs.lang_id("hr") not in boosted
+
+    def test_close_set_whack_on_single_member(self):
+        """A lone hinted close-set member whacks its siblings
+        (ApplyHints, impl.cc:1656-1683): hinting cs suppresses sk."""
+        from cld2_ray.functions.hints import payloads
+        cs, sk = langs.lang_id("cs"), langs.lang_id("sk")
+        latn, _ = payloads([(cs, 10)])
+        assert (cs | (10 << 16)) in latn
+        assert -sk in latn
+        # whacks come after boosts (ScoreBoosts order)
+        assert latn.index(-sk) > latn.index(cs | (10 << 16))
+
+    def test_no_whack_when_two_members_hinted(self):
+        from cld2_ray.functions.hints import payloads
+        cs, sk = langs.lang_id("cs"), langs.lang_id("sk")
+        latn, _ = payloads([(cs, 10), (sk, 10)])
+        assert -sk not in latn and -cs not in latn
+
+    def test_script_class_gating(self):
+        """A hint only reaches spans whose script class can carry the
+        language (AddLangPriorBoost, impl.cc:1524-1543): ja never
+        boosts Latin spans; fr never boosts non-Latin spans."""
+        from cld2_ray.functions.hints import payloads
+        ja, fr = langs.lang_id("ja"), langs.lang_id("fr")
+        latn, othr = payloads([(ja, 8), (fr, 8)])
+        assert (ja | (8 << 16)) not in latn
+        assert (ja | (8 << 16)) in othr
+        assert (fr | (8 << 16)) in latn
+        assert (fr | (8 << 16)) not in othr
+
+    def test_whack_tips_close_pair_detection(self):
+        """End to end: a cs hint on cs/sk-ambiguous text must both
+        boost cs and zero sk chunk scores."""
+        d = Detector()
+        text = HELDOUT["cs"]
+        hinted = d.detect(text, hint_langs=[(langs.lang_id("cs"), 10)])
+        assert hinted.summary_code == "cs"
+        assert langs.lang_id("sk") not in hinted.language3
+
+    def test_encoding_weight(self):
+        from cld2_ray.functions.hints import priors_from_page
+        pri = dict(priors_from_page(
+            "https://x.com/", b'<meta charset="euc-kr">'))
+        assert pri[langs.lang_id("ko")] == 4   # kCLDPriorEncodingWeight
