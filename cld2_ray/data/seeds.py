@@ -689,3 +689,9 @@ HELDOUT: dict[str, str] = {
 "tl": "Ito ay isang karaniwang pangungusap sa tagalog na dapat makilala ng makina nang walang anumang problema.",
 "ur": "یہ ایک بالکل عام اردو جملہ ہے جسے انجن کو بغیر کسی مسئلے کے پہچان لینا چاہیے ہم سمجھتے ہیں۔",
 }
+
+# round-3 additions (languages unlocked by the parsed reference word
+# tables; see data/seeds_r3.py)
+from cld2_ray.data.seeds_r3 import NEW_HELDOUT as _NH, NEW_SEEDS as _NS
+SEEDS.update(_NS)
+HELDOUT.update(_NH)

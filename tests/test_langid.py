@@ -41,14 +41,19 @@ def test_heldout_long(det, code):
 
 
 # exact-match set: every held-out language that must NOT fall to a
-# close sibling. Only bs/gl/no/sk are excluded — they legitimately fall
+# close sibling. Only bs/sk are excluded — they legitimately fall
 # within their reference close sets (lang_script.cc:260-308).
 EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
          "zh", "el", "th", "he", "ar", "hi", "ta", "tr", "fi", "hu", "vi",
          "bg", "cs", "da", "fa", "id", "pl", "ro", "sv", "zh-Hant",
          "af", "be", "ca", "cy", "et", "eu", "ga", "hr", "is", "lt",
          "lv", "mk", "mr", "ms", "mt", "ne", "sl", "sq", "sr", "sw",
-         "tl", "ur"]
+         "tl", "ur", "gl", "no",
+         # round-3 additions (reference word tables + authored seeds)
+         "eo", "la", "az", "uz", "nn", "fo", "fy", "lb", "oc", "co",
+         "br", "gd", "ht", "jv", "su", "ceb", "ha", "yo", "zu", "xh",
+         "sn", "so", "mg", "mi", "sm", "haw", "sco", "ia", "kk", "ky",
+         "mn", "tg", "ps"]
 
 
 @pytest.mark.parametrize("code", EXACT)
