@@ -107,14 +107,17 @@ def metrics(annotated_ds):
 
 
 def run(pages_ds, out_dir: str | None = None, **kw):
-    """Execute: returns (annotated_ds, metrics pandas DataFrame).
-    If out_dir is given, kept docs are written as partitioned parquet."""
+    """Execute: returns (annotated_ds, metrics pandas DataFrame) on
+    BOTH paths. If out_dir is given, kept docs are additionally
+    written as partitioned parquet and the returned Dataset is the
+    written copy (so downstream consumers read the sink, not a
+    recompute); metrics fold over the annotated stream either way."""
     ds = build(pages_ds, **kw)
     if out_dir is not None:
         kept = ds.filter(expr="keep == True")
         kept.write_parquet(out_dir)
         import ray
-        ds = ray.data.read_parquet(out_dir)
-        return ds, None
+        m = metrics(ds)
+        return ray.data.read_parquet(out_dir), m
     m = metrics(ds)
     return ds, m
