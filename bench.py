@@ -58,13 +58,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    # untimed warm-up pass over a slice: pre-imports the worker-side
-    # modules, compiles the C kernel once, loads the mmap-shared model
-    # tables into every task worker (workers are REUSED across Dataset
+    # untimed warm-up pass: pre-imports the worker-side modules,
+    # compiles the C kernel once, loads the mmap-shared model tables
+    # into EVERY task worker (workers are REUSED across Dataset
     # executions), so the timed run measures steady-state throughput
-    # (what a long 100 TB job sees), not one-time session ramp
-    warm = rd.read_parquet(cache, override_num_blocks=num_cpus)\
-        .limit(num_cpus * 1200)
+    # (what a long 100 TB job sees), not one-time session ramp.
+    # The warm-up input is its own small cache with one block per CPU:
+    # a .limit() over the main cache collapses to however many BLOCKS
+    # cover the limit — at 1.28M pages that was a single 40k-row task
+    # warming ONE worker while the other 31 paid cold-start inside the
+    # timed run (measured 55.9s vs 30.1s warm at 32 CPUs)
+    n_warm = min(n_pages, num_cpus * 1200)
+    warm_cache = f"/tmp/cld2_ray_bench/pages_{n_warm}"
+    write_pages_parquet(warm_cache, n_warm, seed=42)
+    warm = rd.read_parquet(warm_cache, override_num_blocks=num_cpus)
     _ = flagship.metrics(flagship.build_fused(warm))
 
     # headline: flagship pipeline incl. the metrics combine, using the

@@ -146,9 +146,20 @@ class Detector:
         """Word-table hit stream over concatenated MANY spans: the
         GetOctaHits triple per word — distinct-octa word, delta-octa
         word, distinct-octa PairHash at the prior word's offset
-        (cldutil.cc:416-533) — decoded per span script class. Emission
-        order at equal offsets is [distinct word, delta word, pair],
-        the reference's walk order."""
+        (cldutil.cc:416-533) — decoded per span script class, plus the
+        seed-trained word table (model.socta). Emission order at equal
+        offsets is [distinct word, delta word, seed word, pair], the
+        reference's walk order with the seed stream appended.
+
+        Documented deviation: the reference additionally keeps the
+        last 4 distinct-hit langprobs in a ring re-added to every
+        subsequent chunk's tote (AddDistinctBoost2/ScoreBoosts,
+        scoreonescriptspan.cc:112-152) — roughly doubling a distinct
+        hit's weight and carrying it across chunks. This engine scores
+        each distinct hit once: the ring is a cross-chunk sequential
+        dependency that would serialize the vectorized scorer, and the
+        seed word stream already supplies the extra per-word evidence
+        the boost compensates for in the reference."""
         wh, woff, ph, poff = hits.octa_word_and_pair_hits(
             cat, span_bounds=bounds)
         latw = latin_of_span[np.searchsorted(bounds, woff, side="right")]
