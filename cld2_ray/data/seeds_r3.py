@@ -13,6 +13,35 @@ conformance goldens.
 
 NEW_SEEDS: dict[str, str] = {
 
+"he": """השמש זורחת מעל הכפר הקטן והאנשים הולכים אל השוק לקנות לחם וחלב כי
+מחר יהיה חג בבית הכנסת ליד הנהר אנחנו יודעים שהחורף יגיע בקרוב והלילות
+יהיו ארוכים אבל הילדים עדיין משחקים בגינה עם החברים שלהם והזקנים מספרים
+סיפורים על היער שבו החיות מתאספות כאשר השלג יורד אין דבר פשוט יותר מערב
+שקט בבית עם ספר טוב בזמן שהרוח נושבת בחוץ והגשם יורד על הגג כל אדם רוצה
+לקרוא את המילים שנשארות אותו דבר עבור כולנו היום והעולם השתנה אבל אנחנו
+זוכרים שהדברים האלה נכתבו לפני שנים רבות רוב האנשים עובדים בשדות ושואבים
+מים מן הבאר כי חיי הכפר קשים אבל ישרים זהו עולם אחר לגמרי שבו הזמן
+עובר לאט יותר והשקט ממלא את הרחובות בערב אנשים רבים אומרים שהחיים בעיר
+הגדולה מהירים מדי ושצריך לחזור אל הטבע כדי להבין מה באמת חשוב המשפחה
+הבריאות והחברים הטובים שתמיד נמצאים שם בשבילנו כאשר קשה לנו היום בבוקר
+ראיתי ציפור יפה על העץ ליד החלון שלי והיא שרה שיר נעים מאוד אחר כך הלכתי
+לעבודה ופגשתי את השכן החדש שלנו שהגיע מעיר אחרת בשבוע שעבר הוא סיפר לי
+על המקום שממנו בא ועל הדרך הארוכה שעשה עד שמצא בית מתאים בשבילו ובשביל
+אשתו ושני הילדים הקטנים שלהם זה היה סיפור מעניין מאוד וחשבתי עליו כל
+היום בזמן העבודה במשרד עכשיו אני יושב בבית וכותב את המילים האלה כדי
+לזכור את היום הזה שהיה פשוט אבל טוב מאוד בעיני""",
+
+"yi": """די זון שײַנט איבער דעם קליינעם שטעטל און די מענטשן גייען צום מארק
+קויפן ברויט און מילך ווײַל מארגן וועט זײַן א יום טוב אין דער שול לעבן דעם
+טײַך מיר ווייסן אז דער ווינטער וועט באלד קומען און די נעכט וועלן ווערן
+לאנג אבער די קינדער שפילן זיך נאך אין גארטן מיט זייערע חברים און די אלטע
+מענער דערציילן מעשיות וועגן דעם וואלד וווּ די חיות קומען זיך צונויף ווען
+דער שניי פאלט עס איז נישטא קיין זאך וואס איז פשוטער ווי אן אוונט שטיל אין
+דער היים מיט א גוט בוך בשעת דער ווינט בלאזט אין דרויסן און דער רעגן פאלט
+אויפן דאך יעדער מענטש וויל לייענען די ווערטער וואס בלײַבן די זעלבע פאר
+אונדז אלעמען הײַנט און די וועלט האט זיך געביטן אבער מיר געדענקען אז די
+זאכן זײַנען געשריבן געווארן מיט פיל יארן צוריק""",
+
 "eo": """la suno brilas super la malgranda vilaĝo kaj la homoj iras al la
 bazaro por aĉeti panon kaj lakton ĉar morgaŭ estos festo en la preĝejo
 apud la rivero ni scias ke la vintro venos baldaŭ kaj la noktoj fariĝos
@@ -369,6 +398,7 @@ que iste cosas esseva scribite multe annos retro""",
 }
 
 NEW_HELDOUT: dict[str, str] = {
+    "yi": "דאס איז א גאנץ געוויינטלעכער ייִדישער זאץ וואס דער מאטאר דארף דערקענען אן קיין שום פראבלעם",
     "eo": "ĉi tiu estas tute ordinara esperanta frazo kiun la motoro devus rekoni sen ia ajn problemo",
     "la": "haec sententia latina simplex est quam machina sine ulla difficultate cognoscere debet",
     "az": "bu tamamilə adi azərbaycan cümləsidir və mühərrik onu heç bir problem olmadan tanımalıdır",

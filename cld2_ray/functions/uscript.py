@@ -120,9 +120,17 @@ RTYPE_MANY = 2   # quadgram scoring
 RTYPE_CJK = 3    # unigram scoring
 
 _RTYPE = np.zeros(NUM_SCRIPTS, dtype=np.uint8)
-_RTYPE[[LATIN, CYRILLIC, ARABIC, DEVANAGARI]] = RTYPE_MANY
+# quadgram-scored (RTypeMany) scripts per the reference's
+# kULScriptToRtype (generated_ulscript.cc:348-380). HEBREW became
+# RTypeMany in round 3 (the reference scores Hebr by quadgrams — it
+# carries both Hebrew and Yiddish); Beng/Tibt/Ethi remain RTypeOne
+# here as a documented deviation (the reference scores them RTypeMany
+# to separate as/bn, dz/bo, ti/am — this engine has no seed corpora
+# for the minority members yet, and a hitless RTypeMany span scores
+# nothing where RTypeOne at least names the script's main language).
+_RTYPE[[LATIN, CYRILLIC, ARABIC, DEVANAGARI, HEBREW]] = RTYPE_MANY
 _RTYPE[HANI] = RTYPE_CJK
-for _s in (GREEK, HEBREW, BENGALI, GURMUKHI, GUJARATI, ORIYA, TAMIL, TELUGU,
+for _s in (GREEK, BENGALI, GURMUKHI, GUJARATI, ORIYA, TAMIL, TELUGU,
            KANNADA, MALAYALAM, SINHALA, THAI, LAO, TIBETAN, MYANMAR, GEORGIAN,
            ETHIOPIC, KHMER, ARMENIAN):
     _RTYPE[_s] = RTYPE_ONE
