@@ -70,11 +70,15 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
 @lru_cache(maxsize=1)
 def weights() -> np.ndarray:
     """Compact bucket->weight table; loads the committed artifact when
-    present (actor init fast path), else trains from seeds."""
+    present (actor init fast path), else trains from seeds. Columns
+    cover only TRAINED languages (col_langs maps column -> lang id):
+    the registry is 164 languages but only ~90 have seed corpora, and
+    the C accumulation cost is linear in columns."""
     if os.path.exists(ARTIFACT):
         from cld2_ray.state import mmapcache
         z = mmapcache.load_shared(ARTIFACT)  # one copy per node, not per actor
         weights.bucket_index = z["bucket_index"]  # type: ignore[attr-defined]
+        weights.col_langs = z["col_langs"]        # type: ignore[attr-defined]
         return z["table"]
     return _train()
 
@@ -83,7 +87,8 @@ def save_artifact() -> None:
     table = _train()
     os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
     np.savez_compressed(ARTIFACT, table=table,
-                        bucket_index=weights.bucket_index)
+                        bucket_index=weights.bucket_index,
+                        col_langs=weights.col_langs)
 
 
 def _train() -> np.ndarray:
@@ -108,16 +113,18 @@ def _train() -> np.ndarray:
     # with no training corpus are masked out (they would otherwise win
     # on the smoothing constant alone)
     trained = totals > 1.0
+    trained[langs.UNKNOWN] = False
+    col_langs = np.flatnonzero(trained).astype(np.int32)
     bucket_ids = np.fromiter(sorted(counts), dtype=np.int64)
-    mat = np.stack([counts[b] for b in bucket_ids.tolist()])
-    smoothed = (mat + 0.1) / totals[None, :]
-    background = smoothed[:, trained].mean(axis=1, keepdims=True)
+    mat = np.stack([counts[b] for b in bucket_ids.tolist()])[:, col_langs]
+    smoothed = (mat + 0.1) / totals[None, col_langs]
+    background = smoothed.mean(axis=1, keepdims=True)
     w = np.log(smoothed / background).astype(np.float32)
-    w[:, ~trained] = -1e9
     full = np.zeros((N_BUCKETS,), dtype=np.int32)  # bucket -> row+1 (0=absent)
     full[bucket_ids] = np.arange(1, len(bucket_ids) + 1)
-    table = np.vstack([np.zeros((1, langs.NUM_LANGS), np.float32), w])
+    table = np.vstack([np.zeros((1, len(col_langs)), np.float32), w])
     weights.bucket_index = full      # type: ignore[attr-defined]
+    weights.col_langs = col_langs    # type: ignore[attr-defined]
     return table
 
 
@@ -217,7 +224,7 @@ def classify_batch(texts) -> tuple[list[str], list[float]]:
         has_row = np.bincount(doc_of[nz], minlength=len(todo)) > 0
         scores = np.zeros((len(todo), w.shape[1]), dtype=np.float32)
         np.add.at(scores, doc_of[nz], w[rows[nz]])
-    scores[:, langs.UNKNOWN] = -np.inf
+    col_langs = weights.col_langs  # type: ignore[attr-defined]
     order = np.argsort(scores, axis=1)
     top = order[:, -1]
     s_top = np.take_along_axis(scores, top[:, None], 1)[:, 0]
@@ -227,7 +234,7 @@ def classify_batch(texts) -> tuple[list[str], list[float]]:
     for j, i in enumerate(todo):
         if nf[j] == 0 or not has_row[j]:
             continue  # no recognizable features -> un, 0.0
-        out_l[i] = langs.lang_code(int(top[j]))
+        out_l[i] = langs.lang_code(int(col_langs[top[j]]))
         out_c[i] = float(conf[j])
     return out_l, out_c
 

@@ -28,6 +28,7 @@ boost = lang_id | (weight << 16), whack = -lang_id.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from . import langs
 from cld2_ray.data.hintdata import (LANGTAG_LONG, LANGTAG_SHORT,
@@ -224,7 +225,16 @@ def priors_from_page(url: str, html: bytes) -> list[tuple[int, int]]:
     return out
 
 
-def _whacks(priors: list[tuple[int, int]]) -> list[int]:
+# close set -> member lang ids (computed once; _whacks used to loop
+# all NUM_LANGS per hinted language, ~4% of whole-pipeline profile)
+_SET_MEMBERS: dict[int, list[int]] = {}
+for _lid in range(langs.NUM_LANGS):
+    _cs = langs.language_close_set(_lid)
+    if _cs:
+        _SET_MEMBERS.setdefault(_cs, []).append(_lid)
+
+
+def _whacks(priors) -> list[int]:
     """Close-set whack targets (ApplyHints, impl.cc:1656-1683): when
     exactly one member of a close set carries a prior, suppress the
     other members; zh/zh-Hant are a whack-pair here even though they
@@ -244,20 +254,29 @@ def _whacks(priors: list[tuple[int, int]]) -> list[int]:
             continue
         cs = langs.language_close_set(lid)
         if cs and set_count.get(cs) == 1:
-            for other in range(langs.NUM_LANGS):
-                if other != lid and langs.language_close_set(other) == cs:
-                    out.append(other)
+            out.extend(o for o in _SET_MEMBERS[cs] if o != lid)
         if lid in (zh, zht) and zh_count == 1:
             out.append(zht if lid == zh else zh)
     return out
 
 
-def payloads(priors: list[tuple[int, int]]) -> tuple[list[int], list[int]]:
+def payloads(priors) -> tuple[list[int], list[int]]:
     """(latn_payload, othr_payload): packed per-chunk hint entries,
     filtered by script class (AddLangPriorBoost/AddOneWhack,
     impl.cc:1524-1562: a hint only applies to spans whose script class
     can carry the language). Boost = lid | (w << 16); whack = -lid;
-    boosts precede whacks (ScoreBoosts applies whacks last)."""
+    boosts precede whacks (ScoreBoosts applies whacks last).
+
+    Cached on the priors tuple: pages repeat the same small set of
+    hint combinations (TLDs, lang= values), and the per-page Python
+    cost of re-deriving class filters + whacks was ~5% of the whole
+    fused pipeline."""
+    lat, oth = _payloads_cached(tuple(priors))
+    return list(lat), list(oth)
+
+
+@lru_cache(maxsize=4096)
+def _payloads_cached(priors):
     latn: list[int] = []
     othr: list[int] = []
     for lid, w in priors:
