@@ -12,14 +12,19 @@ raw `bench.py --scaling` number the way a per-node-memory cluster
 Usage: python scripts/kernel_scaling_control.py [lo] [hi]
 """
 import multiprocessing as mp
+import os
 import sys
 import time
 
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _init():
     global _tbl
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import glob
     files = sorted(glob.glob("/tmp/cld2_ray_bench/pages_*/*.parquet"))
     if not files:
