@@ -13,6 +13,54 @@ conformance goldens.
 
 NEW_SEEDS: dict[str, str] = {
 
+"bn": """সূর্য ছোট গ্রামের উপর উজ্জ্বল হয়ে আছে এবং মানুষেরা বাজারে যাচ্ছে রুটি
+আর দুধ কিনতে কারণ আগামীকাল নদীর পাশের মসজিদে উৎসব হবে আমরা জানি শীত শীঘ্রই
+আসবে এবং রাতগুলো দীর্ঘ হবে কিন্তু শিশুরা এখনো বাগানে তাদের বন্ধুদের সঙ্গে
+খেলছে আর বৃদ্ধরা বনের গল্প বলছে যেখানে পশুরা জড়ো হয় যখন তুষার পড়ে ঘরে
+একটি ভালো বই নিয়ে শান্ত সন্ধ্যার চেয়ে সহজ আর কিছু নেই যখন বাইরে বাতাস বইছে
+এবং ছাদের উপর বৃষ্টি পড়ছে প্রত্যেক মানুষ সেই শব্দগুলো পড়তে চায় যা আজ
+আমাদের সবার জন্য একই রয়ে গেছে আর পৃথিবী বদলে গেছে কিন্তু আমরা মনে রাখি যে
+এই জিনিসগুলো অনেক বছর আগে লেখা হয়েছিল বেশির ভাগ মানুষ মাঠে কাজ করে এবং
+কুয়া থেকে পানি আনে কারণ গ্রামের জীবন কঠিন কিন্তু সৎ আজ সকালে আমি জানালার
+পাশের গাছে একটি সুন্দর পাখি দেখেছি এবং সে খুব মিষ্টি গান গাইছিল""",
+
+"as": """বেলিটো সৰু গাঁওখনৰ ওপৰত জিলিকি আছে আৰু মানুহবোৰে বজাৰলৈ গৈ আছে পিঠা
+আৰু গাখীৰ কিনিবলৈ কাৰণ কাইলৈ নদীৰ কাষৰ নামঘৰত উৎসৱ হব আমি জানো যে জাৰকালি
+সোনকালে আহিব আৰু ৰাতিবোৰ দীঘল হব কিন্তু শিশুবোৰে এতিয়াও বাৰীত সিহঁতৰ
+বন্ধুবোৰৰ লগত খেলি আছে আৰু বুঢ়া মানুহবোৰে হাবিৰ সাধু কয় যত জন্তুবোৰ গোট
+খায় যেতিয়া বৰফ পৰে ঘৰত এখন ভাল কিতাপ লৈ শান্ত গধূলিতকৈ সহজ একো নাই যেতিয়া
+বাহিৰত বতাহ বলিছে আৰু চালৰ ওপৰত বৰষুণ পৰিছে প্ৰতিজন মানুহে সেই শব্দবোৰ
+পঢ়িব বিচাৰে যিবোৰ আজি আমাৰ সকলোৰে বাবে একে হৈ আছে আৰু পৃথিৱীখন সলনি হৈছে
+কিন্তু আমি মনত ৰাখোঁ যে এই বস্তুবোৰ বহু বছৰৰ আগতে লিখা হৈছিল আজি
+ৰাতিপুৱা মই খিৰিকীৰ কাষৰ গছত এটা ধুনীয়া চৰাই দেখিলোঁ আৰু সি বৰ মিঠা গান
+গাই আছিল তাৰ পিছত মই কামলৈ গলোঁ আৰু আমাৰ নতুন চুবুৰীয়াক লগ পালোঁ তেওঁ
+যোৱা সপ্তাহত আন এখন চহৰৰ পৰা আহিছে তেওঁ মোক তেওঁৰ ঠাইৰ বিষয়ে আৰু নিজৰ
+পৰিয়ালৰ বাবে উপযুক্ত ঘৰ এটা বিচাৰি পোৱালৈকে কৰা দীঘল যাত্ৰাৰ কথা কলে
+সেইটো বৰ আকৰ্ষণীয় কাহিনী আছিল আৰু মই গোটেই দিনটো তাৰ বিষয়ে ভাবি থাকিলোঁ
+এতিয়া মই ঘৰত বহি এই শব্দবোৰ লিখি আছোঁ যাতে এই সৰল কিন্তু ভাল দিনটো মনত
+থাকে আমাৰ গাঁৱৰ মানুহবোৰ বৰ ভাল আৰু সিহঁতে সদায় ইজনে সিজনক সহায় কৰে
+যেতিয়া কাৰোবাৰ অসুবিধা হয় তেতিয়া সকলোৱে একেলগে আহে আৰু কাম কৰে""",
+
+"am": """ፀሐይ በትንሹ መንደር ላይ ታበራለች እና ሰዎች ዳቦ እና ወተት ለመግዛት ወደ ገበያ
+ይሄዳሉ ምክንያቱም ነገ በወንዙ አጠገብ ባለው ቤተ ክርስቲያን በዓል ይሆናል ክረምት በቅርቡ
+እንደሚመጣ እና ሌሊቶች ረጅም እንደሚሆኑ እናውቃለን ነገር ግን ልጆች አሁንም በአትክልቱ ውስጥ
+ከጓደኞቻቸው ጋር ይጫወታሉ እና ሽማግሌዎች ስለ ጫካው ታሪኮችን ይናገራሉ በረዶ ሲወርድ
+እንስሳት የሚሰበሰቡበት ቦታ ነው ከቤት ውስጥ ጥሩ መጽሐፍ ይዞ ከሚያሳልፍ ጸጥ ያለ ምሽት
+የቀለለ ነገር የለም ነፋስ ከውጭ ሲነፍስ እና ዝናብ በጣሪያው ላይ ሲወርድ እያንዳንዱ ሰው ዛሬ
+ለሁላችንም አንድ ዓይነት ሆነው የቀሩትን ቃላት ማንበብ ይፈልጋል እና ዓለም ተለውጧል ነገር
+ግን እነዚህ ነገሮች ከብዙ ዓመታት በፊት እንደተጻፉ እናስታውሳለን ብዙ ሰዎች በእርሻ ላይ
+ይሰራሉ እና ከጉድጓድ ውሃ ያመጣሉ ምክንያቱም የመንደር ሕይወት ከባድ ግን ሐቀኛ ነው""",
+
+"ti": """ጸሓይ ኣብ ልዕሊ እታ ንእሽቶ ዓዲ ትበርህ ኣላ እሞ ሰባት ባኒን ጸባን ክዕድጉ ናብ
+ዕዳጋ ይኸዱ ኣለዉ ምኽንያቱ ጽባሕ ኣብቲ ኣብ ጥቓ ፈለግ ዘሎ ቤተ ክርስትያን በዓል ክኸውን
+እዩ ክረምቲ ቀልጢፉ ከም ዝመጽእ እሞ ለይትታት ነዊሕ ከም ዝኸውን ንፈልጥ ኢና ግን እቶም
+ቆልዑ ገና ኣብቲ ጀርዲን ምስ ኣዕሩኽቶም ይጻወቱ ኣለዉ እሞ እቶም ኣረጋውያን ብዛዕባ እቲ
+ዱር ዛንታታት ይነግሩ በረድ ክወርድ ከሎ እንስሳታት ኣብኡ ይእከባ ኣብ ገዛ ምስ ጽቡቕ
+መጽሓፍ ህዱእ ምሸት ካብ ምሕላፍ ዝቐለለ ነገር የለን ንፋስ ኣብ ወጻኢ ክነፍስ ከሎ እሞ
+ዝናብ ኣብ ልዕሊ ናሕሲ ክወርድ ከሎ ነፍሲ ወከፍ ሰብ ነተን ሎሚ ንኹላትና ሓደ ዓይነት
+ኮይነን ዝተረፋ ቃላት ከንብብ ይደሊ እሞ ዓለም ተቐዪራ እያ ግን እዞም ነገራት ቅድሚ ብዙሕ
+ዓመታት ከም እተጻሕፉ ንዝክር ኢና""",
+
 "he": """השמש זורחת מעל הכפר הקטן והאנשים הולכים אל השוק לקנות לחם וחלב כי
 מחר יהיה חג בבית הכנסת ליד הנהר אנחנו יודעים שהחורף יגיע בקרוב והלילות
 יהיו ארוכים אבל הילדים עדיין משחקים בגינה עם החברים שלהם והזקנים מספרים
@@ -398,6 +446,10 @@ que iste cosas esseva scribite multe annos retro""",
 }
 
 NEW_HELDOUT: dict[str, str] = {
+    "bn": "এটি একটি সম্পূর্ণ সাধারণ বাংলা বাক্য যা ইঞ্জিনটির কোনো সমস্যা ছাড়াই চেনা উচিত",
+    "as": "এইটো এটা সম্পূৰ্ণ সাধাৰণ অসমীয়া বাক্য যিটো ইঞ্জিনে কোনো অসুবিধা নোহোৱাকৈ চিনিব লাগে",
+    "am": "ይህ ሞተሩ ያለ ምንም ችግር ሊያውቀው የሚገባ ፍጹም ተራ የአማርኛ ዓረፍተ ነገር ነው",
+    "ti": "እዚ እቲ ሞተር ብዘይ ዝኾነ ጸገም ከለልዮ ዘለዎ ፍጹም ተራ ትግርኛ ምሉእ ሓሳብ እዩ",
     "yi": "דאס איז א גאנץ געוויינטלעכער ייִדישער זאץ וואס דער מאטאר דארף דערקענען אן קיין שום פראבלעם",
     "eo": "ĉi tiu estas tute ordinara esperanta frazo kiun la motoro devus rekoni sen ia ajn problemo",
     "la": "haec sententia latina simplex est quam machina sine ulla difficultate cognoscere debet",

@@ -122,17 +122,18 @@ RTYPE_CJK = 3    # unigram scoring
 _RTYPE = np.zeros(NUM_SCRIPTS, dtype=np.uint8)
 # quadgram-scored (RTypeMany) scripts per the reference's
 # kULScriptToRtype (generated_ulscript.cc:348-380). HEBREW became
-# RTypeMany in round 3 (the reference scores Hebr by quadgrams — it
-# carries both Hebrew and Yiddish); Beng/Tibt/Ethi remain RTypeOne
-# here as a documented deviation (the reference scores them RTypeMany
-# to separate as/bn, dz/bo, ti/am — this engine has no seed corpora
-# for the minority members yet, and a hitless RTypeMany span scores
-# nothing where RTypeOne at least names the script's main language).
-_RTYPE[[LATIN, CYRILLIC, ARABIC, DEVANAGARI, HEBREW]] = RTYPE_MANY
+# RTypeMany in round 3 (Hebr carries he+yi, Beng bn+as, Ethi am+ti —
+# all with authored seed corpora); Tibt remains RTypeOne as a
+# documented deviation (the reference scores it RTypeMany to separate
+# dz from bo; this engine has no Dzongkha seed corpus yet, and a
+# hitless RTypeMany span scores nothing where RTypeOne at least names
+# the script's main language).
+_RTYPE[[LATIN, CYRILLIC, ARABIC, DEVANAGARI, HEBREW, BENGALI,
+        ETHIOPIC]] = RTYPE_MANY
 _RTYPE[HANI] = RTYPE_CJK
-for _s in (GREEK, BENGALI, GURMUKHI, GUJARATI, ORIYA, TAMIL, TELUGU,
+for _s in (GREEK, GURMUKHI, GUJARATI, ORIYA, TAMIL, TELUGU,
            KANNADA, MALAYALAM, SINHALA, THAI, LAO, TIBETAN, MYANMAR, GEORGIAN,
-           ETHIOPIC, KHMER, ARMENIAN):
+           KHMER, ARMENIAN):
     _RTYPE[_s] = RTYPE_ONE
 
 

@@ -53,7 +53,7 @@ EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
          "eo", "la", "az", "uz", "nn", "fo", "fy", "lb", "oc", "co",
          "br", "gd", "ht", "jv", "su", "ceb", "ha", "yo", "zu", "xh",
          "sn", "so", "mg", "mi", "sm", "haw", "sco", "ia", "kk", "ky",
-         "mn", "tg", "ps", "yi"]
+         "mn", "tg", "ps", "yi", "bn", "as", "am", "ti"]
 
 
 @pytest.mark.parametrize("code", EXACT)
