@@ -692,6 +692,9 @@ HELDOUT: dict[str, str] = {
 
 # round-3 additions (languages unlocked by the parsed reference word
 # tables; see data/seeds_r3.py)
-from cld2_ray.data.seeds_r3 import NEW_HELDOUT as _NH, NEW_SEEDS as _NS
+from cld2_ray.data.seeds_r3 import (NEW_HELDOUT as _NH, NEW_SEEDS as _NS,
+                                    SEED_APPEND as _SA)
 SEEDS.update(_NS)
 HELDOUT.update(_NH)
+for _c, _t in _SA.items():
+    SEEDS[_c] = SEEDS.get(_c, "") + " " + _t

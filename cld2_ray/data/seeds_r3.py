@@ -485,3 +485,19 @@ NEW_HELDOUT: dict[str, str] = {
     "tg": "ин ҷумлаи оддии тоҷикӣ аст ки муҳаррик бояд онро бе ягон мушкилӣ шиносад",
     "ps": "دا یوه بالکل عادي پښتو جمله ده چې انجن باید پرته له کومې ستونزې وپیژني",
 }
+
+# appended to EXISTING seed corpora (data/seeds.py merges these with
+# "+" — they do not replace). sv: the reference's distinct-octa table
+# marks "vanlig"/"utan" as Norwegian/Nynorsk-distinct (its web-scale
+# sv quadgrams counterbalance that; our seed-scale ones need more
+# Swedish mass to do the same once the distinct-boost ring landed).
+SEED_APPEND: dict[str, str] = {
+    "sv": """det är en helt vanlig dag i den lilla staden och barnen
+leker utan bekymmer på gården medan deras föräldrar arbetar några av
+dem springer omkring och skrattar högt andra sitter tysta och läser
+en bok under det stora trädet vid skolan ingen av dem tänker på att
+sommaren snart är slut och att hösten kommer med regn och blåst men
+det gör ingenting för de vet att vintern också har sina goda sidor
+med snö och is på sjön där man kan åka skridskor hela helgen utan
+att frysa om man bara har varma kläder på sig och dricker varm choklad""",
+}

@@ -151,15 +151,12 @@ class Detector:
         offsets is [distinct word, delta word, seed word, pair], the
         reference's walk order with the seed stream appended.
 
-        Documented deviation: the reference additionally keeps the
-        last 4 distinct-hit langprobs in a ring re-added to every
-        subsequent chunk's tote (AddDistinctBoost2/ScoreBoosts,
-        scoreonescriptspan.cc:112-152) — roughly doubling a distinct
-        hit's weight and carrying it across chunks. This engine scores
-        each distinct hit once: the ring is a cross-chunk sequential
-        dependency that would serialize the vectorized scorer, and the
-        seed word stream already supplies the extra per-word evidence
-        the boost compensates for in the reference."""
+        Distinct hits (word + pair) are flagged in the returned mask:
+        the chunk scorer re-adds the last <= 4 of them to every
+        chunk's tote (the AddDistinctBoost2/ScoreBoosts ring,
+        scoreonescriptspan.cc:112-152; ring scoped to the span — the
+        reference carries it across a document's scriptspans via
+        ScoringContext, a documented deviation)."""
         wh, woff, ph, poff = hits.octa_word_and_pair_hits(
             cat, span_bounds=bounds)
         latw = latin_of_span[np.searchsorted(bounds, woff, side="right")]
@@ -173,10 +170,14 @@ class Detector:
         rank = np.concatenate([
             np.zeros(len(wh), np.int8), np.ones(len(wh), np.int8),
             np.full(len(wh), 2, np.int8), np.full(len(ph), 3, np.int8)])
+        # distinct-octa hits (word + pair) feed the boost ring
+        dist = np.concatenate([
+            np.ones(len(wh), bool), np.zeros(2 * len(wh), bool),
+            np.ones(len(ph), bool)])
         m = vals != 0
-        vals, offs, rank = vals[m], offs[m], rank[m]
+        vals, offs, rank, dist = vals[m], offs[m], rank[m], dist[m]
         order = np.lexsort((rank, offs))
-        return vals[order], offs[order]
+        return vals[order], offs[order], dist[order]
 
     def _many_hits(self, cat: bytes, bounds: np.ndarray,
                    latin_of_span: np.ndarray):
@@ -186,11 +187,12 @@ class Detector:
         vals = self.model.quad.lookup(h)
         m = vals != 0
         qv, qo = vals[m], off[m]
-        ov, oo = self._octa_stream(cat, bounds, latin_of_span)
+        ov, oo, od = self._octa_stream(cat, bounds, latin_of_span)
         all_vals = np.concatenate([qv, ov])
         all_off = np.concatenate([qo, oo])
+        all_dist = np.concatenate([np.zeros(len(qv), bool), od])
         order = np.argsort(all_off, kind="stable")
-        return all_vals[order], all_off[order]
+        return all_vals[order], all_off[order], all_dist[order]
 
     def _score_span(self, sp: spans.ScriptSpan, tote: score.DocTote,
                     hints=None) -> None:
@@ -200,13 +202,14 @@ class Detector:
             latin = sp.script == us.LATIN
             hp = hints[0 if latin else 1] if hints else None
             sb = sp.text_utf8
-            all_vals, all_off = self._many_hits(
+            all_vals, all_off, all_dist = self._many_hits(
                 sb, np.array([len(sb)], dtype=np.int64),
                 np.array([latin]))
             l3, q3 = unpack_langprobs(all_vals)
             c = score.score_chunks(l3, q3, all_off, len(sb),
                                    score.CHUNKSIZE_QUADS,
-                                   self.model.expected_quad, hp)
+                                   self.model.expected_quad, hp,
+                                   distinct_mask=all_dist)
             tote.add_chunks(*c)
         elif rt == us.RTYPE_CJK:
             uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
@@ -282,15 +285,16 @@ class Detector:
                     langs.CLOSE_SET, hint_csr,
                     np.asarray(flat, dtype=np.int64))
             else:
-                all_vals, all_off = self._many_hits(cat, bounds,
-                                                    latin_of_span)
+                all_vals, all_off, all_dist = self._many_hits(
+                    cat, bounds, latin_of_span)
                 l3, q3 = unpack_langprobs(all_vals)
                 span_of = np.searchsorted(bounds, all_off, side="right")
                 c = score.score_chunks_multi(
                     l3, q3, all_off, span_of, starts, lens,
                     np.full(len(bufs), score.CHUNKSIZE_QUADS,
                             dtype=np.int64),
-                    self.model.expected_quad, hl_list)
+                    self.model.expected_quad, hl_list,
+                    distinct_mask=all_dist)
             lang1, cbytes, s1, rel, span_of_chunk = c
             docs_of_span = np.array([di for di, _, _, _ in many])
             doc_of_chunk = docs_of_span[span_of_chunk]
@@ -568,7 +572,7 @@ class Detector:
             rt = self._rtype(sp.script)
             if rt == us.RTYPE_MANY:
                 sb = sp.text.encode("utf-8")
-                vals, offs = self._many_hits(
+                vals, offs, rdist = self._many_hits(
                     sb, np.array([len(sb)], dtype=np.int64),
                     np.array([sp.script == us.LATIN]))
                 if len(vals) == 0:
@@ -577,7 +581,7 @@ class Detector:
                 l3, q3 = unpack_langprobs(vals)
                 lang1, _cb, _s1, rel = score.score_chunks(
                     l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
-                    self.model.expected_quad)
+                    self.model.expected_quad, distinct_mask=rdist)
                 nch = len(lang1)
                 bidx = self._sharpen_boundaries(
                     lang1, l3, q3, score.CHUNKSIZE_QUADS, len(offs))

@@ -152,10 +152,41 @@ def _top2(scores: np.ndarray):
     return top1, top2, s1, s2
 
 
+def _ring_add(scores: np.ndarray, lang3: np.ndarray, qprob3: np.ndarray,
+              chunk_hi: np.ndarray, ring_floor: np.ndarray,
+              distinct_mask: np.ndarray | None) -> None:
+    """Distinct-boost ring (AddDistinctBoost2 + ScoreBoosts, reference
+    scoreonescriptspan.cc:112-152): every chunk re-adds the langprobs
+    of the <= 4 most recent DISTINCT hits seen so far (ring scoped to
+    the span; ring_floor = per-chunk index of the span's first distinct
+    hit in the distinct-index array)."""
+    if distinct_mask is None or not distinct_mask.any():
+        return
+    D = np.flatnonzero(distinct_mask)
+    kk = np.searchsorted(D, chunk_hi)              # distincts before hi
+    lo = np.maximum(kk - 4, ring_floor)
+    counts = (kk - lo).astype(np.int64)
+    if counts.sum() == 0:
+        return
+    chunks = np.repeat(np.arange(len(chunk_hi)), counts)
+    # flatten the per-chunk [lo, kk) ranges
+    starts = np.repeat(lo, counts)
+    within = np.arange(len(chunks)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    hits_idx = D[starts + within]
+    flat = (np.repeat(chunks, lang3.shape[1]) * langs.NUM_LANGS
+            + lang3[hits_idx].ravel().astype(np.int64))
+    add = np.bincount(flat, weights=qprob3[hits_idx].ravel(),
+                      minlength=scores.size).reshape(scores.shape)
+    scores += add.astype(np.int64)
+    scores[:, langs.UNKNOWN] = 0
+
+
 def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                  offsets: np.ndarray, span_end: int, chunk_size: int,
                  expected_1kb: np.ndarray,
-                 hint_payload: list[int] | None = None):
+                 hint_payload: list[int] | None = None,
+                 distinct_mask: np.ndarray | None = None):
     """Score a span's hits in fixed-size chunks.
 
     lang3/qprob3: (n_hits, lanes) decoded langprobs (4 lanes). offsets: byte offset of
@@ -176,6 +207,10 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                          minlength=nchunks * langs.NUM_LANGS) \
         .reshape(nchunks, langs.NUM_LANGS).astype(np.int64)
     scores[:, langs.UNKNOWN] = 0  # slot 0 holds empty decode lanes
+    chunk_hi = np.minimum((np.arange(nchunks) + 1) * chunk_size, nh)
+    chunk_hi[-1] = nh
+    _ring_add(scores, lang3, qprob3, chunk_hi,
+              np.zeros(nchunks, np.int64), distinct_mask)
     grams = np.bincount(chunk_of, minlength=nchunks)
     if hint_payload:
         # per-chunk language priors (ScoreBoosts, scoreonescriptspan.cc:
@@ -211,7 +246,8 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
                        offsets: np.ndarray, span_of: np.ndarray,
                        span_starts: np.ndarray, span_lens: np.ndarray,
                        chunk_sizes: np.ndarray, expected_1kb: np.ndarray,
-                       hint_payload_per_span: list | None = None):
+                       hint_payload_per_span: list | None = None,
+                       distinct_mask: np.ndarray | None = None):
     """Batch version of score_chunks over MANY concatenated spans.
 
     Hits must be sorted by (span, offset) with quad-before-octa tie
@@ -245,6 +281,22 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
     scores[:, langs.UNKNOWN] = 0
     grams = np.bincount(gchunk, minlength=total_chunks)
     span_of_chunk = np.repeat(np.arange(nspans), nchunks_span)
+
+    # distinct-boost ring, per chunk, scoped to its span
+    if distinct_mask is not None and total_chunks:
+        chunk_base_g = np.repeat(np.arange(nspans), nchunks_span)
+        chunk_pos_g = np.arange(total_chunks) - chunk_base[chunk_base_g]
+        chunk_hi_local = np.minimum(
+            (chunk_pos_g + 1) * chunk_sizes[chunk_base_g],
+            counts[chunk_base_g])
+        is_last_g = chunk_pos_g == nchunks_span[chunk_base_g] - 1
+        chunk_hi_local = np.where(is_last_g, counts[chunk_base_g],
+                                  chunk_hi_local)
+        chunk_hi_g = first[chunk_base_g] + chunk_hi_local
+        D = np.flatnonzero(distinct_mask)
+        ring_floor = np.searchsorted(D, first[chunk_base_g])
+        _ring_add(scores, lang3, qprob3, chunk_hi_g, ring_floor,
+                  distinct_mask)
 
     if hint_payload_per_span is not None:
         for si, hl in enumerate(hint_payload_per_span):

@@ -96,13 +96,15 @@ def _load() -> None:
     # bucket-table argument bundle: buckets, nbuckets, keymask,
     # packed_latn, packed_othr
     _bt = [u32bp, ctypes.c_int64, ctypes.c_uint32, u64p, u64p]
+    u8wp0 = np.ctypeslib.ndpointer(np.uint8,
+                                   flags="C_CONTIGUOUS,WRITEABLE")
     fn.argtypes = [
         u8p, ctypes.c_int64, i64p, ctypes.c_int64,
         u64p, u64p, ctypes.c_uint64,
         u64p, u64p, ctypes.c_uint64,
         *_bt, *_bt, u8p,
         u64p, i64p, ctypes.POINTER(ctypes.c_int64),
-        u64p, i64p, ctypes.POINTER(ctypes.c_int64),
+        u64p, i64p, u8wp0, ctypes.POINTER(ctypes.c_int64),
     ]
     fn.restype = ctypes.c_int
     lk = lib.table_lookup_batch
@@ -134,7 +136,7 @@ def _load() -> None:
         *_bt, *_bt, u8p,
         ctypes.c_int64, i32p, i8p, ctypes.c_int64,
         i64p, i64p,
-        u64p, i64p, u64p, i64p, i64p,
+        u64p, i64p, u64p, i64p, u8wp0, i64p,
         i16p, i64p, i64p, i64p, i64p,
     ]
     cs.restype = ctypes.c_int64
@@ -227,11 +229,13 @@ def _get_scratch(cap: int):
         _scratch["qoffs"] = np.empty(cap, dtype=np.int64)
         _scratch["ovals"] = np.empty(cap, dtype=np.uint64)
         _scratch["ooffs"] = np.empty(cap, dtype=np.int64)
+        _scratch["odist"] = np.empty(cap, dtype=np.uint8)
         _prefault(_scratch["qvals"], _scratch["qoffs"],
-                  _scratch["ovals"], _scratch["ooffs"])
+                  _scratch["ovals"], _scratch["ooffs"],
+                  _scratch["odist"])
         _scratch["cap"] = cap
     return (_scratch["qvals"], _scratch["qoffs"],
-            _scratch["ovals"], _scratch["ooffs"])
+            _scratch["ovals"], _scratch["ooffs"], _scratch["odist"])
 
 
 def _bt_args(bt):
@@ -250,7 +254,7 @@ def quad_octa_scan(cat: bytes, bounds: np.ndarray, quad_table,
     buf = np.frombuffer(cat, dtype=np.uint8)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
     lat = np.ascontiguousarray(latin_of_span, dtype=np.uint8)
-    qvals, qoffs, ovals, ooffs = _get_scratch(2 * n + 8)
+    qvals, qoffs, ovals, ooffs, odist = _get_scratch(2 * n + 8)
     nq = ctypes.c_int64(0)
     no = ctypes.c_int64(0)
     _FN(buf, n, bounds, len(bounds),
@@ -258,9 +262,10 @@ def quad_octa_scan(cat: bytes, bounds: np.ndarray, quad_table,
         socta.keys, socta.vals, int(socta.mask),
         *_bt_args(docta), *_bt_args(xocta), lat,
         qvals, qoffs, ctypes.byref(nq),
-        ovals, ooffs, ctypes.byref(no))
+        ovals, ooffs, odist, ctypes.byref(no))
     return (qvals[:nq.value].copy(), qoffs[:nq.value].copy(),
-            ovals[:no.value].copy(), ooffs[:no.value].copy())
+            ovals[:no.value].copy(), ooffs[:no.value].copy(),
+            odist[:no.value].astype(bool))
 
 
 _cs_scratch: dict[str, np.ndarray] = {}
@@ -279,7 +284,9 @@ def _cs_grow(sc: dict, max_span: int, n: int, nb: int, chunk_size: int,
         sc["qoffs"] = np.empty(cap, dtype=np.int64)
         sc["ovals"] = np.empty(cap, dtype=np.uint64)
         sc["ooffs"] = np.empty(cap, dtype=np.int64)
-        _prefault(sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"])
+        sc["odist"] = np.empty(cap, dtype=np.uint8)
+        _prefault(sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
+                  sc["odist"])
         sc["span_cap"] = cap
     if sc.get("nl", 0) < len(expected_1kb):
         sc["scores"] = np.zeros(len(expected_1kb), dtype=np.int64)
@@ -328,6 +335,7 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
               chunk_size, exp, cset, len(exp),
               csr, flat,
               sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
+              sc["odist"],
               sc["scores"],
               sc["lang1"], sc["cbytes"], sc["s1"], sc["rel"], sc["span"])
     return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),

@@ -318,6 +318,7 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
                           uint64_t *out_qvals, int64_t *out_qoffs,
                           int64_t *nq_io,
                           uint64_t *out_ovals, int64_t *out_ooffs,
+                          uint8_t *out_odist,
                           int64_t *no_io) {
     int64_t nq = *nq_io, no = *no_io;
     int64_t span_start = base;
@@ -378,6 +379,7 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
                                 if (v) {
                                     out_ovals[no] = v;
                                     out_ooffs[no] = span_start + prior_start;
+                                    out_odist[no] = 1;
                                     no++;
                                 }
                             }
@@ -386,6 +388,7 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
                             if (v) {
                                 out_ovals[no] = v;
                                 out_ooffs[no] = span_start + ws;
+                                out_odist[no] = 1;
                                 no++;
                             }
                             v = bucket_lookup40(
@@ -393,6 +396,7 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
                             if (v) {
                                 out_ovals[no] = v;
                                 out_ooffs[no] = span_start + ws;
+                                out_odist[no] = 0;
                                 no++;
                             }
                             /* seed-trained word stats (model.socta) */
@@ -400,6 +404,7 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
                             if (v) {
                                 out_ovals[no] = v;
                                 out_ooffs[no] = span_start + ws;
+                                out_odist[no] = 0;
                                 no++;
                             }
                         }
@@ -834,7 +839,8 @@ int quad_octa_scan(const uint8_t *buf, int64_t n,
                    const uint64_t *xpl, const uint64_t *xpo,
                    const uint8_t *span_latin,
                    uint64_t *out_qvals, int64_t *out_qoffs, int64_t *nq_out,
-                   uint64_t *out_ovals, int64_t *out_ooffs, int64_t *no_out) {
+                   uint64_t *out_ovals, int64_t *out_ooffs,
+                   uint8_t *out_odist, int64_t *no_out) {
     int64_t nq = 0, no = 0;
     int64_t span_start = 0;
     uint64_t dbmask = (uint64_t)(dnb - 1);
@@ -847,7 +853,7 @@ int quad_octa_scan(const uint8_t *buf, int64_t n,
                       db, dbmask, dkeymask, span_latin[span_i] ? dpl : dpo,
                       xb, xbmask, xkeymask, span_latin[span_i] ? xpl : xpo,
                       out_qvals, out_qoffs, &nq,
-                      out_ovals, out_ooffs, &no);
+                      out_ovals, out_ooffs, out_odist, &no);
         span_start = span_end;
     }
     *nq_out = nq;
@@ -885,7 +891,8 @@ int quad_octa_scan(const uint8_t *buf, int64_t n,
  * sc_scores: int64[num_langs] zeroed, left zeroed. */
 static int64_t chunk_score_merged(
         const uint64_t *av, const int64_t *ao, int64_t na,
-        const uint64_t *bv, const int64_t *bo, int64_t nb_,
+        const uint64_t *bv, const int64_t *bo, const uint8_t *bd,
+        int64_t nb_,
         int64_t span_len, int64_t chunk_size,
         const int32_t *expected_1kb, const int8_t *close_set,
         int64_t num_langs,
@@ -903,6 +910,11 @@ static int64_t chunk_score_merged(
     int64_t ai = 0, bi = 0;
     int64_t hit_idx = 0;
     int64_t prev_chunk_start = -1;   /* local byte offset */
+    /* distinct-boost ring: last 4 distinct-octa langprobs, re-added to
+     * every chunk's tote (AddDistinctBoost2 + ScoreBoosts, reference
+     * scoreonescriptspan.cc:112-152); scoped to this span */
+    uint64_t dring[4] = {0, 0, 0, 0};
+    int dring_n = 0;
     for (int64_t c = 0; c < nch; c++) {
         int64_t lo = c * chunk_size;
         int64_t hi = (c == nch - 1) ? nh : lo + chunk_size;
@@ -910,17 +922,35 @@ static int64_t chunk_score_merged(
         int64_t first_off = -1;
         int64_t nt = 0;
         for (; hit_idx < hi; hit_idx++) {
-            uint64_t v; int64_t off;
+            uint64_t v; int64_t off; int is_distinct;
             if (ai < na && (bi >= nb_ || ao[ai] <= bo[bi])) {
-                v = av[ai]; off = ao[ai]; ai++;
+                v = av[ai]; off = ao[ai]; ai++; is_distinct = 0;
             } else {
-                v = bv[bi]; off = bo[bi]; bi++;
+                v = bv[bi]; off = bo[bi];
+                is_distinct = bd ? bd[bi] : 0;
+                bi++;
             }
             if (first_off < 0) first_off = off;
             for (int lane = 0; lane < 4; lane++) {
                 int64_t l = (int64_t)((v >> (16 * lane)) & 0xFF);
                 int64_t q = (int64_t)((v >> (16 * lane + 8)) & 0xFF);
                 if (l == 0) continue;    /* UNKNOWN lane suppressed */
+                if (sc_scores[l] == 0) touched[nt++] = (int32_t)l;
+                sc_scores[l] += q;
+            }
+            if (is_distinct) {
+                dring[dring_n & 3] = v;
+                dring_n++;
+            }
+        }
+        /* re-add the ring (<= 4 most recent distinct hits) */
+        for (int k = 0; k < 4; k++) {
+            uint64_t v = dring[k];
+            if (!v) continue;
+            for (int lane = 0; lane < 4; lane++) {
+                int64_t l = (int64_t)((v >> (16 * lane)) & 0xFF);
+                int64_t q = (int64_t)((v >> (16 * lane + 8)) & 0xFF);
+                if (l == 0) continue;
                 if (sc_scores[l] == 0) touched[nt++] = (int32_t)l;
                 sc_scores[l] += q;
             }
@@ -1037,7 +1067,7 @@ int64_t quad_octa_chunk_score(
         int64_t num_langs,
         const int64_t *hint_csr, const int64_t *hint_flat,
         uint64_t *sc_qvals, int64_t *sc_qoffs,
-        uint64_t *sc_ovals, int64_t *sc_ooffs,
+        uint64_t *sc_ovals, int64_t *sc_ooffs, uint8_t *sc_odist,
         int64_t *sc_scores,
         int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
         int64_t *out_rel, int64_t *out_span) {
@@ -1057,9 +1087,11 @@ int64_t quad_octa_chunk_score(
                       skeys, svals, smask,
                       db, dbmask, dkeymask, dpacked,
                       xb, xbmask, xkeymask, xpacked,
-                      sc_qvals, sc_qoffs, &nq, sc_ovals, sc_ooffs, &no);
+                      sc_qvals, sc_qoffs, &nq, sc_ovals, sc_ooffs,
+                      sc_odist, &no);
         span_start = span_end;
-        chunk_score_merged(sc_qvals, sc_qoffs, nq, sc_ovals, sc_ooffs, no,
+        chunk_score_merged(sc_qvals, sc_qoffs, nq, sc_ovals, sc_ooffs,
+                           sc_odist, no,
                            len, chunk_size, expected_1kb, close_set,
                            num_langs,
                            hint_flat + hint_csr[span_i],
@@ -1156,7 +1188,8 @@ int64_t cjk_chunk_score(
             prev_byte = byte_start;
             prev_len = l;
         }
-        chunk_score_merged(sc_uvals, sc_uoffs, nu, sc_bvals, sc_boffs, nbi,
+        chunk_score_merged(sc_uvals, sc_uoffs, nu, sc_bvals, sc_boffs,
+                           (const uint8_t *)0, nbi,
                            pseudo_lens[span_i], chunk_size,
                            expected_1kb, close_set, num_langs,
                            hint_flat + hint_csr[span_i],

@@ -18,8 +18,8 @@ def _numpy_path(model, cat, bounds, latin_of_span):
     vals = model.quad.lookup_numpy(h)
     m = vals != 0
     d = Detector(model)
-    ov, oo = d._octa_stream(cat, bounds, latin_of_span)
-    return vals[m], off[m], ov, oo
+    ov, oo, od = d._octa_stream(cat, bounds, latin_of_span)
+    return vals[m], off[m], ov, oo, od.astype(np.uint8)
 
 
 def _check(model, span_texts, latin=None):
@@ -150,13 +150,13 @@ class TestFusedChunkScore:
         cat = b"".join(bufs)
         hl_list = [None] * len(bufs)
         hl_list[2] = [5, 9]  # exercise the hint-boost path
-        all_vals, all_off = det._many_hits(cat, bounds, latin)
+        all_vals, all_off, all_dist = det._many_hits(cat, bounds, latin)
         l3, q3 = unpack_langprobs(all_vals)
         span_of = np.searchsorted(bounds, all_off, side="right")
         c_np = score.score_chunks_multi(
             l3, q3, all_off, span_of, starts, lens,
             np.full(len(bufs), score.CHUNKSIZE_QUADS, dtype=np.int64),
-            det.model.expected_quad, hl_list)
+            det.model.expected_quad, hl_list, distinct_mask=all_dist)
         hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
         flat = []
         for k, hl in enumerate(hl_list):
