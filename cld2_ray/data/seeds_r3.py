@@ -13,6 +13,243 @@ conformance goldens.
 
 NEW_SEEDS: dict[str, str] = {
 
+"rw": """izuba rirabagirana hejuru y umudugudu muto kandi abantu bajya ku
+isoko kugura umugati n amata kuko ejo hazaba umunsi mukuru mu rusengero
+ruri hafi y uruzi tuzi ko imbeho izaza vuba kandi ko amajoro azaba maremare
+ariko abana baracyakina mu busitani hamwe n inshuti zabo kandi abasaza
+bavuga inkuru z ishyamba aho inyamaswa ziteranira iyo urubura rugwa nta
+kintu cyoroshye kuruta umugoroba utuje mu rugo ufite igitabo cyiza mu gihe
+umuyaga uhuha hanze kandi imvura igwa ku gisenge buri muntu ashaka gusoma
+amagambo asigaye ari amwe kuri twese uyu munsi kandi isi yarahindutse
+ariko twibuka ko ibi bintu byanditswe imyaka myinshi ishize""",
+
+"rn": """izuba riraboneka hejuru y ikigwati gitoyi kandi abantu baja kw
+isoko kugura umukate n amata kuko ejo hazoba umusi mukuru mw isengero riri
+hafi y uruzi turazi ko urushana ruzoza vuba kandi ko amajoro azoba maremare
+ariko abana baracakina mw itongo hamwe n abagenzi babo kandi abashingantahe
+babwira inkuru z ikibira aho ibikoko vyegeranira iyo urubura rumanuka nta
+kintu coroshe kuruta umugoroba utekanye mu rugo ufise igitabu ciza mu gihe
+umuyaga uhuhuta hanze kandi imvura igwa ku gisenge umuntu wese ashaka
+gusoma amajambo asigaye ari amwe kuri twese uno musi kandi isi yarahindutse
+ariko twibuka ko ibi bintu vyanditswe imyaka myinshi iheze""",
+
+"ny": """dzuwa likuwala pamwamba pa mudzi waung'ono ndipo anthu akupita
+kumsika kukagula buledi ndi mkaka chifukwa mawa kudzakhala chikondwerero
+mu tchalitchi pafupi ndi mtsinje tikudziwa kuti nyengo yozizira ibwera
+posachedwa ndipo usiku udzakhala wautali koma ana akusewera m munda ndi
+anzawo ndipo akuluakulu akusimba nkhani za m nkhalango kumene nyama
+zimasonkhana pamene chipale chikugwa palibe chinthu chosavuta kuposa
+madzulo abata pakhomo ndi buku labwino pamene mphepo ikuomba kunja ndipo
+mvula ikugwa padenga munthu aliyense akufuna kuwerenga mawu amene akhala
+ofanana kwa ife tonse lero ndipo dziko lasintha koma tikukumbukira kuti
+zinthu izi zinalembedwa zaka zambiri zapitazo""",
+
+"st": """letsatsi le chabile hodima motsana o monyane mme batho ba ya
+mmarakeng ho reka bohobe le lebese hobane hosane ho tla ba le mokete
+kerekeng e haufi le noka re a tseba hore mariha a tla tla haufinyane mme
+masiu a tla ba malelele empa bana ba ntse ba bapala serapeng le metswalle
+ya bona mme banna ba baholo ba pheta dipale tsa moru moo diphoofolo di
+bokanang teng ha lehlwa le ena ha ho letho le bonolo ho feta mantsiboya a
+kgutsitseng lapeng ka buka e ntle ha moya o foka kantle mme pula e ena
+hodima marulelo motho e mong le e mong o batla ho bala mantswe a ntseng
+a tshwana ho rona bohle kajeno mme lefatshe le fetohile empa re hopola
+hore dintho tsena di ngotswe dilemo tse ngata tse fetileng""",
+
+"tn": """letsatsi le phatsima godimo ga motsana o monnye mme batho ba ya
+kwa marekisetsong go reka borotho le mashi ka gonne kamoso go tla nna le
+moletlo mo kerekeng e e gaufi le noka re itse gore mariga a tla tla ka
+bonako mme masigo a tla nna maleele mme bana ba sa ntse ba tshameka mo
+tshingwaneng le ditsala tsa bone mme banna ba bagolo ba bolela dikgang
+tsa sekgwa kwa diphologolo di phuthegang teng fa kapoko e na ga go na
+sepe se se motlhofo go feta maitseboa a a didimetseng kwa gae ka buka e
+e siameng fa phefo e foka kwa ntle mme pula e na mo borulelong mongwe le
+mongwe o batla go buisa mafoko a a ntseng a tshwana mo go rona rotlhe
+gompieno mme lefatshe le fetogile mme re gakologelwa gore dilo tseno di
+kwadilwe dingwaga tse dintsi tse di fetileng""",
+
+"ts": """dyambu ri voninga ehenhla ka ximutana lexitsongo naswona vanhu va
+ya emakete ku xava xinkwa ni ntswamba hikuva mundzuku ku ta va ni nkhuvo
+ekerekeni leyi nga kusuhi ni nambu ha swi tiva leswaku xixika xi ta fika
+hi ku hatlisa naswona vusiku byi ta leha kambe vana va ha tlanga entangeni
+ni vanghana va vona naswona vakulukumba va hlaya mitsheketo ya nhova laha
+swiharhi swi hlengeletanaka kona loko gamboko ri na a ku na nchumu wo
+olova ku tlula madyambu yo rhula ekaya ni buku leyinene loko moya wu
+hunga ehandle naswona mpfula yi na ehenhla ka lwangu un wana ni un wana
+u lava ku hlaya marito lawa ya tshamaka ya fana eka hina hinkwerhu
+namuntlha naswona misava yi cincile kambe ha tsundzuka leswaku swilo
+leswi swi tsariwile malembe yo tala lama hundzeke""",
+
+"lg": """enjuba eyaka waggulu w akabuga akatono era abantu bagenda mu
+katale okugula omugaati n amata kubanga enkya wajja kubaawo embaga mu
+kkanisa eri okumpi n omugga tumanyi nti obutiti bujja kujja mangu era
+ebiro by ekiro bijja kuba biwanvu naye abaana bakyazannya mu nnimiro n
+emikwano gyabwe era abasajja abakulu boogera engero z ekibira gye
+bisolo bikunganira ng omuzira gugwa tewali kintu kyangu okusinga
+akawungeezi akateefu mu maka n ekitabo ekirungi ng empewo efuuwa ebweru
+era enkuba etonnya ku kasolya buli muntu ayagala okusoma ebigambo ebikyali
+bye bimu gye tuli ffenna leero era ensi yakyuka naye tujjukira nti ebintu
+bino byawandiikibwa emyaka mingi egiyise""",
+
+"ln": """moi ezali kongenga likolo ya mboka moke mpe bato bazali kokende
+na zando mpo na kosomba lipa na miliki mpamba te lobi ekozala na feti na
+ndako nzambe oyo ezali pene na ebale toyebi ete eleko ya malili ekoya
+noki mpe butu ekozala molai kasi bana bazali naino kosakana na elanga
+elongo na baninga na bango mpe mibange bazali koloba masolo ya zamba
+esika banyama bayanganaka tango mbula ya pembe ekweyaka eloko moko te
+ezali pete koleka mpokwa ya kimia na ndako na buku malamu tango mopepe
+ezali kopepa libanda mpe mbula ezali konoka likolo ya ndako moto nyonso
+alingi kotanga maloba oyo etikali ndenge moko mpo na biso nyonso lelo
+mpe mokili ebongwani kasi tozali kokanisa ete makambo oyo ekomamaki
+mibu mingi eleka""",
+
+"wo": """jant bi dafay leer ci kaw dëkk bu ndaw bi te nit ñi dem nañu ca
+marse ba ngir jënd mburu ak meew ndax suba dina am xew ci jumaa ji nekk
+ci wetu dex gi xam nanu ne sedd bi dina ñëw léegi te guddi yi dinañu gudd
+waaye xale yi di nañu fo ci tool bi ak seeni xarit te mag ñi di nañu wax
+léeb yu àll bi fu rab yi di daje su perkal bi di wàcc amul dara lu gën a
+yomb ni ngoon gu dal ci kër gi ak téere bu baax bu ngelaw li di fëy ci
+biti te taw bi di wàcc ci kaw taax mi nit ku nekk bëgg na jàng baat yi
+des yu mel ni noonu ngir nun ñépp tey te àddina bi soppiku na waaye
+fàttaliku nanu ne yëf yii bind nañu ko ay at yu bare ci ginnaaw""",
+
+"om": """aduun gandaa xiqqaa gubbaa ibsaa jira namoonnis buddeena fi
+aannan bituuf gara gabaa deemaa jiru sababni isaa bor mana sagadaa laga
+bira jiru keessatti ayyaanni ni taati gannii dafee akka dhufu fi halkan
+dheeraa akka tahu beekna garuu ijoolleen ammallee iddoo biqiltuu keessatti
+hiriyoota isaanii wajjin taphachaa jiru manguddoonnis waayee bosonaa
+seenaa himaa jiru bakka bineensonni itti walitti qabaman yeroo cabbiin
+bu'u galgala tasgabbaayaa mana keessatti kitaaba gaarii wajjin dabarsuu
+caalaa wanti salphaan hin jiru yeroo bubbeen alatti bubbisuu fi roobni
+mana gubbaa roobu namni hundi jechoota hunda keenyaaf har'a walfakkaatanii
+hafan dubbisuu barbaada addunyaanis jijjiiramteetti garuu wantoonni
+kunneen waggoota hedduu dura akka barreeffaman ni yaadanna""",
+
+"gn": """kuarahy omimbi pe tava'i ári ha umi tapicha oho pe mercado-pe
+ojogua hagua mbujape ha kamby ko'ero oikotaha peteî arete pe tupao ysyry
+ypype oîvape jaikuaa ro'y oûtaha pya'e ha umi pyhare ipukuveha katu umi
+mitâ oñembosarái gueteri pe kokuepe iñangirûnguéra ndive ha umi karai
+tuja omombe'u ka'aguy rehegua marandu umi mymba ijatyha yvytî ho'a vove
+ndaipóri mba'eve hasy'ỹva peteî ka'aru py'aguapy ógape peteî kuatiañe'ê
+porâ ndive yvytu oipeju aja okápe ha ama ho'a pe óga ape ári mayma
+tapicha oipota omoñe'ê umi ñe'ê opytáva peteîcha ñandéve ko árape ha pe
+arapy iñambue katu ñanemandu'a ko'â mba'e ojehaihague heta ary ymave""",
+
+"qu": """inti k'anchamushan huch'uy llaqta patapi runakunataq qhatuman
+rishanku t'antata ñukñuta rantinankupaq paqarin mayu qayllapi iñina
+wasipi raymi kananrayku yachanchik chiri pacha usqhaylla hamunanta
+tutakunataq karu kananta ichaqa warmakunaqa pukllashankuraq muya ukhupi
+masinkunan kuska machu runakunataq sach'a sach'amanta willakuykunata
+willashanku maypichus uywakuna huñunakunku rit'i urmaqtin mana imapas
+aswan facilchu wasipi ch'in ch'isiyaymanta allin liwru kuska wayra
+hawapi phukushaqtin paraq wasi patapi urmashaqtin sapa runa munan
+ñawinchayta chay simikunata kunan tukuyninchikpaq kaqlla kashaqkunata
+pachataq tikrakun ichaqa yuyanchik kay imakuna unay watakuna ñawpaq
+qillqasqa kasqanta""",
+
+"ay": """inti jisk'a marka patxaru qhanastaski jaqinakasti qhaturu
+sarapxi t'ant'a milki alañataki kunatixa qharüru mä phunchawi utjani
+jawira jak'ana iglesia ukana yatipxtwa thaya pacha jank'aki jutani
+ukatsti arumanakaxa jayäniwa ukampirusa wawanakaxa yapuna anatasipkakiwa
+masinakapampi ukatsti chuymani jaqinakaxa quqa quqata arsupxi kawkhantixa
+uywanakaxa tantachasipxi khunu puriniwipana janiwa kunasa mä qhana
+jayp'uta sipansa jasäkiti utana mä suma libro ukampi kunapachatixa
+wayraxa anqana phustaski ukatsti jallusa uta patxaru puriniski sapa
+jaqiwa muni ulläña uka arunaka jichhüruxa taqiniru kikipaki qhipharapki
+uka pachasti mayjt'awayiwa ukampirusa amtapxtwa aka yänakaxa walja
+maranaka nayraqata qillqatäwa ukxa""",
+
+"to": """kuo malama e la'a ki he ki'i kolo si'i pea 'oku 'alu e kakai ki
+he maketi ke fakatau mai 'a e ma mo e hu'akau koe'uhi 'e 'i ai ha katoanga
+'apongipongi 'i he falelotu ofi ki he vaitafe 'oku tau 'ilo 'e vave mai
+'a e fa'ahita'u momoko pea 'e loloa e ngaahi po ka 'oku kei va'inga e
+fanau 'i he ngoue mo honau ngaahi kaume'a pea 'oku fai talanoa e kau
+matu'a fekau'aki mo e vaotataa 'a ia 'oku fakatahataha ai e fanga manu
+'i he to e sinou 'oku 'ikai ha me'a 'oku faingofua ange 'i ha efiafi
+nonga 'i 'api mo ha tohi lelei lolotonga 'oku angi e matangi 'i tu'a pea
+to e 'uha ki he 'ato 'oku loto e tokotaha kotoa ke lau e ngaahi lea 'oku
+kei tatau pe kiate kitautolu kotoa he 'aho ni""",
+
+"fj": """sa cila na siga e dela ni koro lailai ka ra lako na tamata ki na
+makete me ra volia na madrai kei na sucu baleta ni na dua na soqo ni
+mataka ena valenilotu e volekata na uciwai eda kila ni na yaco totolo
+mai na vula i liliwa ka na dede na bogi ia era se qito tiko na gone ena
+were kei ira na nodra itokani ka ra tukuna na turaga qase na italanoa ni
+veikau na vanua era dau soqoni kina na manumanu ni sa lutu na uca cevata
+e sega ni dua na ka e rawarawa cake mai na dua na yakavi vakacegu e
+vale kei na dua na ivola vinaka ni sa liwa tiko na cagi e tuba ka tau
+tiko na uca e dela ni vale e via wilika na tamata kece na vosa era se
+tautauvata tiko vei keda kece nikua""",
+
+"bi": """san i saen antap long smol vilej mo ol man oli go long maket blong
+pem bred mo melek from we tumora bae i gat wan lafet long jos we i stap
+klosap long reva yumi save se kol taem bae i kam kwiktaem mo ol naet bae
+oli longfala be ol pikinini oli stap plei yet long garen wetem ol fren
+blong olgeta mo ol olfala man oli stap talem ol stori blong bus we ol
+anamol oli save kam tugeta taem sno i foldaon i no gat wan samting we i
+isi moa bitim wan kwaet sapa long haos wetem wan gudfala buk taem win i
+stap blu afsaed mo ren i stap foldaon antap long ruf evri man i wantem
+ridim ol toktok we oli stap sem mak yet blong yumi evriwan tedei""",
+
+"tk": """gün kiçijik obanyň üstünde şöhle saçýar we adamlar çörek bilen
+süýt satyn almak üçin bazara gidýärler sebäbi ertir derýanyň ýanyndaky
+metjitde baýramçylyk bolar gyşyň tiz geljekdigini we gijeleriň uzyn
+boljakdygyny bilýäris ýöne çagalar entek hem bagda dostlary bilen oýnaýarlar
+we garry adamlar tokaý hakynda hekaýalar aýdýarlar ol ýerde haýwanlar gar
+ýaganda ýygnanýarlar öýde gowy kitap bilen asuda agşamdan has aňsat zat
+ýok şemal daşarda öwüsýärkä we ýagyş üçegiň üstüne ýagýarka her bir adam
+şu gün hemmämiz üçin birmeňzeş galan sözleri okamak isleýär we dünýä
+üýtgedi ýöne bu zatlaryň köp ýyl ozal ýazylandygyny ýatlaýarys""",
+
+"ku": """roj li ser gundê biçûk dibiriqe û mirov diçin bazarê da ku nan û
+şîr bikirin ji ber ku sibê wê li mizgefta nêzîkî çem cejnek hebe em dizanin
+ku zivistan wê zû were û şev wê dirêj bibin lê zarok hîn jî li baxçe bi
+hevalên xwe re dilîzin û mirovên pîr çîrokên daristanê dibêjin cihê ku
+ajal lê kom dibin dema berf dibare tiştek ji êvareke aram a li malê bi
+pirtûkeke baş hêsantir tune ye dema ba li derve diweşe û baran li ser
+banî dibare her mirov dixwaze wan peyvan bixwîne yên ku ji bo me hemûyan
+îro wek hev mane û cîhan guheriye lê em tînin bîra xwe ku ev tişt gelek
+sal berê hatine nivîsandin""",
+
+"tt": """кояш кечкенә авыл өстендә балкып тора һәм кешеләр икмәк белән
+сөт сатып алырга базарга баралар чөнки иртәгә елга янындагы мәчеттә
+бәйрәм булачак без кышның тиздән киләчәген һәм төннәрнең озын булачагын
+беләбез ләкин балалар әле дә бакчада дуслары белән уйныйлар ә карт
+кешеләр урман турында хикәяләр сөйлиләр анда хайваннар кар яугач җыелалар
+өйдә яхшы китап белән тыныч кичтән дә гадирәк нәрсә юк җил тышта искәндә
+һәм яңгыр түбә өстенә яуганда һәр кеше бүген барыбыз өчен дә бер үк
+булып калган сүзләрне укырга тели һәм дөнья үзгәрде ләкин без бу
+нәрсәләрнең күп еллар элек язылганын хәтерлибез""",
+
+"ba": """ҡояш бәләкәй ауыл өҫтөндә балҡып тора һәм кешеләр икмәк менән
+һөт һатып алырға баҙарға баралар сөнки иртәгә йылға янындағы мәсеттә
+байрам буласаҡ беҙ ҡыштың тиҙҙән киләсәген һәм төндәрҙең оҙон буласағын
+беләбеҙ ләкин балалар әле лә баҡсала дуҫтары менән уйнайҙар ә ҡарт
+кешеләр урман тураһында хикәйәләр һөйләйҙәр унда хайуандар ҡар яуғас
+йыйылалар өйҙә яҡшы китап менән тыныс кистән дә ябайыраҡ нәмә юҡ ел
+тышта иҫкәндә һәм ямғыр түбә өҫтөнә яуғанда һәр кеше бөгөн барыбыҙ өсөн
+дә бер үк булып ҡалған һүҙҙәрҙе уҡырға теләй һәм донъя үҙгәрҙе ләкин
+беҙ был нәмәләрҙең күп йылдар элек яҙылғанын хәтерләйбеҙ""",
+
+"sa": """सूर्यः लघुग्रामस्य उपरि प्रकाशते जनाश्च आपणं गच्छन्ति रोटिकां
+दुग्धं च क्रेतुं यतः श्वः नद्याः समीपे देवालये उत्सवः भविष्यति वयं जानीमः
+यत् शीतकालः शीघ्रम् आगमिष्यति रात्रयश्च दीर्घाः भविष्यन्ति परन्तु बालकाः
+अद्यापि उद्याने स्वमित्रैः सह क्रीडन्ति वृद्धाश्च वनस्य कथाः कथयन्ति यत्र
+पशवः हिमपाते सति मिलन्ति गृहे उत्तमपुस्तकेन सह शान्तसायंकालात् सरलतरं
+किमपि नास्ति यदा वायुः बहिः वहति वृष्टिश्च छदिषि पतति सर्वे जनाः तानि
+वचनानि पठितुम् इच्छन्ति यानि अद्य अस्माकं सर्वेषां कृते समानानि एव
+तिष्ठन्ति जगत् च परिवृत्तं परन्तु वयं स्मरामः यत् एतानि वस्तूनि बहुवर्षेभ्यः
+पूर्वं लिखितानि""",
+
+"bh": """सुरुज छोटका गाँव के ऊपर चमकत बा आ लोग बजार जात बा रोटी आ दूध
+कीने खातिर काहे कि बिहान नदी किनारे वाला मंदिर में तेवहार होखी हमनी के
+जानत बानी जा कि जाड़ा जल्दिये आई आ रात लमहर हो जाई बाकिर लइकन अबहियों
+बगइचा में आपन संघतिया लोग के साथे खेलत बाड़े आ बूढ़ लोग जंगल के कहानी
+सुनावत बा जहाँ जानवर बरफ गिरला पर जुटेला घर में बढ़िया किताब के साथे
+शांत साँझ से आसान कुछुओ नइखे जब बयार बाहर बहत होखे आ बरखा छत पर गिरत
+होखे हर आदमी ऊ शब्द पढ़ल चाहत बा जे आजो हमनी सब खातिर एकही नियन बा आ
+दुनिया बदल गइल बाकिर हमनी के इयाद बा कि ई चीज बहुत साल पहिले लिखल गइल
+रहे""",
+
 "bn": """সূর্য ছোট গ্রামের উপর উজ্জ্বল হয়ে আছে এবং মানুষেরা বাজারে যাচ্ছে রুটি
 আর দুধ কিনতে কারণ আগামীকাল নদীর পাশের মসজিদে উৎসব হবে আমরা জানি শীত শীঘ্রই
 আসবে এবং রাতগুলো দীর্ঘ হবে কিন্তু শিশুরা এখনো বাগানে তাদের বন্ধুদের সঙ্গে
@@ -446,6 +683,28 @@ que iste cosas esseva scribite multe annos retro""",
 }
 
 NEW_HELDOUT: dict[str, str] = {
+    "rw": "iyi ni interuro isanzwe y ikinyarwanda moteri igomba kumenya nta kibazo na kimwe",
+    "rn": "abantu benshi barakunda gusoma ibitabu vyiza kandi abana barakina hanze iyo izuba riri hejuru kuko ubuzima bwiza buri mu kigwati cacu",
+    "ny": "ichi ndi chiganizo chachizolowezi cha chichewa chimene makina ayenera kuzindikira popanda vuto lililonse",
+    "st": "ena ke polelo e tlwaelehileng ya sesotho eo enjine e lokelang ho e tseba ntle le bothata leha bo le bong",
+    "tn": "gompieno batho ba le bantsi ba rata go buisa dibuka tse di siameng mme bana ba tshameka kwa ntle fa letsatsi le phatsima ka gonne botshelo jo bo monate bo mo motseng wa rona",
+    "ts": "lexi i xivulwa lexi tolovelekeke xa xitsonga lexi muchini wu faneleke ku xi tiva handle ka xiphiqo",
+    "lg": "eno ye nsonga eya bulijjo eya luganda ekyuma kye kirina okutegeera awatali buzibu na bumu",
+    "ln": "oyo ezali fraze ya momeseno ya lingala oyo masini esengeli koyeba na pasi ata moko te",
+    "wo": "lii mooy baat bu yem ci wolof bi masin bi war a xam te amul benn jafe jafe",
+    "om": "kun hima barruu afaan oromoo idilee kan maashinichi rakkoo tokko malee beekuu qabu dha",
+    "gn": "kova peteî ñe'êjoaju jepiveguáva guaraníme pe mba'e'oka oikuaava'erâ mba'eve apañuái'ŷre",
+    "qu": "kayqa huk sapsi rimay runasimipi chay makinaqa mana ima sasachakuyniyuq riqsinan tiyan",
+    "ay": "akaxa mä pachpa aru aymara arunxa uka makinaxa jan kuna jan walt'awimpi uñt'añapawa",
+    "to": "ko e fakamatala anga maheni eni 'i he lea fakatonga 'oku totonu ke 'ilo'i 'e he misini ta'e ha palopalema",
+    "fj": "oqo e dua na yatuvosa wadewade ni vosa vakaviti me kilai rawarawa ga mai na matai ni yaya",
+    "bi": "hemia i wan nomol toktok long bislama we masin i mas savegud wetem no wan trabol nating",
+    "tk": "şu gün howa örän gowy we biz dostlarymyz bilen seýilgähde gezelenç etmäge gidýäris sebäbi durmuş biziň obamyzda gaty gowy we adamlar kitap okamagy halaýarlar",
+    "ku": "ev hevokeke asayî ya kurmancî ye ku divê motor bêyî tu pirsgirêkê wê nas bike",
+    "tt": "бу двигатель бернинди кыенлыксыз танырга тиешле гади татар җөмләсе",
+    "ba": "был двигатель бер ниндәй ҡыйынлыҡһыҙ танырға тейешле ябай башҡорт һөйләме",
+    "sa": "इदं सामान्यं संस्कृतवाक्यम् अस्ति यत् यन्त्रेण विना कष्टेन ज्ञातव्यम्",
+    "bh": "ई एगो एकदम आम भोजपुरी वाक्य हवे जेकरा इंजन के बिना कवनो दिक्कत के चिन्हे के चाहीं",
     "bn": "এটি একটি সম্পূর্ণ সাধারণ বাংলা বাক্য যা ইঞ্জিনটির কোনো সমস্যা ছাড়াই চেনা উচিত",
     "as": "এইটো এটা সম্পূৰ্ণ সাধাৰণ অসমীয়া বাক্য যিটো ইঞ্জিনে কোনো অসুবিধা নোহোৱাকৈ চিনিব লাগে",
     "am": "ይህ ሞተሩ ያለ ምንም ችግር ሊያውቀው የሚገባ ፍጹም ተራ የአማርኛ ዓረፍተ ነገር ነው",
@@ -463,7 +722,7 @@ NEW_HELDOUT: dict[str, str] = {
     "co": "questa hè una frasa corsa di tuttu ordinaria chì u mutore duveria ricunnosce senza alcunu prublemu",
     "br": "ur frazenn vrezhonek peurvoutin eo homañ hag a rankfe bezañ anavezet gant ar c'heflusker hep kudenn ebet",
     "gd": "is e seantans gàidhlig gu tur àbhaisteach a tha seo a bu chòir don einnsean aithneachadh gun duilgheadas sam bith",
-    "ht": "sa a se yon fraz kreyòl ayisyen total òdinè ke motè a ta dwe rekonèt san okenn pwoblèm",
+    "ht": "timoun yo pral lekol chak maten epi yo tounen lakay yo nan apremidi pou yo manje ak fanmi yo paske se konsa lavi a ye nan bouk la",
     "jv": "iki ukara basa jawa sing lumrah banget sing kudune bisa ditepungi dening mesin tanpa masalah apa apa",
     "su": "barudak di lembur teh resep pisan arulin di buruan bari kolotna ngobrol ngeunaan kahirupan sapopoe jeung pagawean di sawah anu keur dipigawe ku maranehna",
     "ceb": "kini usa ka ordinaryo kaayo nga sentence sa binisaya nga kinahanglan mailhan sa makina nga walay bisan unsang problema",
@@ -492,6 +751,35 @@ NEW_HELDOUT: dict[str, str] = {
 # sv quadgrams counterbalance that; our seed-scale ones need more
 # Swedish mass to do the same once the distinct-boost ring landed).
 SEED_APPEND: dict[str, str] = {
+    # batch-2 crowding compensations: the added languages dilute
+    # shared gram lanes (top-4 per gram), so the previously-passing
+    # ht / sl / zu heldouts needed more seed mass of their own
+    "ht": """timoun yo renmen jwe deyo lakay yo chak jou apre lekol la
+epi manman yo ap prepare manje nan kizin nan pandan papa yo ap travay
+nan jaden an lavi a di men li bel tou paske nou gen fanmi nou ak zanmi
+nou yo ki toujou la pou ede nou le nou bezwen yo se sa ki fe nou kontan
+anpil jodi a mwen te we yon bel zwazo sou pye bwa a bo kote fenet la
+epi li t ap chante yon bel chante""",
+    "sl": """otroci se radi igrajo zunaj pred hišo vsak dan po šoli
+medtem ko matere pripravljajo večerjo v kuhinji in očetje delajo na
+polju življenje je težko toda tudi lepo ker imamo svojo družino in
+prijatelje ki so vedno tu da nam pomagajo kadar jih potrebujemo danes
+zjutraj sem videl lepo ptico na drevesu ob oknu in pela je zelo prijetno
+pesem potem sem šel v službo in srečal našega novega soseda ki je prišel
+prejšnji teden iz drugega mesta""",
+    "zu": """izingane zithanda ukudlala phandle emini yonke ngemva
+kwesikole ngenkathi omama belungisa ukudla ekhishini nobaba besebenza
+emasimini impilo inzima kodwa iyinhle futhi ngoba sinomndeni wethu
+nabangani bethu abahlala bekhona ukusisiza uma sibadinga namuhla ekuseni
+ngibone inyoni enhle esihlahleni eduze kwefasitela futhi ibicula iculo
+elimnandi kakhulu ngemva kwalokho ngiye emsebenzini ngahlangana nomakhelwane
+wethu omusha ofike ngesonto eledlule evela kwelinye idolobha lona
+umfana omncane uhamba nesalukazi sakhe ukuya edolobheni ngoba kufanele
+bathenge izingubo ezintsha zesikole futhi injini yemoto yabo indala
+kakhulu kodwa isasebenza kahle uma umshayeli eyinakekela njalo lokhu
+kuyinkinga ejwayelekile emakhaya ngoba abantu abaningi abanayo imali
+eyanele yokuthenga izimoto ezintsha kodwa bayakwazi ukuphila kahle""",
+
     "sv": """det är en helt vanlig dag i den lilla staden och barnen
 leker utan bekymmer på gården medan deras föräldrar arbetar några av
 dem springer omkring och skrattar högt andra sitter tysta och läser

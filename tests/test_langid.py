@@ -41,7 +41,7 @@ def test_heldout_long(det, code):
 
 
 # exact-match set: every held-out language that must NOT fall to a
-# close sibling. Only bs/sk are excluded — they legitimately fall
+# close sibling. Only bs/sk/rn are excluded — they legitimately fall
 # within their reference close sets (lang_script.cc:260-308).
 EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
          "zh", "el", "th", "he", "ar", "hi", "ta", "tr", "fi", "hu", "vi",
@@ -53,7 +53,11 @@ EXACT = ["en", "fr", "de", "es", "it", "pt", "nl", "ru", "uk", "ja", "ko",
          "eo", "la", "az", "uz", "nn", "fo", "fy", "lb", "oc", "co",
          "br", "gd", "ht", "jv", "su", "ceb", "ha", "yo", "zu", "xh",
          "sn", "so", "mg", "mi", "sm", "haw", "sco", "ia", "kk", "ky",
-         "mn", "tg", "ps", "yi", "bn", "as", "am", "ti"]
+         "mn", "tg", "ps", "yi", "bn", "as", "am", "ti",
+         # batch 2 (rn falls to rw inside their reference close set)
+         "rw", "ny", "st", "tn", "ts", "lg", "ln", "wo", "om", "gn",
+         "qu", "ay", "to", "fj", "bi", "tk", "ku", "tt", "ba", "sa",
+         "bh"]
 
 
 @pytest.mark.parametrize("code", EXACT)
