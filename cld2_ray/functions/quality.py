@@ -103,14 +103,25 @@ def _letter_lut():
 
 @lru_cache(maxsize=1)
 def _fold_lut():
-    """uint32[0x500]: 1:1 lowercase (simple fold) for the stopword
-    alphabet range; cps with multi-char lowerings stay unmapped, which
-    matches RE2's SIMPLE case folding."""
-    lut = np.arange(0x500, dtype=np.uint32)
-    for cp in range(0x500):
-        low = chr(cp).lower()
-        if len(low) == 1 and ord(low) < 0x500:
-            lut[cp] = ord(low)
+    """uint32[0x30000]: fold each codepoint onto its stopword-alphabet
+    representative, derived FROM RE2 itself (one anchored `(?i)` match
+    per alphabet letter over all codepoints), so the C scan and the
+    Arrow/RE2 fallback agree by construction on the whole fold domain
+    — including orbits outside Latin-1/Cyrillic-proper (ſ→s U+017F,
+    ᲀ→в U+1C80, ᲂ→о, ᲃ→с, ᲄ/ᲅ→т in Cyrillic Extended-C). Codepoints
+    whose orbit has no alphabet member keep identity; they can never
+    be part of a stopword match, so identity is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    lim = 0x30000
+    lut = np.arange(lim, dtype=np.uint32)
+    chars = pa.array([chr(cp) if not 0xD800 <= cp < 0xE000 else "\x00"
+                      for cp in range(lim)])
+    alphabet = sorted(set("".join(_STOP_WORDS_ALT.split("|"))))
+    for ch in alphabet:
+        m = pc.match_substring_regex(
+            chars, "^" + re.escape(ch) + "$", ignore_case=True)
+        lut[np.nonzero(m.to_numpy(zero_copy_only=False))[0]] = ord(ch)
     return lut
 
 

@@ -561,7 +561,8 @@ static void scan_one_span(const uint8_t *sp, int64_t len, int64_t base,
  *     is_letter[cp] (unicodedata L*, the \pL analogue)
  *   - stopword token match = ^['"(]*(?:STOP)[.,;:!?'")]*$ ignore_case:
  *     strip leading {'"(}, strip trailing {.,;:!?'")}, simple-fold
- *     (fold[] = 1:1 str.lower for cp<0x500), compare against the
+ *     (fold[] = RE2-derived orbit map onto the stopword alphabet,
+ *     identity elsewhere; see quality._fold_lut), compare against the
  *     packed-utf8 stopword set (keys = folded bytes, <=8, LE uint64)
  *   - sentences = cps {. ! ? 0x3002 0xFF01 0xFF1F}; symbols =
  *     '#' + floor(dot_run/3) + 0x2026; lorem = case-insensitive

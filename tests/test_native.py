@@ -234,6 +234,10 @@ class TestQualityScan:
             "И В НЕ на с",
             "'''the...... ", "word. Sentence! Q? 。！？",
             "İN in the", "ab\x0bcd ef", "a b the of and",
+            # RE2 fold-orbit regressions: Cyrillic Extended-C folds
+            # into listed stopwords (ᲀ→в U+1C80, ᲂ/ᲃ/ᲄ/ᲅ; ſ→s U+017F)
+            "ᲀ ᲁ ᲂ ᲃ ᲄ ᲅ ᲆ ᲇ ᲈ", "ᲀ", "ᲅo ᲂн ѣ",
+            "iſ aſ loſ ſe", "Ꙛ ꙛ Ꙩ пѻ",
             "(((la))) 'de' \"und\".", None,
             # line-stats edges (C line_scan_doc vs pandas pin)
             "\n\n\n", "a\nb\na\nb\na", "- b\n* s\n• u\n· d\nx",
