@@ -141,9 +141,61 @@ def script_rtype(script: int) -> int:
     return int(_RTYPE[script])
 
 
+# raw ULScript numbers (reference generated_ulscript.h:31-55) -> this
+# engine's script ids, for every script the engine scores; reference
+# letters of any other script stay 0 (non-letter/unsupported), same as
+# before the parsed tables landed.
+_ULSCRIPT_TO_ID = {
+    1: LATIN, 2: GREEK, 3: CYRILLIC, 4: ARMENIAN, 5: HEBREW, 6: ARABIC,
+    9: DEVANAGARI, 10: BENGALI, 11: GURMUKHI, 12: GUJARATI, 13: ORIYA,
+    14: TAMIL, 15: TELUGU, 16: KANNADA, 17: MALAYALAM, 18: SINHALA,
+    19: THAI, 20: LAO, 21: TIBETAN, 22: MYANMAR, 23: GEORGIAN, 24: HANI,
+    25: ETHIOPIC, 30: KHMER,
+}
+
+_ULUTS_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "state", "artifacts",
+    "unicode_luts.npz")
+
+
+@lru_cache(maxsize=1)
+def _ref_luts():
+    """(ulscript uint8[0x30000], lower uint32[0x30000]) parsed from the
+    reference's utf8statetable headers (state/refparse.py:
+    ulscript_prop_lut / lettermark_lower_lut), verified against the
+    artifact's sha256 manifest; None when the artifact is absent."""
+    import hashlib
+    import os
+    if not os.path.exists(_ULUTS_PATH):
+        return None
+    z = np.load(_ULUTS_PATH)
+    want = dict(e.split(":") for e in z["manifest"])
+    out = {}
+    for name in ("ulscript", "lower"):
+        arr = z[name]
+        if hashlib.sha256(arr.tobytes()).hexdigest() != want[name]:
+            raise ValueError(
+                f"unicode_luts artifact corrupted: {name} checksum "
+                "mismatch — rebuild with python -m cld2_ray.state.refparse")
+        out[name] = arr
+    return out["ulscript"], out["lower"]
+
+
 @lru_cache(maxsize=1)
 def script_lut() -> np.ndarray:
-    """uint8[0x30000]: codepoint -> script id (0 for non-letter)."""
+    """uint8[0x30000]: codepoint -> script id (0 for non-letter).
+
+    Primary source: the reference's own letter/mark/script property
+    state machine (internal/utf8prop_lettermarkscriptnum.h via
+    GetUTF8LetterScriptNum, getonescriptspan.cc:1083-1088), parsed into
+    the unicode_luts artifact and remapped to this engine's script ids.
+    Fallback (artifact absent): unicodedata-derived block ranges."""
+    ref = _ref_luts()
+    if ref is not None:
+        remap = np.zeros(256, dtype=np.uint8)
+        for uls, sid in _ULSCRIPT_TO_ID.items():
+            remap[uls] = sid
+        return remap[ref[0]]
     lut = np.zeros(LUT_SIZE, dtype=np.uint8)
     for lo, hi, sid in _RANGES:
         hi = min(hi, LUT_SIZE - 1)
@@ -156,13 +208,18 @@ def script_lut() -> np.ndarray:
 
 @lru_cache(maxsize=1)
 def lower_lut() -> np.ndarray:
-    """uint32[0x30000]: the PINNED lowercase remap — the analogue of the
-    reference's utf8repl_lettermarklower.h replace table
-    (getonescriptspan.cc:1033-1065): only Latin/Cyrillic/Greek/Armenian
-    letters change, and only via SIMPLE (1:1) mappings, so lowercasing
-    never changes string length and never drifts with Python's full
-    casefolding (e.g. İ -> i̇ expansion, Cherokee/Georgian case added in
-    later Unicode versions)."""
+    """uint32[0x30000]: the pinned 1:1 lowercase remap.
+
+    Primary source: the reference's utf8repl_lettermarklower.h replace
+    table (applied by ScriptScanner::LowerScriptSpan,
+    getonescriptspan.cc:1033-1053), parsed per codepoint into the
+    unicode_luts artifact — every replacement in that table is exactly
+    one codepoint (asserted at build), including İ->i and Georgian
+    Asomtavruli->Mkhedruli, so offsets stay 1:1. Fallback (artifact
+    absent): unicodedata simple lowering over cased scripts."""
+    ref = _ref_luts()
+    if ref is not None:
+        return ref[1].astype(np.uint32, copy=False)
     lut = np.arange(LUT_SIZE, dtype=np.uint32)
     cased = {LATIN, CYRILLIC, GREEK, ARMENIAN}
     script = script_lut()

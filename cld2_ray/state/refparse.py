@@ -426,3 +426,173 @@ def latn_othr_codes():
         if ps < len(othr) and othr[ps] == ref_id:
             othr_codes.add(code)
     return latn_codes, othr_codes
+
+
+# ---------------------------------------------------------------------------
+# Unicode letter/mark script property + lowercase remap, parsed from the
+# reference's utf8statetable state machines:
+#   internal/utf8prop_lettermarkscriptnum.h  (two-byte-entry property
+#     table walked by UTF8GenericPropertyTwoByte, utf8statetable.cc:362;
+#     GetUTF8LetterScriptNum, getonescriptspan.cc:1083 — codepoint ->
+#     ULScript number, 0 for non-letters)
+#   internal/utf8repl_lettermarklower.h  (replace table applied by
+#     UTF8GenericReplaceInternal, utf8statetable.cc:608-871, through
+#     ScriptScanner::LowerScriptSpan, getonescriptspan.cc:1033-1053 —
+#     per-character lowercasing incl. Turkish I-dot and Georgian
+#     Asomtavruli; every replacement in this table is 1 codepoint ->
+#     1 codepoint, asserted at build)
+# Both are enumerated per codepoint here at ARTIFACT BUILD time into
+# flat numpy LUTs; nothing below runs in the pipeline hot path.
+# ---------------------------------------------------------------------------
+
+# two-byte-table exit codes (utf8statetable.h:69-85): same order as the
+# one-byte codes but based at kExitIllegalStructure_2 = 0x8000
+_EXITS_2 = {k: 0x8000 + v - 240 for k, v in _EXITS.items()}
+_TOKEN_RE = r"0[xX][0-9a-fA-F]+|[A-Z][A-Z_0-9]{2}|\d+"
+
+
+def _parse_state_table(text: str, name: str, exits: dict[str, int],
+                       dtype) -> np.ndarray:
+    body = _array_body(text, name)
+    toks = re.findall(_TOKEN_RE, body)
+    vals = [exits[t] if t in exits else int(t, 0) for t in toks]
+    total = parse_const(text, name.rsplit(None, 1)[-1] + "_TOTAL_SIZE")
+    if len(vals) != total:
+        raise ValueError(f"{name}: {len(vals)} entries != {total}")
+    return np.array(vals, dtype=dtype)
+
+
+@lru_cache(maxsize=1)
+def ulscript_prop_lut(lim: int = 0x30000) -> np.ndarray:
+    """uint8[lim]: codepoint -> raw ULScript number (generated_ulscript.h
+    numbering; 0 = Common / not-a-letter), by walking every codepoint's
+    UTF-8 bytes through the property trie."""
+    src = _read("utf8prop_lettermarkscriptnum.h")
+    t = _parse_state_table(
+        src, "static const unsigned short utf8prop_lettermarkscriptnum",
+        _EXITS_2, np.int64)
+    lut = np.zeros(lim, dtype=np.uint8)
+    for cp in range(lim):
+        if 0xD800 <= cp < 0xE000:
+            continue
+        bs = chr(cp).encode("utf-8")
+        e = int(t[bs[0]])
+        for b in bs[1:]:
+            e = int(t[(e << 6) + b])
+        if e >= 0x8000:
+            raise ValueError(f"prop walk hit exit code for U+{cp:04X}")
+        lut[cp] = e
+    return lut
+
+
+def _replace_one(t: np.ndarray, remap: list[tuple[int, int, int]],
+                 remap_string: bytes, b: bytes) -> bytes:
+    """Run ONE structurally-valid UTF-8 char through the replace machine
+    (one-byte entries, shift 6), mirroring UTF8GenericReplaceInternal."""
+    X, RJ, R1, R2, R3, R21, R31, R32, T1, T2, S11, SP, DA, RJA = (
+        240, 242, 243, 244, 245, 246, 247, 248, 249, 250, 251, 252,
+        253, 254)
+    ne = 64
+    src_i, dst = 0, bytearray()
+    while True:
+        tbl, e = 0, 0
+        while src_i < len(b):
+            c = b[src_i]
+            e = int(t[tbl + c])
+            dst.append(c)
+            src_i += 1
+            if e >= X:
+                break
+            tbl = e << 6
+        if e < X:
+            return bytes(dst)       # source consumed in state0: done
+        if e == R31:
+            del dst[-2:]
+            dst[-1] = int(t[tbl + c + ne])
+        elif e == R32:
+            del dst[-1:]
+            dst[-2] = int(t[tbl + c + ne * 2])
+            dst[-1] = int(t[tbl + c + ne])
+        elif e == R21:
+            del dst[-1:]
+            dst[-1] = int(t[tbl + c + ne])
+        elif e in (R1, R2, R3):
+            if e == R3:
+                dst[-3] = int(t[tbl + c + ne * 3])
+            if e in (R2, R3):
+                dst[-2] = int(t[tbl + c + ne * 2])
+            dst[-1] = int(t[tbl + c + ne])
+        elif e == S11:              # 256-wide state0 replacement column
+            dst[-1] = int(t[tbl + c + 256])
+        elif e in (T1, T2, SP):     # offset replacement via RemapEntry
+            mult = 256 if tbl == 0 else ne
+            off = int(t[tbl + c + mult])
+            if e == T2:
+                off += int(t[tbl + c + mult * 2]) << 8
+            d, a, so = remap[off]
+            if (d | a) & 0x80:      # resume / html-pair: not in this table
+                raise ValueError("unsupported remap flags")
+            del dst[len(dst) - d:]
+            dst += remap_string[so:so + a]
+            # SP would run DoSpecialFixup next; it is a no-op
+            # (utf8statetable.cc:597-601)
+        else:                       # X__ / RJ_ / D__ / RJA: pass through
+            return b
+    raise AssertionError
+
+
+@lru_cache(maxsize=1)
+def lettermark_lower_lut(lim: int = 0x30000) -> np.ndarray:
+    """uint32[lim]: the reference's per-codepoint lowercase remap
+    (identity where the replace table passes through). Raises if any
+    replacement is not exactly one codepoint."""
+    src = _read("utf8repl_lettermarklower.h")
+    t = _parse_state_table(
+        src, "static const uint8 utf8repl_lettermarklower", _EXITS,
+        np.int64)
+    rb = _array_body(src,
+                     "static const RemapEntry utf8repl_lettermarklower"
+                     "_remap_base")
+    remap = [tuple(int(x) for x in m)
+             for m in re.findall(r"\{(\d+),\s*(\d+),\s*(\d+)\}", rb)]
+    rs = _array_body(src,
+                     "static const unsigned char utf8repl_lettermarklower"
+                     "_remap_string")
+    remap_string = bytes(int(tk, 0) for tk in re.findall(_TOKEN_RE, rs))
+    lut = np.arange(lim, dtype=np.uint32)
+    for cp in range(lim):
+        if 0xD800 <= cp < 0xE000:
+            continue
+        b = chr(cp).encode("utf-8")
+        o = _replace_one(t, remap, remap_string, b)
+        if o != b:
+            s = o.decode("utf-8")
+            if len(s) != 1:
+                raise ValueError(f"non-1:1 lowering U+{cp:04X} -> {s!r}")
+            lut[cp] = ord(s)
+    return lut
+
+
+def build_unicode_luts(path: str) -> None:
+    """Write state/artifacts/unicode_luts.npz: the parsed ULScript
+    property LUT + lowercase remap, with a sha256 manifest (same
+    dump/load+verify contract as the langmodel artifact)."""
+    import hashlib
+    uls = ulscript_prop_lut()
+    low = lettermark_lower_lut()
+    manifest = np.array(
+        [f"{n}:{hashlib.sha256(a.tobytes()).hexdigest()}"
+         for n, a in (("ulscript", uls), ("lower", low))])
+    np.savez_compressed(path, ulscript=uls, lower=low, manifest=manifest)
+
+
+if __name__ == "__main__":
+    out = os.path.join(os.path.dirname(__file__), "artifacts",
+                       "unicode_luts.npz")
+    build_unicode_luts(out)
+    z = np.load(out)
+    print(f"saved {out}: ulscript {z['ulscript'].shape} "
+          f"({int((z['ulscript'] != 0).sum())} letter cps), "
+          f"lower {z['lower'].shape} "
+          f"({int((z['lower'] != np.arange(len(z['lower']))).sum())} "
+          f"remapped)")

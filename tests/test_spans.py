@@ -95,7 +95,10 @@ class TestPinnedLowercase:
         assert lut[ord("A")] == ord("a")
         assert lut[0x0419] == 0x0439          # Й -> й
         assert lut[0x0391] == 0x03B1          # Α -> α
-        assert lut[0x0130] == 0x0130          # İ: 1->2 mapping NOT applied
+        assert lut[0x0130] == ord("i")        # İ -> i (reference replace
+        #                                         table maps it 1:1, unlike
+        #                                         Python's 2-cp casefold)
+        assert lut[0x10A0] == 0x2D00          # Ⴀ -> ⴀ (Georgian)
         # non-cased-script identity (Thai, Han)
         assert lut[0x0E01] == 0x0E01
         assert lut[0x4E00] == 0x4E00
