@@ -198,19 +198,34 @@ def run_scaling(sf_dir: str, lo: int | None = None,
 
 
 def _resolve_sf_dir(sf_dir: str) -> str:
-    """Fall back to the largest populated sf dir if the requested one
-    is missing its tables (the testdata dirs are driver-managed and
-    have been observed transiently empty)."""
+    """If the requested sf dir is missing its tables (the testdata dirs
+    are driver-managed and read-only; sf0.1 has been observed empty for
+    three rounds), SYNTHESIZE a directory of exactly that scale under
+    /tmp from the largest populated smaller dir — deterministic,
+    key-consistent replication (scripts/synth_sf.py) — instead of
+    silently timing a smaller scale (the BENCH_r02/r03 substitution)."""
     probe = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(probe):
         return sf_dir
     root = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
-    for cand in ("sf0.1", "sf0.01", "sf0.001"):
+    want = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    ladder = ("sf0.1", "sf0.01", "sf0.001")
+    for cand in ladder:
         p = os.path.join(root, cand)
-        if os.path.exists(os.path.join(p, "documents.parquet")):
-            print(f"# {sf_dir} has no documents.parquet; using {p}",
-                  file=sys.stderr)
-            return p
+        if not os.path.exists(os.path.join(p, "documents.parquet")):
+            continue
+        if want in ladder and ladder.index(cand) > ladder.index(want):
+            factor = 10 ** (ladder.index(cand) - ladder.index(want))
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from synth_sf import synth_sf_dir
+            out = f"/tmp/cld2_ray_bench/{want}-synth"
+            print(f"# {sf_dir} has no documents.parquet; synthesizing "
+                  f"{out} = {factor}x {p}", file=sys.stderr)
+            return synth_sf_dir(p, out, factor)
+        print(f"# {sf_dir} has no documents.parquet; using {p}",
+              file=sys.stderr)
+        return p
     return sf_dir  # let the read fail loudly
 
 
@@ -228,8 +243,15 @@ if __name__ == "__main__":
         out = run_benchmarks(sf_dir, ncpu)
     if sf_dir != requested:
         out["sf_requested"] = requested  # substitution is on the record
-        out["note"] = (f"sf dir substituted: per-query timings ran on "
-                       f"{sf_dir}, NOT {requested}; the flagship "
-                       f"headline is pinned to GRAFT_BENCH_PAGES and "
-                       f"stays scale-comparable")
+        if sf_dir.endswith("-synth"):
+            out["note"] = (f"{requested} is empty (read-only testdata); "
+                           f"per-query timings ran on {sf_dir}, a "
+                           f"deterministic key-consistent upscale of the "
+                           f"largest populated sf dir to exactly the "
+                           f"requested scale (scripts/synth_sf.py)")
+        else:
+            out["note"] = (f"sf dir substituted: per-query timings ran "
+                           f"on {sf_dir}, NOT {requested}; the flagship "
+                           f"headline is pinned to GRAFT_BENCH_PAGES "
+                           f"and stays scale-comparable")
     print(json.dumps(out))
