@@ -2295,17 +2295,23 @@ def q_source_csv(sf_dir):
     return _roundtrip(sf_dir, "csv")
 
 
-# Ordering note: the round-2 driver gate checked exactly the FIRST 50
-# registry entries, so the entries previously missing an independent
-# driver row (knn_classify, flagship_pages, eval_confusion, media_*)
-# now sit early; seven round-2-green entries whose operator families
-# have other green representatives (jsonl/csv/partitioned-sink reuse
-# the lang_counts oracle; top_longest / stopword_counts /
-# length_histogram have same-family siblings; langid_documents is
-# rows-only) take the tail positions. All 57 still run in selfcheck
-# and pytest regardless of driver budget.
+# Ordering note: the driver gate checks the FIRST 50 registry entries
+# per round. Round 3 green-checked positions 1-50 of the r3 ordering;
+# for round 4 the seven entries that sat past position 50 all three
+# rounds (langid_documents .. source_csv) rotate into the head, and
+# seven r3-HASH-GREEN entries whose operator families keep another
+# in-window representative rotate out. Union of r3+r4 driver rows
+# covers all 57. All 57 always run in selfcheck and pytest regardless
+# of driver budget.
 QUERIES = {
     "lang_counts": q_lang_counts,
+    "langid_documents": q_langid_documents,
+    "top_longest": q_top_longest,
+    "stopword_counts": q_stopword_counts,
+    "length_histogram": q_length_histogram,
+    "partitioned_sink": q_partitioned_sink,
+    "source_jsonl": q_source_jsonl,
+    "source_csv": q_source_csv,
     "source_lang_matrix": q_source_lang_matrix,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
@@ -2323,9 +2329,6 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "knn_classify": q_knn_classify,
     "media_decode": q_media_decode,
-    "media_resize": q_media_resize,
-    "media_audio": q_media_audio,
-    "media_video": q_media_video,
     "flagship_pages": q_flagship_pages,
     "eval_confusion": q_eval_confusion,
     "click_buyers": q_click_buyers,
@@ -2345,24 +2348,23 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "events_window": q_events_window,
     "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "supplier_regions": q_supplier_regions,
     "part_brand_stats": q_part_brand_stats,
     "ann_top1": q_ann_top1,
     "embedding_near_pairs": q_embedding_near_pairs,
-    "minhash_signatures": q_minhash_signatures,
-    "ivf_topk_exact": q_ivf_topk_exact,
     "ivf_topk": q_ivf_topk,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
-    # -- position > 50: round-2-green entries with family siblings --
-    "langid_documents": q_langid_documents,
-    "top_longest": q_top_longest,
-    "stopword_counts": q_stopword_counts,
-    "length_histogram": q_length_histogram,
-    "partitioned_sink": q_partitioned_sink,
-    "source_jsonl": q_source_jsonl,
-    "source_csv": q_source_csv,
+    # -- position > 50: hash-green in CORRECTNESS_r03.json, rotated out
+    # so the previously-row-less 7 get r4 driver rows; each has a
+    # same-family sibling still in the window (media_decode, ivf_topk,
+    # minhash_dedup, orders_by_segment, asof_join) --
+    "media_resize": q_media_resize,
+    "media_audio": q_media_audio,
+    "media_video": q_media_video,
+    "ivf_topk_exact": q_ivf_topk_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "supplier_regions": q_supplier_regions,
+    "range_join": q_range_join,
 }
 
 ORACLE_SQL = {
