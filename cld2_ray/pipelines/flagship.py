@@ -31,21 +31,29 @@ OUT_COLUMNS = [
 
 
 def build(pages_ds, langid_concurrency=(1, 8), quality_concurrency=(1, 8),
-          batch_size: int = 256):
-    """pages Dataset -> fully annotated Dataset (lazy)."""
+          batch_size: int = 256, with_chunks: bool = False):
+    """pages Dataset -> fully annotated Dataset (lazy).
+
+    ``with_chunks=True`` (opt-in: computes a second ranged detection
+    pass per page) adds a ``chunks`` list<struct{offset,bytes,lang}>
+    column — per-page language ranges in RAW page byte offsets, the
+    ResultChunkVector analogue (reference public/compact_lang_det.h:
+    146-153 via ExtDetectLanguageSummary's vector output)."""
     ds = pages_ds.map_batches(extract_batch, batch_format="pyarrow",
                               batch_size=batch_size)
     ds = ds.map_batches(LangidStage, batch_format="pyarrow",
                         batch_size=batch_size,
-                        concurrency=langid_concurrency, num_cpus=1)
+                        concurrency=langid_concurrency, num_cpus=1,
+                        fn_constructor_kwargs={"with_chunks": with_chunks})
     ds = ds.map_batches(QualityScrubStage, batch_format="pyarrow",
                         batch_size=batch_size,
                         concurrency=quality_concurrency, num_cpus=1)
-    return ds.select_columns(OUT_COLUMNS)
+    cols = OUT_COLUMNS + (["chunks"] if with_chunks else [])
+    return ds.select_columns(cols)
 
 
 def build_fused(pages_ds, concurrency: int | None = None,
-                batch_size: int = 256):
+                batch_size: int = 256, with_chunks: bool = False):
     """Single-stage fused pipeline (see FusedPipelineStage): best
     utilization / scaling; same row-level semantics as build().
 
@@ -57,12 +65,15 @@ def build_fused(pages_ds, concurrency: int | None = None,
     pool instead (needed when the stage must reserve >1 CPU or GPUs)."""
     if concurrency is None:
         ds = pages_ds.map_batches(fused_batch, batch_format="pyarrow",
-                                  batch_size=batch_size)
-    else:
-        ds = pages_ds.map_batches(FusedPipelineStage, batch_format="pyarrow",
                                   batch_size=batch_size,
-                                  concurrency=concurrency, num_cpus=1)
-    return ds.select_columns(OUT_COLUMNS)
+                                  fn_kwargs={"with_chunks": with_chunks})
+    else:
+        ds = pages_ds.map_batches(
+            FusedPipelineStage, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+            fn_constructor_kwargs={"with_chunks": with_chunks})
+    cols = OUT_COLUMNS + (["chunks"] if with_chunks else [])
+    return ds.select_columns(cols)
 
 
 def metrics(annotated_ds):

@@ -23,6 +23,21 @@ import pyarrow as pa
 from cld2_ray.functions import langs
 from cld2_ray.functions.extract import extract_text, valid_utf8_prefix
 
+# ResultChunkVector analogue (reference: public/compact_lang_det.h:146-153
+# ResultChunk {offset, bytes, lang1}): per-document list of language
+# ranges in RAW PAGE byte offsets.
+CHUNKS_TYPE = pa.large_list(pa.struct([
+    ("offset", pa.int64()), ("bytes", pa.int64()), ("lang", pa.string())]))
+
+
+def _chunks_array(det, htmls, ok) -> pa.Array:
+    """list<struct{offset,bytes,lang}> per page via detect_ranges_html
+    (invalid-UTF-8 pages get an empty list, like the UNKNOWN result)."""
+    rows = [[{"offset": o, "bytes": b, "lang": c}
+             for o, b, c in det.detect_ranges_html(h or b"")]
+            if k else [] for h, k in zip(htmls, ok)]
+    return pa.array(rows, type=CHUNKS_TYPE)
+
 
 def extract_batch(batch: pa.Table) -> pa.Table:
     """Stateless map_batches kernel: html -> extracted_text (+ gate)."""
@@ -49,9 +64,10 @@ class LangidStage:
     """Actor-pool stage: immutable scoring tables loaded once per actor
     (__init__), vectorized detection per batch (__call__)."""
 
-    def __init__(self):
+    def __init__(self, with_chunks: bool = False):
         from cld2_ray.functions.langid import Detector
         self.det = Detector()
+        self.with_chunks = with_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from cld2_ray.functions.hints import hints_from_page
@@ -97,6 +113,9 @@ class LangidStage:
             ("text_bytes", pa.array(text_bytes)),
         ]:
             batch = batch.append_column(name, arr)
+        if self.with_chunks:
+            batch = batch.append_column(
+                "chunks", _chunks_array(self.det, htmls, ok))
         return batch
 
 
@@ -200,7 +219,7 @@ class FusedPipelineStage:
     """
 
     def __init__(self, allow_langs: frozenset[str] | None = None,
-                 min_pct1: int = 50):
+                 min_pct1: int = 50, with_chunks: bool = False):
         from cld2_ray.functions import fastlangid, perplexity
         from cld2_ray.functions.langid import Detector
         self.det = Detector()
@@ -210,6 +229,7 @@ class FusedPipelineStage:
         self.perplexity = perplexity
         self.allow = allow_langs
         self.min_pct1 = min_pct1
+        self.with_chunks = with_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from cld2_ray.functions.hints import hints_from_page
@@ -298,13 +318,14 @@ class FusedPipelineStage:
             "has_toxicity": pa.array(sc["has_toxicity"].to_numpy()),
             "keep": pa.array((reason == "").to_numpy()),
             "drop_reason": pa.array(reason.tolist()),
-        })
+        } | ({"chunks": _chunks_array(self.det, htmls, ok)}
+             if self.with_chunks else {}))
 
 
 _FUSED_SINGLETON: "FusedPipelineStage | None" = None
 
 
-def fused_batch(batch: pa.Table) -> pa.Table:
+def fused_batch(batch: pa.Table, with_chunks: bool = False) -> pa.Table:
     """Task-form of FusedPipelineStage: identical semantics, but runs
     as plain Ray tasks with a lazy process-global model cache instead
     of a fixed actor pool.
@@ -319,4 +340,11 @@ def fused_batch(batch: pa.Table) -> pa.Table:
     global _FUSED_SINGLETON
     if _FUSED_SINGLETON is None:
         _FUSED_SINGLETON = FusedPipelineStage()
-    return _FUSED_SINGLETON(batch)
+    # with_chunks only changes per-call output (the model state is
+    # shared), so the flag is applied per batch, not per singleton
+    want = _FUSED_SINGLETON.with_chunks
+    try:
+        _FUSED_SINGLETON.with_chunks = with_chunks
+        return _FUSED_SINGLETON(batch)
+    finally:
+        _FUSED_SINGLETON.with_chunks = want

@@ -146,3 +146,55 @@ class TestFusedEqualsModular:
         assert list(a.columns) == list(b.columns)
         for col in a.columns:
             assert list(a[col]) == list(b[col]), f"column {col} differs"
+
+
+class TestChunksColumn:
+    """Opt-in ResultChunkVector output (public/compact_lang_det.h:146-153):
+    chunks = list<struct{offset,bytes,lang}> in RAW page byte offsets."""
+
+    HTML = ("<html><body><p>" + "The quick brown fox jumps over the lazy "
+            "dog and the weather today is sunny with a chance of rain. " * 4
+            + "</p><p>" + "Le renard brun rapide saute par-dessus le chien "
+            "paresseux et le temps est ensoleillé avec de la pluie. " * 4
+            + "</p></body></html>").encode("utf-8")
+
+    def test_schema_and_spans(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines import flagship
+        ds = rd.from_items([{"url": "http://x.example/en-fr",
+                             "warc_ts": 0, "lang": "en",
+                             "html": self.HTML}])
+        out = flagship.build_fused(ds, with_chunks=True)
+        assert "chunks" in out.schema().names
+        row = out.take_all()[0]
+        chunks = row["chunks"]
+        assert len(chunks) >= 2
+        for c in chunks:
+            assert set(c) == {"offset", "bytes", "lang"}
+            assert 0 <= c["offset"] < len(self.HTML)
+            assert c["offset"] + c["bytes"] <= len(self.HTML)
+        # the known spans: English first, French second, offsets point
+        # into the raw page at the right paragraph
+        langs_seen = [c["lang"] for c in chunks]
+        assert langs_seen[0] == "en" and "fr" in langs_seen
+        fr = chunks[langs_seen.index("fr")]
+        frag = self.HTML[fr["offset"]:fr["offset"] + fr["bytes"]]
+        assert b"renard" in frag and b"quick brown" not in frag
+
+    def test_opt_out_schema_unchanged(self, ray_session):
+        from cld2_ray.pipelines import flagship
+        from cld2_ray.pipelines.flagship import OUT_COLUMNS
+        ds = pages_dataset(8, seed=42)
+        assert flagship.build_fused(ds).schema().names == OUT_COLUMNS
+        assert flagship.build(
+            ds, with_chunks=True).schema().names == OUT_COLUMNS + ["chunks"]
+
+    def test_modular_equals_fused_chunks(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines import flagship
+        ds = rd.from_items([{"url": "http://x.example/en-fr",
+                             "warc_ts": 0, "lang": "en",
+                             "html": self.HTML}])
+        a = flagship.build(ds, with_chunks=True).take_all()[0]["chunks"]
+        b = flagship.build_fused(ds, with_chunks=True).take_all()[0]["chunks"]
+        assert a == b
