@@ -698,3 +698,13 @@ SEEDS.update(_NS)
 HELDOUT.update(_NH)
 for _c, _t in _SA.items():
     SEEDS[_c] = SEEDS.get(_c, "") + " " + _t
+
+# round-4 additions: RTypeOne-script heldouts (no training needed) and
+# the Tibt bo/dz quadgram seeds (Tibt flipped to RTypeMany; see
+# data/seeds_r4.py)
+from cld2_ray.data.seeds_r4 import (SCRIPT_HELDOUT as _SH,
+                                    TIBT_HELDOUT as _TH,
+                                    TIBT_SEEDS as _TS)
+SEEDS.update(_TS)
+HELDOUT.update(_SH)
+HELDOUT.update(_TH)

@@ -67,6 +67,9 @@ _LANG_DEFS: list[tuple[str, int]] = [
     ("ug", 3), ("uz", 3), ("ve", 3), ("vo", 3), ("war", 3),
     ("wo", 3), ("xh", 3), ("yi", 3), ("yo", 3), ("za", 3),
     ("zu", 3),
+    # appended round 4 (appending keeps every existing lang id stable,
+    # so the packed langprobs in the committed artifact stay valid)
+    ("iu", 3),   # Inuktitut — RTypeOne via Canadian Aboriginal syllabics
 ]
 
 CODES: list[str] = [c for c, _ in _LANG_DEFS]
@@ -152,7 +155,13 @@ _SCRIPT_ONE = {
     us.SINHALA: "si", us.BENGALI: "bn", us.GURMUKHI: "pa",
     us.GUJARATI: "gu", us.ORIYA: "or", us.GEORGIAN: "ka",
     us.ARMENIAN: "hy", us.ETHIOPIC: "am", us.KHMER: "km",
-    us.LAO: "lo", us.MYANMAR: "my", us.TIBETAN: "bo",
+    us.LAO: "lo", us.MYANMAR: "my",
+    # reference kULScriptToDefaultLang (generated_ulscript.cc:456-507):
+    # mn/tl here are the SAME lang ids as their quadgram-scored
+    # Cyrillic/Latin forms, exactly like the reference
+    us.SYRIAC: "syr", us.THAANA: "dv", us.CHEROKEE: "chr",
+    us.CANS: "iu", us.MONGOLIAN: "mn", us.TAGALOG: "tl",
+    us.LIMBU: "lif",
 }
 for _s, _c in _SCRIPT_ONE.items():
     SCRIPT_DEFAULT_LANG[_s] = lang_id(_c)
@@ -161,10 +170,12 @@ SCRIPT_DEFAULT_LANG[us.CYRILLIC] = lang_id("ru")
 SCRIPT_DEFAULT_LANG[us.ARABIC] = lang_id("ar")
 SCRIPT_DEFAULT_LANG[us.DEVANAGARI] = lang_id("hi")
 SCRIPT_DEFAULT_LANG[us.HANI] = lang_id("zh")
+SCRIPT_DEFAULT_LANG[us.TIBETAN] = lang_id("bo")  # RTypeMany since r4
 
 SCRIPT_OF_LANG: dict[str, int] = {}
 for _s, _c in _SCRIPT_ONE.items():
     SCRIPT_OF_LANG[_c] = _s
+SCRIPT_OF_LANG["bo"] = us.TIBETAN
 for _c in ("ru", "uk", "bg", "sr", "mk", "be"):
     SCRIPT_OF_LANG[_c] = us.CYRILLIC
 for _c in ("ar", "fa", "ur"):
@@ -173,6 +184,12 @@ for _c in ("hi", "mr", "ne"):
     SCRIPT_OF_LANG[_c] = us.DEVANAGARI
 for _c in ("zh", "zh-Hant", "ja", "ko"):
     SCRIPT_OF_LANG[_c] = us.HANI
+# mn/tl corpora are in their quadgram scripts (Cyrl/Latn), not the
+# historic scripts that also default to them
+SCRIPT_OF_LANG["mn"] = us.CYRILLIC
+SCRIPT_OF_LANG["tl"] = us.LATIN
+# Tibt is RTypeMany (bo vs dz via quadgrams, round 4)
+SCRIPT_OF_LANG["dz"] = us.TIBETAN
 for _c, _t in _LANG_DEFS:
     SCRIPT_OF_LANG.setdefault(_c, us.LATIN)
 

@@ -45,14 +45,23 @@ ETHIOPIC = 21
 KHMER = 22
 ARMENIAN = 23
 HANI = 24  # Han + Hiragana + Katakana + Hangul + Bopomofo, merged like ULScript_Hani
+# remaining RTypeOne scripts of the reference (generated_ulscript.cc:
+# 350-450): each implies exactly one language
+SYRIAC = 25
+THAANA = 26
+CHEROKEE = 27
+CANS = 28       # Canadian Aboriginal syllabics
+MONGOLIAN = 29  # the vertical Mong script (Cyrillic mn is quadgram-scored)
+TAGALOG = 30    # Baybayin (Latin tl is quadgram-scored)
+LIMBU = 31
 
-NUM_SCRIPTS = 25
+NUM_SCRIPTS = 32
 
 SCRIPT_NAMES = [
     "Common", "Latn", "Cyrl", "Grek", "Arab", "Hebr", "Deva", "Beng",
     "Guru", "Gujr", "Orya", "Taml", "Telu", "Knda", "Mlym", "Sinh",
     "Thai", "Laoo", "Tibt", "Mymr", "Geor", "Ethi", "Khmr", "Armn",
-    "Hani",
+    "Hani", "Syrc", "Thaa", "Cher", "Cans", "Mong", "Tglg", "Limb",
 ]
 
 # Public Unicode block ranges (inclusive) per script. Letters/marks only
@@ -109,6 +118,15 @@ _RANGES: list[tuple[int, int, int]] = [
     (0xAC00, 0xD7FF, HANI),   # Hangul syllables + Jamo ext B
     (0xF900, 0xFAFF, HANI),   # CJK compat ideographs
     (0x20000, 0x2FFFF, HANI),  # CJK ext B..F + compat supplement
+    (0x0700, 0x074F, SYRIAC),
+    (0x0780, 0x07BF, THAANA),
+    (0x13A0, 0x13FF, CHEROKEE),
+    (0xAB70, 0xABBF, CHEROKEE),   # Cherokee Supplement (lowercase)
+    (0x1400, 0x167F, CANS),
+    (0x18B0, 0x18FF, CANS),       # UCAS Extended
+    (0x1800, 0x18AF, MONGOLIAN),
+    (0x1700, 0x171F, TAGALOG),
+    (0x1900, 0x194F, LIMBU),
 ]
 
 LUT_SIZE = 0x30000
@@ -122,18 +140,16 @@ RTYPE_CJK = 3    # unigram scoring
 _RTYPE = np.zeros(NUM_SCRIPTS, dtype=np.uint8)
 # quadgram-scored (RTypeMany) scripts per the reference's
 # kULScriptToRtype (generated_ulscript.cc:348-380). HEBREW became
-# RTypeMany in round 3 (Hebr carries he+yi, Beng bn+as, Ethi am+ti —
-# all with authored seed corpora); Tibt remains RTypeOne as a
-# documented deviation (the reference scores it RTypeMany to separate
-# dz from bo; this engine has no Dzongkha seed corpus yet, and a
-# hitless RTypeMany span scores nothing where RTypeOne at least names
-# the script's main language).
+# RTypeMany in round 3 (Hebr carries he+yi, Beng bn+as, Ethi am+ti),
+# TIBETAN in round 4 (Tibt carries bo+dz, seeds in data/seeds_r4.py) —
+# all with authored seed corpora.
 _RTYPE[[LATIN, CYRILLIC, ARABIC, DEVANAGARI, HEBREW, BENGALI,
-        ETHIOPIC]] = RTYPE_MANY
+        ETHIOPIC, TIBETAN]] = RTYPE_MANY
 _RTYPE[HANI] = RTYPE_CJK
 for _s in (GREEK, GURMUKHI, GUJARATI, ORIYA, TAMIL, TELUGU,
-           KANNADA, MALAYALAM, SINHALA, THAI, LAO, TIBETAN, MYANMAR, GEORGIAN,
-           KHMER, ARMENIAN):
+           KANNADA, MALAYALAM, SINHALA, THAI, LAO, MYANMAR, GEORGIAN,
+           KHMER, ARMENIAN, SYRIAC, THAANA, CHEROKEE, CANS, MONGOLIAN,
+           TAGALOG, LIMBU):
     _RTYPE[_s] = RTYPE_ONE
 
 
@@ -147,10 +163,12 @@ def script_rtype(script: int) -> int:
 # before the parsed tables landed.
 _ULSCRIPT_TO_ID = {
     1: LATIN, 2: GREEK, 3: CYRILLIC, 4: ARMENIAN, 5: HEBREW, 6: ARABIC,
+    7: SYRIAC, 8: THAANA,
     9: DEVANAGARI, 10: BENGALI, 11: GURMUKHI, 12: GUJARATI, 13: ORIYA,
     14: TAMIL, 15: TELUGU, 16: KANNADA, 17: MALAYALAM, 18: SINHALA,
     19: THAI, 20: LAO, 21: TIBETAN, 22: MYANMAR, 23: GEORGIAN, 24: HANI,
-    25: ETHIOPIC, 30: KHMER,
+    25: ETHIOPIC, 26: CHEROKEE, 27: CANS, 30: KHMER, 31: MONGOLIAN,
+    41: TAGALOG, 45: LIMBU,
 }
 
 _ULUTS_PATH = __import__("os").path.join(

@@ -17,6 +17,10 @@ def det():
 
 
 def _close_or_equal(expected: str, got: str) -> bool:
+    if expected not in langs.CODE_TO_ID:
+        # script-variant heldout key like "mn-Mong" / "tl-Tglg": the
+        # expected summary language is the base code
+        expected = expected.split("-")[0]
     if expected == got:
         return True
     e, g = langs.lang_id(expected), langs.lang_id(got)
@@ -137,7 +141,8 @@ def test_frozen_goldens(det):
     for code, want in goldens.items():
         r = det.detect(HELDOUT[code])
         assert r.summary_code == want["summary"], code
-        assert list(r.language3) == want["language3"], code
+        assert [langs.lang_code(l) for l in r.language3] \
+            == want["language3"], code
         assert list(r.percent3) == want["percent3"], code
         assert r.is_reliable == want["is_reliable"], code
         assert r.text_bytes == want["text_bytes"], code
