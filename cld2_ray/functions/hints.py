@@ -184,7 +184,21 @@ def priors_from_page(url: str, html: bytes) -> list[tuple[int, int]]:
     attrs + content-language metas (Max merge), charset (encoding
     weight, Boost merge), TLD (per-entry strengths, Boost merge) —
     trimmed to the 4 largest absolute weights (TrimCLDLangPriors)."""
+    return page_hints(url, html)[0]
+
+
+def page_hints(url: str, html: bytes):
+    """One scan of the page head -> (priors, declared, tld_lang).
+
+    priors: as priors_from_page (all hint sources merged + trimmed).
+    declared: tuple of lang ids the page EXPLICITLY declares
+      (content-language meta / lang= attributes only — TLD and charset
+      are inferences, not declarations).
+    tld_lang: the TLD prior table's strongest positive language
+      (0 when the TLD carries no prior), for metadata fallback on
+      zero-signal pages."""
     priors: list[list] = []   # [code, weight], insertion-ordered
+    declared: tuple = ()
 
     raw_head = html[:MAX_SCAN_BYTES]
     # fast substring pre-filter: the three regexes each scan the full
@@ -203,6 +217,9 @@ def priors_from_page(url: str, html: bytes) -> list[tuple[int, int]]:
             m = _CONTENT_LANG_RE.search(head)
             if m:
                 _langtag_priors(m.group(1).decode("ascii"), priors)
+        declared = tuple(lid for lid in
+                         (langs.lang_id(c) for c, w in priors if w > 0)
+                         if lid)
         if has_cs:
             m = _CHARSET_RE.search(head)
             if m:
@@ -211,9 +228,14 @@ def priors_from_page(url: str, html: bytes) -> list[tuple[int, int]]:
                 if code:
                     _merge_boost(priors, code, ENCODING_WEIGHT)
     tld_entry = TLD_PRIORS.get(tld_of(url))
+    tld_lang = 0
     if tld_entry:
         for code, w in tld_entry:
             _merge_boost(priors, code, w)
+        best = max((p for p in tld_entry if p[1] > 0),
+                   key=lambda p: p[1], default=None)
+        if best:
+            tld_lang = langs.lang_id(best[0])
 
     # TrimCLDLangPriors(4): keep largest |weight|, stable on ties
     priors.sort(key=lambda p: -abs(p[1]))
@@ -222,7 +244,7 @@ def priors_from_page(url: str, html: bytes) -> list[tuple[int, int]]:
         lid = langs.lang_id(code)
         if lid:
             out.append((lid, w))
-    return out
+    return out, declared, tld_lang
 
 
 # close set -> member lang ids (computed once; _whacks used to loop

@@ -351,13 +351,17 @@ class Detector:
         return totes
 
     def _finalize(self, tote: score.DocTote, total_letter_bytes: int,
-                  best_effort: bool) -> score.DetectResult:
+                  best_effort: bool,
+                  declared=None) -> score.DetectResult:
         score.refine_close_pairs(tote)
-        score.remove_unreliable(tote)
+        if not best_effort:
+            # best-effort skips unreliable-language removal
+            # (impl.cc:1998 "if (!FlagBestEffort(flags))")
+            score.remove_unreliable(tote)
         language3, percent3, nscore3, total, is_rel = \
             score.extract_lang_etc(tote, total_letter_bytes)
         summary, rel2 = score.calc_summary_lang(language3, percent3, total,
-                                                best_effort)
+                                                best_effort, declared)
         return score.DetectResult(
             summary_lang=summary,
             language3=tuple(language3),
@@ -370,21 +374,29 @@ class Detector:
     def _detect_spans(self, span_list: list[spans.ScriptSpan],
                       total_letter_bytes: int,
                       best_effort: bool,
-                      hint_langs: list[int] | None = None) -> score.DetectResult:
+                      hint_langs: list[int] | None = None,
+                      declared=None) -> score.DetectResult:
         tote = self._fill_totes([span_list], [hint_langs])[0]
-        return self._finalize(tote, total_letter_bytes, best_effort)
+        return self._finalize(tote, total_letter_bytes, best_effort,
+                              declared)
 
     # -- public API ---------------------------------------------------------
 
     def detect_batch(self, texts: list[str],
                      hints_list: list[list[int] | None] | None = None,
                      best_effort: bool = False,
-                     default_to_english: bool = False) -> list[score.DetectResult]:
+                     default_to_english: bool = False,
+                     declared_list=None) -> list[score.DetectResult]:
         """Batch detection: one concatenated scoring pass for the whole
-        batch (same results as per-document detect())."""
+        batch (same results as per-document detect()).
+
+        declared_list: per-doc sets of page-declared lang ids (see
+        calc_summary_lang); None = reference-exact summaries."""
         n = len(texts)
         if hints_list is None:
             hints_list = [None] * n
+        if declared_list is None:
+            declared_list = [None] * n
         if self.echo:
             import sys
             for t in texts:
@@ -399,7 +411,8 @@ class Detector:
         out: list[score.DetectResult] = []
         retry: list[int] = []
         for i in range(n):
-            res = self._finalize(totes[i], totals[i], best_effort)
+            res = self._finalize(totes[i], totals[i], best_effort,
+                                 declared_list[i])
             good = (totals[i] <= score.SHORT_TEXT_THRESH
                     or (res.is_reliable
                         and res.percent3[0] >= score.GOOD_LANG1_PERCENT)
@@ -422,7 +435,8 @@ class Detector:
                 t = texts[i] or ""
                 if len(t) > SQUEEZE_TEST_THRESH and squeeze_trigger(t):
                     out[i] = self.detect(t, best_effort, hints_list[i],
-                                         default_to_english)
+                                         default_to_english,
+                                         declared_list[i])
                 else:
                     batched.append(i)
             if batched:
@@ -436,7 +450,7 @@ class Detector:
                     spans2, [hints_list[i] for i in batched])
                 for k, i in enumerate(batched):
                     res2 = self._finalize(totes2[k], totals2[k],
-                                          best_effort)
+                                          best_effort, declared_list[i])
                     res = out[i]
                     res = res2 if (res2.summary_lang != langs.UNKNOWN
                                    or res.summary_lang == langs.UNKNOWN) \
@@ -449,12 +463,15 @@ class Detector:
 
     def detect(self, text: str, best_effort: bool = False,
                hint_langs: list[int] | None = None,
-               default_to_english: bool = False) -> score.DetectResult:
+               default_to_english: bool = False,
+               declared=None) -> score.DetectResult:
         """Detect language(s) of already-extracted plain text.
 
         hint_langs: language-prior hints (see functions/hints.py).
         default_to_english: the non-Ext entry-point behavior
         (UNKNOWN -> ENGLISH, compact_lang_det.cc:90-94).
+        declared: page-declared lang ids (see calc_summary_lang);
+        None = reference-exact summary.
         """
         # CheapSqueeze pre-pass (impl.cc:1867-1901): long repetitive
         # documents are squeezed before scoring
@@ -462,7 +479,8 @@ class Detector:
             text = squeeze(text)
         span_list = spans.script_spans(text)
         total = sum(sp.text_bytes for sp in span_list)
-        res = self._detect_spans(span_list, total, best_effort, hint_langs)
+        res = self._detect_spans(span_list, total, best_effort, hint_langs,
+                                 declared)
 
         # Retry controller (impl.cc:1979-2106): accept if short, or
         # reliable & dominant; else one more pass with repeat-word
@@ -480,7 +498,7 @@ class Detector:
                     for sp in span_list]
         total2 = sum(len(sp.text_utf8) for sp in squeezed)
         res2 = self._detect_spans(squeezed, max(total2, 1), best_effort,
-                                  hint_langs)
+                                  hint_langs, declared)
         # keep the retry result if it reached a conclusion (impl.cc accepts
         # the second-pass answer unconditionally)
         res = res2 if res2.summary_lang != langs.UNKNOWN or \

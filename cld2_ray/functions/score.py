@@ -482,8 +482,18 @@ def extract_lang_etc(tote: DocTote, total_text_bytes: int):
 
 
 def calc_summary_lang(language3, percent3, total_text_bytes,
-                      best_effort: bool = False):
-    """CalcSummaryLang (compact_lang_det_impl.cc:1414-1522)."""
+                      best_effort: bool = False, declared=None):
+    """CalcSummaryLang (compact_lang_det_impl.cc:1414-1522).
+
+    ``declared`` (optional, a set of lang ids; default None = exact
+    reference behavior): languages the PAGE explicitly declares
+    (content-language meta / lang= attribute — not TLD or charset).
+    The En/FIGS boilerplate flips below exist to discount navigation
+    boilerplate in the top language (impl.cc:1452-1455 "assume the
+    English is boilerplate"); when the page explicitly declares the
+    top language, that premise is contradicted, so the flip is
+    suppressed. Pipeline-level refinement, OFF by default — the
+    per-document public API keeps reference-exact summaries."""
     slot = [0, 1, 2]
     ignore_percent = 0
     return_percent = percent3[0]
@@ -500,8 +510,10 @@ def calc_summary_lang(language3, percent3, total_text_bytes,
                 if langs.TIER[second] == 3 else GOOD_SECOND_T1T2_MIN_BYTES)
 
     first = language3[slot[0]]
+    first_declared = bool(declared) and first in declared
     if (first == langs.ENGLISH and second != langs.ENGLISH
             and second != langs.UNKNOWN
+            and not first_declared
             and percent3[slot[1]] >= NON_EN_BOILERPLATE_MIN_PERCENT
             and second_bytes >= minbytes):
         ignore_percent += percent3[slot[0]]
@@ -511,6 +523,7 @@ def calc_summary_lang(language3, percent3, total_text_bytes,
             reliable = False
     elif (first in langs.FIGS and second not in langs.EFIGS
             and second != langs.UNKNOWN
+            and not first_declared
             and percent3[slot[1]] >= NON_FIGS_BOILERPLATE_MIN_PERCENT
             and second_bytes >= minbytes):
         ignore_percent += percent3[slot[0]]

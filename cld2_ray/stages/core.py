@@ -70,29 +70,38 @@ class LangidStage:
         self.with_chunks = with_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from cld2_ray.functions.hints import hints_from_page
+        from cld2_ray.functions.hints import page_hints
         texts = batch["extracted_text"].to_pylist()
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
-        ok = batch["utf8_valid"].to_numpy(zero_copy_only=False)
+        vp = batch["valid_prefix"].to_numpy(zero_copy_only=False)
         n = len(texts)
-        lang1 = [""] * n
-        lang2 = [""] * n
-        lang3 = [""] * n
+        lang1 = ["un"] * n
+        lang2 = ["un"] * n
+        lang3 = ["un"] * n
         pct = np.zeros((n, 3), dtype=np.int8)
         nscore1 = np.zeros(n, dtype=np.float32)
         reliable = np.zeros(n, dtype=bool)
         text_bytes = np.zeros(n, dtype=np.int32)
-        summary = [""] * n
-        todo = [j for j in range(n) if ok[j]]
+        summary = ["un"] * n
+        # One hint scan per page: priors feed detection, declared
+        # languages protect the boilerplate summary flip, and
+        # declared/TLD provide the metadata fallback for zero-signal
+        # pages (all per-page metadata — see calc_summary_lang and
+        # the fallback loop below). Hints scan only the valid prefix.
+        ph = [page_hints(urls[j] or "", (htmls[j] or b"")[:int(vp[j])])
+              for j in range(n)]
+        # detect every row that yielded text — including truncated
+        # bad-UTF-8 pages (the extractor already salvaged the longest
+        # valid prefix; keep/drop still drops them as utf8_invalid, but
+        # the language columns carry the prefix's language).
+        todo = [j for j in range(n) if texts[j]]
         batch_texts = [texts[j] for j in todo]
-        batch_hints = [hints_from_page(urls[j] or "", htmls[j] or b"")
+        batch_hints = [[lid for lid, w in ph[j][0] if w > 0]
                        for j in todo]
-        results = self.det.detect_batch(batch_texts, batch_hints)
-        for j in range(n):
-            if not ok[j]:
-                lang1[j] = lang2[j] = lang3[j] = "un"
-                summary[j] = "un"
+        batch_declared = [frozenset(ph[j][1]) or None for j in todo]
+        results = self.det.detect_batch(batch_texts, batch_hints,
+                                        declared_list=batch_declared)
         for j, r in zip(todo, results):
             summary[j] = r.summary_code
             lang1[j] = langs.lang_code(r.language3[0])
@@ -102,6 +111,18 @@ class LangidStage:
             nscore1[j] = r.normalized_score3[0]
             reliable[j] = r.is_reliable
             text_bytes[j] = min(r.text_bytes, 2**31 - 1)
+        # Metadata fallback: when the content carries no language
+        # signal at all (empty pages, repeated-token junk), attribute
+        # the page's declared language, else the TLD prior's language.
+        # lang_reliable stays False, so keep/drop is unchanged — this
+        # only improves the attribution column, the standard move in
+        # web-corpus pipelines when content signal is absent.
+        for j in range(n):
+            if summary[j] == "un" and not reliable[j]:
+                _, dec, tld = ph[j]
+                fb = dec[0] if dec else tld
+                if fb:
+                    summary[j] = langs.lang_code(fb)
         for name, arr in [
             ("lang_summary", pa.array(summary)),
             ("lang1", pa.array(lang1)), ("lang2", pa.array(lang2)),
@@ -114,6 +135,7 @@ class LangidStage:
         ]:
             batch = batch.append_column(name, arr)
         if self.with_chunks:
+            ok = batch["utf8_valid"].to_numpy(zero_copy_only=False)
             batch = batch.append_column(
                 "chunks", _chunks_array(self.det, htmls, ok))
         return batch
@@ -232,7 +254,7 @@ class FusedPipelineStage:
         self.with_chunks = with_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from cld2_ray.functions.hints import hints_from_page
+        from cld2_ray.functions.hints import page_hints
         from cld2_ray.functions.quality import apply_rules
         from cld2_ray.functions.scrub import scrub_series
 
@@ -252,11 +274,16 @@ class FusedPipelineStage:
             if vp:
                 texts[j] = extract_text(h[:vp])
 
-        # 2. langid (batch-vectorized)
-        todo = [j for j in range(n) if ok[j]]
-        hints = [hints_from_page(urls[j] or "", htmls[j] or b"")
-                 for j in todo]
-        results = self.det.detect_batch([texts[j] for j in todo], hints)
+        # 2. langid (batch-vectorized) — every row that yielded text,
+        # including the salvaged valid prefix of bad-UTF-8 pages (the
+        # keep/drop gate below still drops those as utf8_invalid)
+        todo = [j for j in range(n) if texts[j]]
+        ph = [page_hints(urls[j] or "", (htmls[j] or b"")[:int(valid[j])])
+              for j in range(n)]
+        hints = [[lid for lid, w in ph[j][0] if w > 0] for j in todo]
+        declared = [frozenset(ph[j][1]) or None for j in todo]
+        results = self.det.detect_batch([texts[j] for j in todo], hints,
+                                        declared_list=declared)
         lang1 = ["un"] * n
         lang2 = ["un"] * n
         lang3 = ["un"] * n
@@ -274,6 +301,13 @@ class FusedPipelineStage:
             nscore1[j] = r.normalized_score3[0]
             reliable[j] = r.is_reliable
             text_bytes[j] = min(r.text_bytes, 2**31 - 1)
+        # metadata fallback for zero-signal pages (see LangidStage)
+        for j in range(n):
+            if summary[j] == "un" and not reliable[j]:
+                _, dec, tld = ph[j]
+                fb = dec[0] if dec else tld
+                if fb:
+                    summary[j] = langs.lang_code(fb)
 
         # 3. quality + scrub + aux models on the SAME strings
         tser = pd.Series(texts)

@@ -182,6 +182,56 @@ class TestFlagsSurface:
         r = d.detect("ok", best_effort=True)
         assert r is not None
 
+    def test_best_effort_skips_unreliable_removal(self, det):
+        """impl.cc:1998: RemoveUnreliableLanguages only runs when
+        best_effort is OFF — the best-effort result must keep at least
+        whatever the default path kept."""
+        mixed = HELDOUT["en"][:120] + " " + HELDOUT["fr"][:120]
+        r0 = det.detect(mixed)
+        r1 = det.detect(mixed, best_effort=True)
+        kept0 = {l for l in r0.language3 if l != 0}
+        kept1 = {l for l in r1.language3 if l != 0}
+        assert kept0 <= kept1
+
+
+class TestDeclaredAndFallback:
+    """Pipeline-level refinements (documented deviations, OFF by
+    default in the per-document API): declared-language protection of
+    the boilerplate summary flip, and metadata fallback for
+    zero-signal pages."""
+
+    def test_declared_protects_boilerplate_flip(self, det):
+        """en 60% + fr 40%: reference flips the summary to fr (the
+        X>=17% boilerplate rule); when the page explicitly declares
+        en, the flip's boilerplate premise is contradicted -> en."""
+        en = (HELDOUT["en"] + " ") * 6
+        fr = (HELDOUT["fr"] + " ") * 4
+        assert det.detect(en + fr).summary_code == "fr"
+        r = det.detect(en + fr, declared=frozenset({langs.lang_id("en")}))
+        assert r.summary_code == "en"
+        # declaring an UNINVOLVED language does not protect
+        r2 = det.detect(en + fr, declared=frozenset({langs.lang_id("de")}))
+        assert r2.summary_code == "fr"
+
+    def test_stage_metadata_fallback(self):
+        """Zero-signal pages get the declared lang, else the TLD
+        prior's lang, with lang_reliable=False (stages/core.py)."""
+        import pyarrow as pa
+        from cld2_ray.stages.core import LangidStage, extract_batch
+        junk = " ".join(f"img{i % 9}.jpg" for i in range(300)).encode()
+        rows = pa.table({
+            "url": ["https://a.example.ru/1",      # TLD fallback
+                    "https://b.example.com/2",     # declared fallback
+                    "https://c.example.com/3"],    # nothing -> un
+            "html": [b"<html><body><p>" + junk + b"</p></body></html>",
+                     b"<html lang='tr'><body><p>" + junk
+                     + b"</p></body></html>",
+                     b"<html><body><p>" + junk + b"</p></body></html>"],
+        })
+        out = LangidStage()(extract_batch(rows))
+        assert out["lang_summary"].to_pylist() == ["ru", "tr", "un"]
+        assert out["lang_reliable"].to_pylist() == [False, False, False]
+
 
 def test_top_level_detect_language():
     """Package-level DetectLanguage analogue: plain text, raw HTML with

@@ -9,7 +9,7 @@ import pytest
 
 from cld2_ray.functions import langs
 from cld2_ray.functions.extract import extract_text, valid_utf8_prefix
-from cld2_ray.functions.hints import hints_from_page
+from cld2_ray.functions.hints import page_hints
 from cld2_ray.sources.pages import make_page, pages_dataset
 
 N_PAGES = 120
@@ -30,13 +30,20 @@ def oracle_rows(n):
         vp = valid_utf8_prefix(h)
         ok = vp == len(h)
         text = extract_text(h[:vp]) if vp else ""
-        if ok:
-            r = det.detect(text, hint_langs=hints_from_page(p["url"], h))
+        priors, declared, tld = page_hints(p["url"], h[:vp])
+        if text:
+            r = det.detect(text,
+                           hint_langs=[lid for lid, w in priors if w > 0],
+                           declared=frozenset(declared) or None)
             summary = r.summary_code
             reliable = r.is_reliable
             pct1 = r.percent3[0]
         else:
             summary, reliable, pct1 = "un", False, 0
+        if summary == "un" and not reliable:
+            fb = declared[0] if declared else tld
+            if fb:
+                summary = langs.lang_code(fb)
         rows.append({"url": p["url"], "extracted_text": text,
                      "utf8_valid": ok, "lang_summary": summary,
                      "lang_reliable": reliable, "pct1": pct1})
