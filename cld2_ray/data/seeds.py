@@ -682,7 +682,7 @@ HELDOUT: dict[str, str] = {
 "ne": "यो नेपाली भाषाको एउटा बिल्कुल साधारण वाक्य हो जसलाई इन्जिनले कुनै पनि समस्या बिना नै सजिलै चिन्नु पर्दछ किनभने यसमा धेरै सामान्य शब्दहरू छन्।",
 "no": "Dette er en helt vanlig norsk setning som motoren burde kunne kjenne igjen uten noen problemer i det hele tatt.",
 "sk": "Toto je úplne obyčajná slovenská veta ktorú by mal motor rozpoznať bez akýchkoľvek problémov či ťažkostí.",
-"sl": "To je povsem običajen slovenski stavek ki bi ga moral motor prepoznati brez kakršnih koli težav sploh.",
+"sl": "To je čisto navaden slovenski stavek in stroj ga mora prepoznati brez težav ker so besede jasne in ker vsak otrok iz vasi danes še želi brati take zgodbe.",
 "sq": "Kjo është një fjali krejt e zakonshme shqipe të cilën motori duhet ta njohë pa asnjë problem fare.",
 "sr": "Ово је сасвим обична српска реченица коју би мотор требало да препозна без икаквих проблема уопште.",
 "sw": "Hii ni sentensi ya kawaida kabisa ya kiswahili ambayo injini inapaswa kuitambua bila tatizo lolote kabisa.",
@@ -699,12 +699,19 @@ HELDOUT.update(_NH)
 for _c, _t in _SA.items():
     SEEDS[_c] = SEEDS.get(_c, "") + " " + _t
 
-# round-4 additions: RTypeOne-script heldouts (no training needed) and
-# the Tibt bo/dz quadgram seeds (Tibt flipped to RTypeMany; see
-# data/seeds_r4.py)
-from cld2_ray.data.seeds_r4 import (SCRIPT_HELDOUT as _SH,
+# round-4 additions: RTypeOne-script heldouts (no training needed),
+# the Tibt bo/dz quadgram seeds (Tibt flipped to RTypeMany), and the
+# 28 remaining word-table languages (see data/seeds_r4.py)
+from cld2_ray.data.seeds_r4 import (NEW_HELDOUT as _NH4,
+                                    NEW_SEEDS as _NS4,
+                                    SCRIPT_HELDOUT as _SH,
+                                    SEED_APPEND as _SA4,
                                     TIBT_HELDOUT as _TH,
                                     TIBT_SEEDS as _TS)
 SEEDS.update(_TS)
+SEEDS.update(_NS4)
+for _c, _t in _SA4.items():
+    SEEDS[_c] = SEEDS.get(_c, "") + " " + _t
 HELDOUT.update(_SH)
 HELDOUT.update(_TH)
+HELDOUT.update(_NH4)

@@ -114,3 +114,379 @@ TIBT_HELDOUT: dict[str, str] = {
 "dz": "འདི་རྫོང་ཁའི་ཚིག་དཀྱུས་མ་ཅིག་ཨིན་མས། འཕྲུལ་ཆས་ཀྱིས་དཀའ་ངལ་མེད་པར་"
       "ངོས་འཛིན་འབད་ཚུགསཔ་ཨིན་པས། ག་ཅི་སྦེ་ཟེར་བ་ཅིན་ཡིག་གུ་གསལ་ཏོང་ཏོ་ཡོདཔ་ཨིན་པས།",
 }
+
+# -- Part 3: the remaining word-table languages ------------------------
+# The 28 registry languages that until round 4 had neither seed
+# corpora nor conformance goldens (they score only via the parsed
+# reference word tables). Same authoring approach as data/seeds.py /
+# seeds_r3.py: everyday-topic prose emphasizing each language's
+# function words and orthography; all text written for this repo.
+# NEW_HELDOUT sentences are disjoint from the seeds.
+
+NEW_SEEDS: dict[str, str] = {
+
+"aa": """ayro buxah amol tan kaadu sinam suuqah gexxa gaado kee xaylo
+xaamitaanamkeh kaadu beera kacanu yan masgiidil leh yan weeqaytih garil
+nanu naaxige gilaalak wakti amaate le kaadu bar xer yakke le immay urru
+raq raaqa le buustaanal keenih le kataysiital kaadu idoolta num nel
+warsita caxammageenti yan gaalibih le baar sinam kobxisse waqdi nee kee
+xaylo inkih edde yan qari kulli num kitab yabbixeh geytima kaadu caacay
+bar bul giirisa waqdi rob qarih amol radah dumi maaxaza nanu kassitna
+kaadu baaxo korosse immay ni kassit inkih raaqa kulli ayro kaadu dumaq
+sanootah naharat yunkuttube yaaba axcih nable""",
+
+"ab": """амра ақыҭа хәыҷы хыхь икаԥхоит ауаа аџьармыкьахь ица ача
+ахш аахәара азы избанзар уаҵәы аныҳәа ыҟазаауеит аӡиас аҟынӡа иҟоу
+аныхабаа аҿы ҳара иаҳдыруеит аӡын ааигәа ишаауа насгьы аҵх шаура
+иахьацәгьо аха ахәыҷқәа макьана абаҳча аҿы ихәмаруеит рҩызцәа рыцны
+насгьы абыргцәа абна иазку ажәабжьқәа ирҳәоит асы анауа аԥстәқәа
+ахьеизо ус еиԥш аҩны аҿы аҭынч хәылԥазы аҟынӡа акгьы еиӷьым ашәҟәы
+бзиа уцны аԥша анасы асра иалагалак амш аҩнаҭа аҿы иԥхоуп ауаа зегьы
+иргәалашәоит ари зегьы шәышықәса раԥхьа ишану насгьы адунеи ԥсахит
+аха ажәақәа иахьагьы ҳазегьы ҳзы еиԥшны иаанхоит""",
+
+"ak": """owia no bɔ wɔ akuraa ketewa no so na nnipa kɔ dwam kɔtɔ paanoo
+ne nufusu efisɛ ɔkyena afahyɛ bɛba asɔredan a ɛbɛn asubɔnten no mu
+yenim sɛ awɔw bere bɛba nnansa yi ara na anadwo bɛware nanso mmofra no
+da so ara di agoru wɔ turo mu ne wɔn nnamfonom na mpanyimfo ka kwae no
+ho nsɛm baabi a mmoa no hyia bere a sukyerɛmma tɔ no biribiara nyɛ dɛ
+nsen anwummere a ɛyɛ komm wɔ fie a wokura nhoma pa bere a mframa bɔ
+wɔ abɔnten na osu tɔ gu ɔdan no atifi obiara pɛ sɛ ɔkenkan nsɛmfua a
+aka saa ara ama yɛn nyinaa nnɛ na wiase asesa nanso yɛkae sɛ
+wɔkyerɛw saa nneɛma yi mfe bebree a atwam ni""",
+
+"crs": """soley i pe briye lo sa pti vilaz e bann dimoun i pe al bazar
+pou aste dipen ek dile akoz demen i annan en lafet dan legliz ki pre ek
+larivyer nou konnen ki liver pou vini byento e bann lannwit pou vin pli
+long me bann zanfan i ankor pe zwe dan zarden avek zot bann zanmi e
+bann vye dimoun i rakont zistwar lafore kot bann zannimo i zwenn kan
+lanez i tonbe napa nanryen pli senp ki en swar trankil dan lakaz avek
+en bon liv kan divan i soufle deor e lapli i tonbe lo twatir tou
+dimoun i anvi lir sa bann mo ki n reste parey pou nou tou ozordi e
+lemonn in sanze me nou rapel ki sa bann keksoz ti n ganny ekrir
+bokou lannen pase""",
+
+"gv": """ta yn ghrian soilshean erskyn yn valley veg as ta'n sleih goll
+dys y vargey dy chionnaghey arran as bainney er y fa dy bee feailley
+ayn mairagh ayns y cheeill ta faggys da'n awin ta fys ain dy jig y
+geurey dy gerrid as dy bee ny h oieghyn ny s'lhiurey agh ta ny
+paitchyn foast cloie ayns y gharey marish nyn gaarjyn as ta ny shenn
+gheiney ginsh skeealyn mychione y cheyll raad ta ny beiyn cheet ry
+cheilley tra ta'n sniaghtey tuittym cha nel red erbee ny sassey na
+fastyr kiune ec y thie lesh lioar vie tra ta'n gheay sheidey mooie as
+yn fliaghey tuittym er y chlea ta dagh ooilley pheiagh laccal lhaih
+ny focklyn t'er ve yn un red son shin ooilley jiu as ta'n seihll er
+gaghlaa agh ta shin cooinaghtyn dy row ad shoh scruit ymmodee
+bleeantyn er dy henney""",
+
+"hmn": """lub hnub ci ntsa iab saum lub zos me me thiab cov neeg mus
+tom khw mus yuav mov ci thiab kua mis vim tias tag kis yuav muaj ib
+lub ntees nyob hauv lub tsev teev ntuj uas nyob ze tus dej peb paub
+tias lub caij ntuj no yuav los sai sai no thiab hmo ntuj yuav ntev dua
+tiam sis cov me nyuam tseem ua si hauv lub vaj nrog lawv cov phooj ywg
+thiab cov laus piav dab neeg txog lub hav zoov qhov chaw uas tsiaj
+txhu tuaj sib sau thaum daus los tsis muaj ib yam dab tsi yooj yim
+dua li ib hmos ntsiag to hauv tsev nrog ib phau ntawv zoo thaum cua
+tshuab sab nraum zoov thiab nag los rau saum ru tsev txhua tus neeg
+xav nyeem cov lus uas tseem zoo ib yam rau peb sawv daws niaj hnub no
+thiab lub ntiaj teb hloov lawm tiam sis peb nco ntsoov tias tej no
+raug sau ntau xyoo dhau los lawm""",
+
+"ie": """li sole brilia super li litt village e li homes vade al mercate
+por comprar pane e lacte pro que deman va esser un festa in li eclesia
+quel es proxim al fluvie noi save que li hiverne va venir bentost e que
+li noctes va esser plu long ma li infantes ancor lude in li jardin con
+lor amicos e li old homes naracion istories pri li foreste u li
+animales asembla se quande li nive cade necos es plu simplic quam un
+tranquil vespere in hem con un bon libre quande li vente sufla exter e
+li pluvie cade sur li tegmente chascun person vole leer li paroles
+queles ha restat li sam por noi omnes hodie e li munde ha changeat ma
+noi memora que ti coses esset scrit mult annus ante nu""",
+
+"ig": """anyanwụ na acha n elu obodo nta ahụ ma ndị mmadụ na aga ahịa
+ịzụ achịcha na mmiri ara ehi n ihi na echi a ga enwe mmemme n ụlọ ụka
+dị nso na osimiri anyị maara na oge oyi ga abịa n oge na adịghị anya
+ma abalị ga adị ogologo karịa mana ụmụaka ka na egwu egwu n ogige ahụ
+na ndị enyi ha ma ndị okenye na akọ akụkọ banyere oke ọhịa ebe ụmụ
+anụmanụ na ezukọta mgbe snoo na ada ọ dịghị ihe dị mfe karịa mgbede
+dị jụụ n ụlọ na akwụkwọ ọma mgbe ifufe na efe n èzí ma mmiri ozuzo
+na ada n elu ụlọ onye ọ bụla chọrọ ịgụ okwu ndị ahụ nke nọgidere
+bụrụ otu ihe nye anyị niile taa ma ụwa agbanweela mana anyị na echeta
+na e dere ihe ndị a ọtụtụ afọ gara aga""",
+
+"ik": """siqiñiq qiñiqtuq nunaaqqim mikiruam qulaani suli inuich
+niuvviamun aullaqtut qaqqulaanik immuunik niuviaqturiaqłutik
+taimanimun uvlaakun nalliutivik itñiaqtuq agaayyuvigmi kuugum qanittaani
+ilitchuringniaqtugut ukiuq qanittumi tikitñiaqtuaq suli unnuat
+taktliqiñiaqtuat aglaan iyaalugruich suli aquppiaqtut nautchiivigmi
+ilannaritñik suli utuqqanaat unipchaaqtut napaaqtut avataani nanmun
+niryutit katimmaviat aputi qanugmi qanuq naagga atausiq uunnaqtuq
+unnuk igluni atuagaq nakuuruq qanuq anuqłiqman silami suli sialuk
+qulaanun katagman iñuk kiña atuagaqtuq uqausiksrat taimña
+atautchikun uvaptiknun uvlupak suli nunaryuaq allanguqtuq aglaan
+itqagivut taimña aglausimaruat ukiunik qavsinik sivunniagun""",
+
+"kha": """ka sngi ka la phuit halor ka shnong kaba rit bad ki briew ki
+leit sha ka iew ban thied kpu bad dud naba lashai kan long ka sngi
+kmen ha ka balang kaba jan ha ka wah ngi tip ba ka tlang kan wan sa
+shisien bad ki miet kin jngai shuh hynrei ki khynnah ki dang ialeh kai
+ha ka persyntiew ryngkat ki paralok jong ki bad ki tymmen ki iathuh
+khana shaphang ka khlaw hangta ki mrad ki ialang haba u eriong u hap
+ym don ei ei kaba suk ban ia ka janmiet kaba sngur ha ka iing ryngkat
+ka kot kaba bha haba u lyer u pyrkhat shapoh bad u slap u hap halor
+ka tyrpeng kiei kiei baroh ki kwah ban pule ki ktien kiba la sah
+kumjuh ia ngi baroh mynta bad ka pyrthei ka la kylla hynrei ngi
+kynmaw ba kine ki jingim la thoh shaphang ki snem kiba la leit""",
+
+"kl": """seqineq nuna mikisoq qaammarsarpaa inuillu niuertarfimmukarput
+timiusanik immummillu pisiniarlutik aqagu nalliuttorsiorneq
+oqaluffimmi kuup eqqaaniittumi pissaaq ilisimavarput ukioq
+qanittukkut tikiutissasoq unnuallu takisuunngorumaartut taamaattorli
+meeqqat suli naatsiivimmi pinnguarput ikinngutimik ilagalugit
+utoqqaallu orpippassuit eqqaanni uumasut katersuuttarfiannik
+oqaluttuarput aput nakkartillugu soqanngilaq unnukkut eqqissisimalluni
+angerlarsimanermit atuagarlu ajunngitsoq tigumiarlugu anori silami
+anorlertillugu siallerlu qaliata qaavanut nakkartillugu kinaluunniit
+atuarusuppai oqaatsit uagutsinnut tamanut ullumikkut
+assigiiaannarsimasut silarsuarlu allanngorsimavoq eqqaamavarpulli
+taakku ukiut qassiillu matuma siornatigut allanneqarsimasut""",
+
+"ks": """آفتاب چھُ گامُک پیٹھ چمکان تہٕ لوٗکھ چھِ بازار گژھان ژوٹ تہٕ
+دودھ ہیننہٕ خاطرٕ کیازِ کہ پگاہ چھُ عید مسجدس منز یوس دریاوس نزدیک
+چھُ اسہِ چھُ پتاہ زِ وندٕ یِیہِ جلدی تہٕ راتھ گژھن زیٹھٕ مگر شُرؠ
+چھِ وُنہِ باغس منز گیندان پننین دوستن سۭتؠ تہٕ بڈٕ چھِ جنگلٕچ کتھ
+کران یتھ منز جانور اکٹھ گژھان چھِ ییلہِ شین پیوان چھُ نہٕ کانہہ چیز
+آسان سہل راتھ کین آرامہٕ سان گھرس منز اکہِ جان کتابہِ سۭتؠ ییلہِ
+ہوا نیبر چلان چھے تہٕ رود چھُ چھتس پیٹھ پیوان پرتھ کانہہ چھُ یژھان
+تم لفظ پرنہٕ یم اسہِ سارنؠ خاطرٕ اَز تہِ ہیوی چھِ تہٕ دنیا چھے
+بدلیومٕژ مگر اسہِ چھُ یاد زِ یم چیز آیہٕ واریاہ ورین برونہہ لیکھنہٕ""",
+
+"mfe": """soley pe briye lor sa ti vilaz la ek bann dimounn pe al bazar
+pou aste dipin ek dile parski dime pou ena enn fet dan legliz ki pre ar
+larivier nou kone ki liver pou vini biento ek bann lanwit pou vinn pli
+long me bann zanfan ankor pe zwe dan zardin ar zot bann kamarad ek
+bann vie dimounn pe rakont zistwar lafore kot bann zanimo zwenn kan
+lanez tonbe pena nanye pli sinp ki enn swar trankil dan lakaz ar enn
+bon liv kan divan soufle deor ek lapli tonbe lor twatir tou dimounn
+anvi lir sa bann mo ki finn res parey pou nou tou zordi ek lemond
+finn sanze me nou rapel ki sa bann kitsoz la ti finn ekrir boukou
+lane pase""",
+
+"na": """ekwan eko dogin iyu bwiema eman ngage a dorer kadudu ma aremor
+ra eko ijidugu ruwen e tsimine doko baito ngea obwe amuir n anubumin
+buore eko karabat ian ekels ngea obwiitsid a eredet imin narwin ebok
+ma aan ouwak it ururung aem obwe dedaro a itsibemin nuwan ian bagadugu
+ngea duwo ra ekamawir ian amenangen ra dogin ekwairut buonen ma itur
+aram idandur eko engame ian emaremen kadudu eitsiok ouwak ngea tsiminen
+eko dabe ma buore aeouwen ian eko akan engame a ururung nuwan ebumaya
+imur odet amea eko itsimine ebuonen ouwak ma emo""",
+
+"new": """सूर्य चिधंगु गामय् च्वय् थिइगु दु व मनूत पसलय् वनाच्वंगु दु मरि
+व दुरु न्यायेत छाय्धाःसा कन्हय् खुसि सिथय् च्वंगु देगलय् नखः जुइगु दु
+झीसं सिउ कि चिकुला याकनं वइ व चा ताःहाकः जुइ तर मचात अझं केबय्
+म्हिताच्वंगु दु थःगु पासापिन्त नापं व बुरात गुंगु खँ कनाच्वंगु दु गन
+पशुत मुनाच्वनी गबलय् चि कुइ छुं मखु अःपुगु छगू शान्त बहनी छेँय्
+बांलागु सफू नापं गबलय् फय् पिने वयाच्वनी व वा छानाय् च्वय् कुइ सकल
+मनूतय्त व खँग्वः ब्वनेगु मन दु गुगु झी सकसितं थौं तकं उगु हे जुयाच्वंगु
+दु व संसार हिलाच्वंगु दु तर झीसं लुमंके कि थ्व खँत दक्व न्ह्यः दँय्
+च्वयातःगु खः""",
+
+"nso": """letšatši le phadima godimo ga motsana o monnyane gomme batho
+ba ya mmarakeng go reka borotho le maswi ka gobane gosasa go tla ba le
+monyanya ka kerekeng yeo e lego kgauswi le noka re a tseba gore marega
+a tla fihla kgauswinyane le gore mašego a tla ba telele eupša bana ba
+sa raloka ka serapeng le bagwera ba bona gomme bakgalabje ba anega
+dikanegelo tša lešoka moo diphoofolo di kgobokanago ge lehlwa le ena
+ga go selo se bonolo go phala mathapama a homotšego ka gae ka puku ye
+botse ge phefo e foka ka ntle gomme pula e ena godimo ga marulelo
+motho yo mongwe le yo mongwe o nyaka go bala mantšu ao a šetšego a
+swana go rena ka moka lehono gomme lefase le fetogile eupša re
+gopola gore dilo tše di ngwadilwe mengwaga ye mentši ye e fetilego""",
+
+"os": """хур кӕсы гыццыл хъӕуы сӕрмӕ ӕмӕ адӕм цӕуынц базармӕ дзул ӕмӕ
+ӕхсыр ӕлхӕнынмӕ уымӕн ӕмӕ райсом уыдзӕн бӕрӕгбон аргъуаны цӕугӕдоны
+цур мах зонӕм зымӕг тагъд кӕй ӕрцӕудзӕн ӕмӕ ӕхсӕвтӕ даргъдӕр кӕй
+уыдзысты фӕлӕ сывӕллӕттӕ нырма хъазынц цӕхӕрадоны сӕ хӕлӕрттимӕ ӕмӕ
+зӕрӕдтӕ дзурынц хъӕды тыххӕй аргъӕуттӕ кӕм ӕмбырд кӕнынц сырдтӕ мит
+куы уары уӕд ницы ис хуыздӕр сабыр изӕрӕй хӕдзары хорз чиныгимӕ
+дымгӕ ӕддейӕ куы дымы ӕмӕ къӕвда сӕрыл куы уары алы адӕймаг дӕр
+фӕнды бакӕсын уыцы дзырдтӕ кӕцытӕ баззадысты иухуызон мах алыбон дӕр
+абон ӕмӕ дуне аивта фӕлӕ мах хъуыды кӕнӕм ацы хабӕрттӕ бирӕ азты
+размӕ фыст кӕй уыдысты""",
+
+"raj": """सूरज छोटा गांव माथै चमकै है अर लोग बजार में रोटी अर दूध लेवण
+नै जावै है क्यूंकै काल मिन्दर में तेवार है जको नदी कनै है म्हानै ठा है
+कै सियाळो जल्दी आवैलो अर रातां लांबी व्हैली पण टाबर अजे बाग में
+आपरै भायलां साथै रमै है अर बूढा जंगल री बातां बतावै है जठै जिनावर
+भेळा व्है है जद बरफ पड़ै है घर में सांती री सिंझ्या सूं बढ़िया कीं
+कोनी एक चोखी पोथी साथै जद बारै हवा चालै है अर मेह छात माथै पड़ै है
+हरेक जणो वे बोल बांचणो चावै है जका आपां सगळां खातर आज भी बराबर रैया
+है अर दुनिया बदळगी पण म्हे याद राखां हां कै या बातां घणा बरसां
+पैली लिखीजी ही""",
+
+"rm": """il sulegl sbrinzla sur il pitschen vitg ed ils umans van al
+martgà per cumprar paun e latg perquai che damaun vegn ina festa en
+la baselgia che sa chatta datiers dal flum nus savain che l enviern
+vegn a vegnir bainbaud e che las notgs vegnan ad esser pli lungas ma
+ils uffants giogan anc adina en l iert cun lur amis ed ils vegls
+raquintan istorgias dal guaud nua che las bestias sa radunan cura
+che la naiv croda i na dat nagut pli simpel ch ina saira quieta a
+chasa cun in bun cudesch cura che la bisa sufla dadora e la plievgia
+croda sin il tetg mintga persuna vul leger ils pleds che èn restads
+ils medems per nus tuts oz ed il mund è sa midà ma nus ans
+regurdain che quellas chaussas èn vegnidas scrittas avant blers onns""",
+
+"sd": """سج ننڍڙي ڳوٺ مٿان چمڪي رهيو آهي ۽ ماڻهو بازار ڏانهن وڃي رهيا
+آهن ماني ۽ کير وٺڻ لاءِ ڇاڪاڻ ته سڀاڻي درياهه جي ويجهو مسجد ۾ عيد
+آهي اسان کي خبر آهي ته سيارو جلد ايندو ۽ راتيون ڊگهيون ٿينديون پر
+ٻار اڃا باغ ۾ پنهنجن دوستن سان کيڏي رهيا آهن ۽ پوڙها جهنگ جون
+ڳالهيون ٻڌائين ٿا جتي جانور گڏ ٿيندا آهن جڏهن برف پوندي آهي گهر ۾
+هڪ سٺي ڪتاب سان آرام واري شام کان وڌيڪ سولي ڪا شيءِ ناهي جڏهن هوا
+ٻاهر هلندي آهي ۽ مينهن ڇت تي پوندو آهي هر ڪو اهي لفظ پڙهڻ چاهي ٿو
+جيڪي اسان سڀني لاءِ اڄ به ساڳيا رهيا آهن ۽ دنيا بدلجي وئي آهي پر
+اسان کي ياد آهي ته اهي شيون ڪيترائي سال اڳ لکيون ويون هيون""",
+
+"sg": """lâ ni asu na ndö tî kêtê ködörö nî na âzo ague na gara tî vo
+mâpa na ngûme ndâli tî sô kêkerêke fête ayeke na da tî nzapa sô ayeke
+ndurü na ngûlê ê hînga sô ngoi tî dê ayeke ga fadesô na bï ayeke ga
+yongôro me âmôlengê angbâ tî sâra ngyâ na yâ tî yäkä na âkamarâde tî
+âla na âbabâ ayeke tene âtere tî gbakô sô ânyama ayeke bûngbi daä
+tongana nêge atï mbeni yê tî nzönî ahön pëpe na mbeni lakui tî sîrîrî
+na da na mbeni nzönî bûku tongana pupu ayeke hûru na gîgî na ngûnzapa
+ayeke tï na ndö tî da zo kûê aye tî dîko âtënë sô angbâ ôko ndâli tî
+ê kûê lâsô na dunîa agbîan me ê dabe ê sô a sû âyê sô angu mîngi
+awe""",
+
+"ss": """lilanga liyakhanya etikwini lelidolobhana lelincane futsi bantfu
+baya emakethe kuyotsenga sinkhwa nelubisi ngobe kusasa kutawuba
+nemkhosi esontfweni lelisedvute nemfula siyati kutsi busika butawufika
+masinyane nekutsi busuku butawuba budze kodvwa bantfwana basadlala
+engadzeni nebangani babo futsi labadzala balandzisa tindzaba telihlatsi
+lapho tilwane tihlangana khona nakukhitsika kute lokulula
+kunekuhlwa lokuthulile ekhaya nencwadzi lenhle nangabe umoya uhhusha
+ngaphandle futsi imvula ina etikwini leluphahla wonkhe muntfu ufuna
+kufundza lamagama lasele afanana kitsi sonkhe lamuhla futsi umhlaba
+usugucukile kodvwa siyakhumbula kutsi letintfo tabhalwa eminyakeni
+leminyenti leyendlulile""",
+
+"tlh": """jul boch qoDDaq vengHom mach 'ej nuvpu' Suq malja'Daq tIr Soj
+targh nIm je ghojmoHmeH wa'leS yIntaghDaq lopno' tu'lu' bIQtIq Sum
+chIrgh 'oHDaq maSov bov bIr tugh ghoSbogh 'ej ram nI'choHbogh 'ach
+puqpu' reH Du'Daq jInmolchaj ravwI'pu'chaj je 'ej qanwI'pu' ngem
+lutmey ja' pa' Ha'DIbaHmey boghuv chuch pumDI' pagh ngeD law' juHDaq
+ram tam paq QaQ je ngeD puS SuS 'eng chuSDI' 'ej SISDI' beb DungDaq
+Hoch nuv laD neH mu'mey ratlhbogh rap maHvaD Hoch DaHjaj 'ej qo'
+choHpu' 'ach maqaw Dochmeyvam ghItlhlu'pu' ben law'""",
+
+"ug": """قۇياش كىچىك يېزىنىڭ ئۈستىدە پارقىراپ تۇرىدۇ ۋە كىشىلەر بازارغا
+نان بىلەن سۈت سېتىۋالغىلى بارىدۇ چۈنكى ئەتە دەريا بويىدىكى مەسچىتتە
+ھېيت بار بىز قىشنىڭ پات يېقىندا كېلىدىغانلىقىنى ۋە كېچىلەرنىڭ
+ئۇزىرايدىغانلىقىنى بىلىمىز لېكىن بالىلار يەنىلا باغچىدا دوستلىرى
+بىلەن ئويناۋاتىدۇ ۋە بوۋايلار ئورمان ھەققىدە ھېكايە سۆزلەيدۇ ئۇ
+يەردە قار ياغقاندا ھايۋانلار يىغىلىدۇ ئۆيدە ياخشى بىر كىتاب بىلەن
+تىنچ بىر كەچتىن ئاددىي نەرسە يوق شامال سىرتتا چىققاندا ۋە يامغۇر
+ئۆگزىگە ياغقاندا ھەممە ئادەم بۈگۈن بىز ھەممىمىز ئۈچۈن ئوخشاش قالغان
+سۆزلەرنى ئوقۇغۇسى كېلىدۇ دۇنيا ئۆزگەردى لېكىن بىز بۇ نەرسىلەرنىڭ
+كۆپ يىللار بۇرۇن يېزىلغانلىقىنى ئەستە تۇتىمىز""",
+
+"ve": """ḓuvha ḽi khou penya nṱha ha muḓana muṱuku nahone vhathu vha
+khou ya makete u renga vhurotho na mafhi ngauri matshelo hu ḓo vha
+na vhuṱambo kerekeni ine ya vha tsini na mulambo ri a zwi ḓivha uri
+vhuria vhu ḓo swika hu si kale na uri vhusiku vhu ḓo vha vhulapfu
+fhedzi vhana vha kha ḓi tamba ngadeni na khonani dzavho nahone
+vhakegulu vha anetshela dzingano dza ḓaka hune phukha dza kuvhangana
+hone musi mahaḓa a tshi wa a hu na tshithu tshi leluwaho u fhira
+madekwana o dzikaho hayani na bugu yavhuḓi musi muya u tshi vhudzula
+nnḓa nahone mvula i tshi na nṱha ha ṱhanga muthu muṅwe na muṅwe u
+ṱoḓa u vhala maipfi e a sala a tshi fana kha riṋe roṱhe ṋamusi
+nahone shango ḽo shanduka fhedzi ri elelwa uri zwenezwi zwithu zwo
+ṅwalwa miṅwaha minzhi yo fhiraho""",
+
+"vo": """sol stralon löpo vilaga smalik e mens golons lü zib ad remön
+bodi e milegi bi odelo fet binon in glüg kel binon nilü flumed
+sevobs das niver okömon suno e das neits ovedons lunikums ab cils
+nog pledons in gad ko flens okas e bäldans konons konedis dö fot kö
+nims kobikons ven nif falon nos binon balugikum ka soar stilik in
+dom ko buk gudik ven vien blibon plödo e rein falon su tak anik
+menik vilon reidön vödis kels eblibons ot pro obs valik adelo e vol
+evotükon ab memobs das atos pevötons bü yels mödik""",
+
+"war": """an adlaw nasisirak ha bawbaw han gutiay nga bungto ngan an
+mga tawo nakadto ha merkado basi pumalit hin tinapay ngan gatas kay
+buwas may piyesta ha singbahan nga hirani ha salog maaram kita nga
+an katugnaw maabot na dayon ngan an mga gab i magigin mas maiha
+pero an kabataan nagmumulay pa ha hardin upod an ira kasangkayan
+ngan an mga lagas nagsusumat hin mga istorya mahitungod han kagurangan
+diin an mga hayop nagkakatirok kon nahulog an niyebe waray na mas
+masayon pa kay han usa nga mamingaw nga kagab ihon ha balay upod an
+usa nga maupay nga libro kon an hangin nahuyop ha gawas ngan an uran
+nahulog ha atop an tagsa nga tawo karuyag bumasa han mga pulong nga
+nagpabilin nga pariho para ha aton ngatanan yana nga adlaw ngan an
+kalibutan nagbag o na pero nahinunumdom kita nga ini nga mga butang
+iginsurat hin damu ka tuig na an naglabay""",
+
+"za": """daengngoenz ciuq youq gwnz mbanj iq de caemhcaiq gyoengqvunz
+bae haw cawx haeuxnaengj caeuq cijvaiz aenvih ngoenzcog miz hoih youq
+ndaw miuh henz dah haenx raeuz rox daengzcin couh daeuj caemhcaiq
+gyanghwnz yaek raez hwnjdaeuj hoeng gyoengq lwgnyez lij youq ndaw
+suen caeuq baengzyoux guhcaemz caemhcaiq bouxgeq gangj gojgaeq ndoeng
+faex gizhaenx duzduz doenghduz comz youq mwh nae doek mbouj miz maz
+beij haemh caemrwg youq ndaw ranz lij lix bonj saw ndei engq genjdanh
+mwh rumz ci rog ranz caemhcaiq fwn doek gwnz vax boux boux cungj
+siengj doeg gij vah neix de vih raeuz daengxgya daengz ngoenzneix
+vanzlij doxdoengz caemhcaiq seiqgyaiq gaijbienq lo hoeng raeuz geiq
+ndaej gij saeh neix geij bi gonq couh sij roengzdaeuj lo""",
+
+}
+
+NEW_HELDOUT: dict[str, str] = {
+"aa": "tama qafar afih yab dumaq yani kaadu mashiin kaa inkih geytam faxximta kaadu wohuk sinni maaxaza kulli num yaaxige",
+"ab": "ари аԥсуа бызшәала иҟоу даара имариоу ажәахә ауп амашьына иара ауадаҩрада иазхаҵароуп избанзар анбан цқьоуп",
+"ak": "yei yɛ twi kasa mu kasamu a ɛyɛ mmerɛw a ɛsɛ sɛ afidie no hu no a ɔhaw biara nni mu efisɛ nkyerɛwee no mu da hɔ",
+"crs": "sa i en fraz normal an kreol seselwa ki masin i devret rekonnet san okenn problenm akoz bann let i kler",
+"gv": "shoh raa cadjin ayns gaelg vanninagh as lhisagh y jeshaght toiggal eh fegooish doilleeid erbee er y fa dy vel ny screeuyn baghtal",
+"hmn": "no yog ib kab lus hmoob uas lub tshuab yuav tsum paub yam tsis muaj teeb meem vim cov ntawv pom tseeb",
+"ie": "to es un simplic frase in interlingue quel li machine deve reconosser sin alcun deficultá pro que li lítteres es clar",
+"ig": "nke a bụ ahịrịokwu igbo nkịtị nke igwe ahụ kwesịrị ịmata na enweghị nsogbu ọ bụla n ihi na mkpụrụedemede ndị ahụ doro anya",
+"ik": "una inupiatun uqausiq atausiq naalagniaqtuaq qaritauyam ilisarisigaa qanuq akiqanġitchuq aglaktat nalunaitchut",
+"kha": "kane ka dei ka jingmut kaba kusia ha ka ktien khasi kaba ka kompyuter ka dei ban ithuh khlem ei ei jingeh naba ki dak ki bha",
+"kl": "una oqaaseq nalinginnaasoq kalaallisut qarasaasiap ajornartorsiuteqanngitsumik ilisarisinnaasariaqaraa allagaasut erseqqimmata",
+"ks": "یہ چھے کأشرِ زبانۍ ہنز عام جملہ یوس مشینہِ بغیر کُنہِ مشکلہِ پژھنٛاونۍ پزِ کیازِ کہ حرف چھِ صاف",
+"mfe": "sa se enn fraz normal an kreol morisien ki masinn la bizin rekonet san okenn problem parski bann let zot kler",
+"na": "ei dorerin naoero ngage eman ararenga buore ekamawir nuwan imin tsiet ma ararenga emo ouwak nuwan odet",
+"new": "थ्व नेपालभाषाया साधारण वाक्य खः गुगु यन्त्रं छुं समस्या मदयेकं म्हसीके फयेमाः छाय्धाःसा आखःत स्पष्ट दु",
+"nso": "se ke lefoko le le tlwaelegilego la sepedi leo motšhene o swanetšego go le lemoga ntle le bothata ka gobane ditlhaka di bonagala gabotse",
+"os": "ай у ирон ӕвзагыл фыст хуымӕтӕг хъуыдыйад машинӕ йӕ хъуамӕ базона ӕнӕ зындзинӕдтӕй уымӕн ӕмӕ дамгъӕтӕ бӕрӕг сты",
+"raj": "यो राजस्थानी री साधारण बात है जकी मसीन नै बिना कोई दिक्कत पिछाणणी चाइजै क्यूंकै आखर साफ है",
+"rm": "quai è ina frasa usitada en rumantsch che la maschina duess enconuscher senza problems perquai che las bustabs èn clers",
+"sd": "هي سنڌي ٻوليءَ جو هڪ عام جملو آهي جنهن کي مشين بغير ڪنهن مشڪل جي سڃاڻي وٺڻ گهرجي ڇاڪاڻ ته اکر صاف آهن",
+"sg": "sô ayeke mbeni tënë tî sängö sô senge sô masïni nî alîngbi tî hînga nî sân mbeni kpälë ndâli tî sô âgerê tî mbëtï nî ayeke polêlê",
+"ss": "lomusho uvamile wesiswati kufanele kutsi umshini uwubone kalula ngobe kute bulukhuni futsi tinhlamvu tetincwadzi ticaca kahle kantsi bantfu bonkhe bayakubona loku",
+"tlh": "ram tam juHDaq paq QaQ laDtaH nuvpu' 'ej mu'mey ratlhbogh rap qawtaH Hoch jul bochtaHvIS vengHom machDaq lopno' tu'lu'",
+"ug": "بۇ ئۇيغۇر تىلىدىكى ئاددىي بىر جۈملە بولۇپ ماشىنا ئۇنى ھېچقانداق قىيىنچىلىقسىز تونۇشى كېرەك چۈنكى ھەرپلەر ئېنىق",
+"ve": "heyi ndi mutaladzi wo ḓoweleaho wa tshivenḓa une mutshini wa fanela u u ṱalukanya hu si na thaidzo ngauri maḽeḓere a khagala",
+"vo": "at binon fraseod kösömik in volapük keli cin dabinom suemön nen fikulis bi tonats binons klarik",
+"war": "ini usa ka ordinaryo nga pamulong ha winaray nga sadang makilala han makina nga waray bisan ano nga problema kay an mga letra matin aw",
+"za": "neix dwg coenz vah bingzciengz vahcuengh ndeu gihgi wnggai mbouj miz maz vwndiz couh nyinh ok aenvih saw cingcuj",
+}
+
+# extra seed text appended to ALREADY-SEEDED languages whose chunk
+# margins got diluted when the part-3 batch landed (same mechanism as
+# seeds_r3.SEED_APPEND): more in-language quad mass restores the
+# s1-s2 margin that reliability_delta needs.
+SEED_APPEND: dict[str, str] = {
+
+"sl": """včeraj zjutraj sem šel na sprehod ob reki in videl kako se
+megla počasi dviga nad vodo ker je bilo zelo mrzlo sem si oblekel
+topel plašč in vzel rokavice čeprav sonce še ni vzšlo so bili ribiči
+že na bregu in so tiho čakali da riba prime njihovo vabo pozneje sva
+se s prijateljem srečala pri stari lipi in skupaj odšla proti trgu
+kjer so kmetje prodajali sveže sadje zelenjavo med in domač kruh
+kupila sva nekaj jabolk in se pogovarjala o tem kako hitro mineva
+čas in kako se je vas spremenila odkar sva bila otroka njegova žena
+je doma pekla potico in naju povabila na kosilo po kosilu smo pili
+kavo in poslušali stare zgodbe ki jih je pripovedoval njen oče vsi
+smo se smejali ker so bile zgodbe zelo smešne in polne nenavadnih
+dogodkov iz preteklosti zvečer sem se vrnil domov utrujen ampak
+zadovoljen ker je bil to zares lep dan""",
+}
