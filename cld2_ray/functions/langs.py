@@ -70,6 +70,11 @@ _LANG_DEFS: list[tuple[str, int]] = [
     # appended round 4 (appending keeps every existing lang id stable,
     # so the packed langprobs in the committed artifact stay valid)
     ("iu", 3),   # Inuktitut — RTypeOne via Canadian Aboriginal syllabics
+    # full-unittest languages absent from the reference's present word
+    # tables (cld2_unittest_full.cc:51-190; quadgram-only in the
+    # reference's full build — seed-trained here, data/seeds_r4.py)
+    ("ee", 3), ("gaa", 3), ("kri", 3), ("loz", 3), ("lua", 3),
+    ("luo", 3), ("nr", 3),
 ]
 
 CODES: list[str] = [c for c, _ in _LANG_DEFS]
@@ -101,7 +106,13 @@ _CLOSE_GROUPS = [
     ("id", "ms"),
     ("bo", "dz"),
     ("cs", "sk"),
-    ("zu", "xh"),
+    # r4: widened from (zu, xh) to the full Nguni continuum — the
+    # seed-trained quad tables measurably confuse the four (ss chunks
+    # went zu, nr chunks went ss), which is exactly the reference's
+    # own membership rule ("statistically close ... based on quadgram
+    # table", lang_script.cc:262). ss/nr are engine additions beyond
+    # the reference language set.
+    ("zu", "xh", "ss", "nr"),
     ("bs", "hr", "sr"),
     ("hi", "mr", "bh", "ne"),
     ("no", "nn", "da", "sv"),
