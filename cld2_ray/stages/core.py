@@ -113,16 +113,18 @@ class LangidStage:
             text_bytes[j] = min(r.text_bytes, 2**31 - 1)
         # Metadata fallback: when the content carries no language
         # signal at all (empty pages, repeated-token junk), attribute
-        # the page's declared language, else the TLD prior's language.
-        # lang_reliable stays False, so keep/drop is unchanged — this
-        # only improves the attribution column, the standard move in
-        # web-corpus pipelines when content signal is absent.
+        # the page's declared language, else the TLD prior's language,
+        # else English — the reference's own plain-DetectLanguage
+        # default (M25, compact_lang_det.h DetectLanguage returns
+        # ENGLISH when nothing is detected). lang_reliable stays
+        # False, so keep/drop is unchanged — this only improves the
+        # attribution column, the standard move in web-corpus
+        # pipelines when content signal is absent.
         for j in range(n):
             if summary[j] == "un" and not reliable[j]:
                 _, dec, tld = ph[j]
                 fb = dec[0] if dec else tld
-                if fb:
-                    summary[j] = langs.lang_code(fb)
+                summary[j] = langs.lang_code(fb) if fb else "en"
         for name, arr in [
             ("lang_summary", pa.array(summary)),
             ("lang1", pa.array(lang1)), ("lang2", pa.array(lang2)),
@@ -301,13 +303,14 @@ class FusedPipelineStage:
             nscore1[j] = r.normalized_score3[0]
             reliable[j] = r.is_reliable
             text_bytes[j] = min(r.text_bytes, 2**31 - 1)
-        # metadata fallback for zero-signal pages (see LangidStage)
+        # metadata fallback for zero-signal pages (see LangidStage):
+        # declared lang, else TLD prior, else the reference's
+        # DetectLanguage English default (M25)
         for j in range(n):
             if summary[j] == "un" and not reliable[j]:
                 _, dec, tld = ph[j]
                 fb = dec[0] if dec else tld
-                if fb:
-                    summary[j] = langs.lang_code(fb)
+                summary[j] = langs.lang_code(fb) if fb else "en"
 
         # 3. quality + scrub + aux models on the SAME strings
         tser = pd.Series(texts)

@@ -215,21 +215,22 @@ class TestDeclaredAndFallback:
 
     def test_stage_metadata_fallback(self):
         """Zero-signal pages get the declared lang, else the TLD
-        prior's lang, with lang_reliable=False (stages/core.py)."""
+        prior's lang, else the reference's DetectLanguage English
+        default (M25), with lang_reliable=False (stages/core.py)."""
         import pyarrow as pa
         from cld2_ray.stages.core import LangidStage, extract_batch
         junk = " ".join(f"img{i % 9}.jpg" for i in range(300)).encode()
         rows = pa.table({
             "url": ["https://a.example.ru/1",      # TLD fallback
                     "https://b.example.com/2",     # declared fallback
-                    "https://c.example.com/3"],    # nothing -> un
+                    "https://c.example.com/3"],    # nothing -> en default
             "html": [b"<html><body><p>" + junk + b"</p></body></html>",
                      b"<html lang='tr'><body><p>" + junk
                      + b"</p></body></html>",
                      b"<html><body><p>" + junk + b"</p></body></html>"],
         })
         out = LangidStage()(extract_batch(rows))
-        assert out["lang_summary"].to_pylist() == ["ru", "tr", "un"]
+        assert out["lang_summary"].to_pylist() == ["ru", "tr", "en"]
         assert out["lang_reliable"].to_pylist() == [False, False, False]
 
 

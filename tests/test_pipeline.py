@@ -42,8 +42,7 @@ def oracle_rows(n):
             summary, reliable, pct1 = "un", False, 0
         if summary == "un" and not reliable:
             fb = declared[0] if declared else tld
-            if fb:
-                summary = langs.lang_code(fb)
+            summary = langs.lang_code(fb) if fb else "en"
         rows.append({"url": p["url"], "extracted_text": text,
                      "utf8_valid": ok, "lang_summary": summary,
                      "lang_reliable": reliable, "pct1": pct1})
