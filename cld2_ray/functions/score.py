@@ -554,4 +554,28 @@ def calc_summary_lang(language3, percent3, total_text_bytes,
     ignore = 100 - sum(percent3)
     if ignore > IGNORE_MAX_PERCENT:
         reliable = False
+
+    # Declared-language preference (pipeline-level, opt-in like the
+    # flip suppression above; None = reference-exact): when the page
+    # explicitly declares one of the DETECTED languages and the
+    # calculus chose a different one, the declaration outweighs a
+    # byte-majority from an embedded foreign-language section (the
+    # common mixed-page case: a site-language page quoting a long CJK
+    # passage, where 3-byte chars win the byte count). Applied after
+    # the reliability gates with `reliable` untouched, so keep/drop
+    # and the reliability column are unchanged — only the summary
+    # attribution moves, and only to a language that carries at least
+    # the boilerplate-grade share of the page.
+    if declared and summary not in declared and summary != langs.UNKNOWN:
+        for s in range(3):
+            lid = language3[s]
+            if lid == langs.UNKNOWN or lid not in declared:
+                continue
+            thresh = (NON_EN_BOILERPLATE_MIN_PERCENT
+                      if lid == langs.ENGLISH
+                      else NON_FIGS_BOILERPLATE_MIN_PERCENT)
+            lbytes = (total_text_bytes * percent3[s]) // 100
+            if percent3[s] >= thresh and lbytes >= GOOD_SECOND_T1T2_MIN_BYTES:
+                summary = lid
+            break
     return summary, reliable

@@ -213,6 +213,24 @@ class TestDeclaredAndFallback:
         r2 = det.detect(en + fr, declared=frozenset({langs.lang_id("de")}))
         assert r2.summary_code == "fr"
 
+    def test_declared_preference_on_mixed_page(self, det):
+        """A declared-language page with an embedded CJK passage whose
+        3-byte chars win the byte count: the calculus picks the CJK
+        language, but the declaration moves the summary back to the
+        declared language when it carries a boilerplate-grade share
+        (score.calc_summary_lang declared preference; reliability and
+        keep/drop untouched)."""
+        en = (HELDOUT["en"] + " ") * 4
+        ja = (HELDOUT["ja"] + " ") * 8
+        base = det.detect(en + ja)
+        assert base.summary_code == "ja"
+        r = det.detect(en + ja, declared=frozenset({langs.lang_id("en")}))
+        assert r.summary_code == "en"
+        assert r.is_reliable == base.is_reliable
+        # a declared language NOT among the detected top-3 cannot win
+        r2 = det.detect(en + ja, declared=frozenset({langs.lang_id("de")}))
+        assert r2.summary_code == "ja"
+
     def test_stage_metadata_fallback(self):
         """Zero-signal pages get the declared lang, else the TLD
         prior's lang, else the reference's DetectLanguage English
