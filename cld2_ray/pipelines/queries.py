@@ -2295,6 +2295,131 @@ def q_source_csv(sf_dir):
     return _roundtrip(sf_dir, "csv")
 
 
+# --------------------------------------------------------------------------
+# URL canonicalization / per-domain aggregation (web-pipeline ops over a
+# derived URL column — same oracle contract as the media queries: the raw
+# URL is a pure function of doc_id, constructed identically in the SQL, so
+# the hash check proves the STRING canonicalization ran, not the formula)
+# --------------------------------------------------------------------------
+
+def _derived_urls(t: pa.Table) -> pa.Array:
+    """Messy raw URL per doc_id: scheme / www. / host-case / tracking-
+    query variants so several doc_ids canonicalize to the same key."""
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    scheme = np.where(d % 2 == 0, "https://", "http://")
+    www = np.where(d % 3 == 0, "www.", "")
+    dom = np.char.add("site", (d % 500).astype("U4"))
+    host = np.where(d % 5 == 0, np.char.add(dom, ".Example.COM"),
+                    np.char.add(dom, ".example.com"))
+    path = np.char.add("/page/", (d % 2000).astype("U5"))
+    query = np.where(d % 4 == 0, "?utm_source=feed&ref=rss", "")
+    raw = np.char.add(np.char.add(np.char.add(scheme, www),
+                                  np.char.add(host, path)), query)
+    return pa.array(raw.tolist(), type=pa.string())
+
+
+def q_url_canonical_dedup(sf_dir):
+    """URL-canonicalization dedup (the cheap first pass of a crawl
+    pipeline, before any content hashing): canonicalize the raw URL
+    string column (functions/urltools.canonicalize_urls — scheme/
+    query/fragment dropped, host lowercased, www. and default port
+    stripped) and keep the smallest doc_id per canonical key.
+    100-TB shape: the partials collapse each block to its distinct
+    canonical keys before the groupby, so the shuffle moves keys, not
+    documents."""
+    from ray.data.aggregate import Min, Sum
+
+    from cld2_ray.functions.urltools import canonicalize_urls
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        curl = canonicalize_urls(_derived_urls(t))
+        part = pa.table({"canonical_url": curl, "doc_id": t["doc_id"]})
+        g = part.group_by("canonical_url").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return pa.table({"canonical_url": g["canonical_url"],
+                         "doc_id": g["doc_id_min"],
+                         "n_dups": g["doc_id_count"].cast(pa.int64())})
+
+    return ds.map_batches(canon, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("canonical_url").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Sum("n_dups", alias_name="n_dups"))
+
+
+SQL_URL_CANONICAL_DEDUP = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN 'site' || (doc_id % 500) || '.Example.COM'
+                  ELSE 'site' || (doc_id % 500) || '.example.com' END)
+         || '/page/' || (doc_id % 2000)
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN '?utm_source=feed&ref=rss' ELSE '' END) AS url
+  FROM documents),
+-- canonicalization mirrored in SQL: query dropped, scheme dropped,
+-- lowercased, www. stripped (paths here carry no uppercase, so
+-- whole-string lower() equals the host-only lowercasing of
+-- functions/urltools.canonicalize_urls on this data)
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(
+             regexp_replace(url, '[?#].*$', '')),
+             '^[a-z][a-z0-9+.\\-]*://', ''),
+             '^www\\.', '') AS canonical_url
+  FROM raw)
+SELECT canonical_url, MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY canonical_url
+"""
+
+
+def q_domain_stats(sf_dir):
+    """Per-domain corpus stats (crawl-health dashboard aggregate):
+    docs, chars and distinct languages per canonical host. Partials
+    pre-aggregate (domain, lang) inside each block, so the groupby
+    shuffles at most |domains| x |langs| rows per block; the final
+    distinct-language count folds the tiny merged table."""
+    from cld2_ray.functions.urltools import registered_domain
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dom = registered_domain(_derived_urls(t))
+        part = pa.table({"domain": dom, "lang": t["lang"],
+                         "n_chars": t["n_chars"]})
+        g = part.group_by(["domain", "lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({"domain": g["domain"], "lang": g["lang"],
+                         "n_docs": g["n_chars_count"].cast(pa.int64()),
+                         "sum_chars": g["n_chars_sum"].cast(pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+
+    # after the (domain, lang) groupby each pair is globally unique,
+    # so distinct-language count per domain is a plain row Count
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby(["domain", "lang"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"))
+    return merged.groupby("domain").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Count(alias_name="n_langs"))
+
+
+SQL_DOMAIN_STATS = """
+SELECT 'site' || (doc_id % 500) || '.example.com' AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1
+"""
+
+
 # Ordering note: the driver gate checks the FIRST 50 registry entries
 # per round. Round 3 green-checked positions 1-50 of the r3 ordering;
 # for round 4 the seven entries that sat past position 50 all three
@@ -2312,6 +2437,9 @@ QUERIES = {
     "partitioned_sink": q_partitioned_sink,
     "source_jsonl": q_source_jsonl,
     "source_csv": q_source_csv,
+    # new in r4 (never driver-checked -> head of the window)
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "domain_stats": q_domain_stats,
     "source_lang_matrix": q_source_lang_matrix,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
@@ -2350,14 +2478,15 @@ QUERIES = {
     "asof_join": q_asof_join,
     "part_brand_stats": q_part_brand_stats,
     "ann_top1": q_ann_top1,
-    "embedding_near_pairs": q_embedding_near_pairs,
-    "ivf_topk": q_ivf_topk,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     # -- position > 50: hash-green in CORRECTNESS_r03.json, rotated out
-    # so the previously-row-less 7 get r4 driver rows; each has a
-    # same-family sibling still in the window (media_decode, ivf_topk,
-    # minhash_dedup, orders_by_segment, asof_join) --
+    # so the previously-row-less 7 + the two new r4 queries get r4
+    # driver rows; each has a same-family sibling still in the window
+    # (media_decode for media_*, ann_top1/knn_classify for the ANN
+    # family, orders_by_segment, asof_join) --
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "ivf_topk": q_ivf_topk,
     "media_resize": q_media_resize,
     "media_audio": q_media_audio,
     "media_video": q_media_video,
@@ -2369,6 +2498,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lang_counts": SQL_LANG_COUNTS,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "domain_stats": SQL_DOMAIN_STATS,
     "source_lang_matrix": SQL_SOURCE_LANG_MATRIX,
     "token_stats": SQL_TOKEN_STATS,
     "fingerprint": SQL_FINGERPRINT,

@@ -1,0 +1,70 @@
+"""URL canonicalization kernel (functions/urltools.py) — the general
+string behavior, beyond the derived-URL oracle contract exercised by
+the url_canonical_dedup / domain_stats driver queries."""
+
+import pyarrow as pa
+
+from cld2_ray.functions.urltools import canonicalize_urls, registered_domain
+
+
+def canon(u: str) -> str:
+    return canonicalize_urls(pa.array([u])).to_pylist()[0]
+
+
+def dom(u: str) -> str:
+    return registered_domain(pa.array([u])).to_pylist()[0]
+
+
+class TestCanonicalize:
+    def test_scheme_and_www_stripped(self):
+        assert canon("https://www.example.com/a") == "example.com/a"
+        assert canon("http://example.com/a") == "example.com/a"
+        assert canon("ftp://example.com/a") == "example.com/a"
+
+    def test_host_lowercased_path_case_kept(self):
+        assert canon("https://WWW.Example.COM/CaseSensitive/Path") \
+            == "example.com/CaseSensitive/Path"
+
+    def test_query_and_fragment_dropped(self):
+        assert canon("https://a.com/x?utm_source=feed&ref=rss") == "a.com/x"
+        assert canon("https://a.com/x#section-2") == "a.com/x"
+        assert canon("https://a.com/x?q=1#frag") == "a.com/x"
+
+    def test_default_ports_stripped_nonstandard_kept(self):
+        assert canon("http://a.com:80/x") == "a.com/x"
+        assert canon("https://a.com:443/x") == "a.com/x"
+        assert canon("https://a.com:8080/x") == "a.com:8080/x"
+
+    def test_trailing_slashes(self):
+        assert canon("https://a.com/x/") == "a.com/x"
+        assert canon("https://a.com/") == "a.com"
+        assert canon("https://a.com") == "a.com"
+
+    def test_schemeless_input(self):
+        assert canon("www.a.com/x?y=1") == "a.com/x"
+
+    def test_equivalence_classes_collapse(self):
+        variants = [
+            "https://www.a.com/page/7",
+            "http://a.com/page/7?utm_source=feed",
+            "https://A.COM:443/page/7/",
+            "a.com/page/7#top",
+        ]
+        keys = set(canonicalize_urls(pa.array(variants)).to_pylist())
+        assert keys == {"a.com/page/7"}
+
+    def test_nulls_and_vector_shape(self):
+        arr = pa.array(["https://a.com/x", None, "http://b.com"])
+        out = canonicalize_urls(arr).to_pylist()
+        assert out == ["a.com/x", None, "b.com"]
+        # chunked input accepted
+        ch = pa.chunked_array([["https://a.com/1"], ["https://a.com/2"]])
+        assert canonicalize_urls(ch).to_pylist() == ["a.com/1", "a.com/2"]
+
+
+class TestRegisteredDomain:
+    def test_host_only(self):
+        assert dom("https://www.Sub.Example.com/deep/path?q=1") \
+            == "sub.example.com"
+        assert dom("http://a.com:80/x") == "a.com"
+        assert dom("a.com/x") == "a.com"
