@@ -78,11 +78,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # fused task-form build: the fused kernel runs as plain tasks over
     # pre-warmed reused workers, elastically filling all CPUs (no pool
     # sizing; an N -> 4N comparison scales worker count by exactly 4x).
-    # Best of GRAFT_BENCH_REPS (default 2) runs: this shared VM gets
+    # Best of GRAFT_BENCH_REPS (default 3) runs: this shared VM gets
     # noisy-neighbor spikes (observed external load avg 7+ during some
     # runs, inflating every timing ~2.5x); the MIN wall is the stable
     # capacity estimator, same policy as the scaling legs.
-    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     headline = float("inf")
     for _ in range(reps):
         t0 = time.time()
@@ -98,7 +98,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     for name in ("langid_documents", "exact_dedup", "minhash_dedup",
                  "token_freq_top50", "tpch_q1", "events_hourly",
                  "ann_top1", "embedding_near_pairs", "decontaminate",
-                 "incremental_dedup", "epoch_shuffle"):
+                 "incremental_dedup", "epoch_shuffle",
+                 "url_canonical_dedup", "domain_stats"):
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "to_pandas"):

@@ -37,6 +37,7 @@ QUERIES = [
     "orders_by_segment", "customers_without_orders",
     "orders_per_customer", "part_brand_stats", "ann_top1", "ivf_topk",
     "knn_classify", "embedding_label_stats",
+    "url_canonical_dedup", "domain_stats",
 ]
 
 
