@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 # *( ALPHA / DIGIT / "+" / "-" / "." )
 _QUERY_FRAG = r"[?#].*$"
 _SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
-_WWW = r"^www\."
+_WWW = r"^(www\.)+"  # (…)+: stripping one level at a time would make
+                     # the canonical key depend on pass count
 _DEFAULT_PORT = r":(80|443)$"
 _TRAIL_SLASH = r"/+$"
 

@@ -43,6 +43,11 @@ class TestCanonicalize:
     def test_schemeless_input(self):
         assert canon("www.a.com/x?y=1") == "a.com/x"
 
+    def test_repeated_www_idempotent(self):
+        u = "https://www.www.a.com/x"
+        assert canon(u) == "a.com/x"
+        assert canon(canon(u)) == canon(u)
+
     def test_equivalence_classes_collapse(self):
         variants = [
             "https://www.a.com/page/7",
@@ -60,6 +65,45 @@ class TestCanonicalize:
         # chunked input accepted
         ch = pa.chunked_array([["https://a.com/1"], ["https://a.com/2"]])
         assert canonicalize_urls(ch).to_pylist() == ["a.com/1", "a.com/2"]
+
+
+class TestProperties:
+    """Invariant: the canonical key is a fixpoint — canonicalizing a
+    canonical URL must be the identity, or dedup keys would depend on
+    how many times a pipeline stage ran."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _url_chars = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"),
+            whitelist_characters="-._~/:?#[]@!$&'()*+,;=%"),
+        max_size=80)
+
+    @given(_url_chars)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, tail):
+        for u in (tail, "https://www.EXAMPLE.com/" + tail,
+                  "http://a.com:80/" + tail):
+            once = canon(u)
+            assert canon(once) == once
+
+    @given(st.integers(min_value=0, max_value=10**9))
+    @settings(max_examples=100, deadline=None)
+    def test_variant_classes_collapse(self, i):
+        """scheme x www x case x query variants of one resource
+        always produce ONE canonical key."""
+        base = f"site{i % 500}.example.com/page/{i % 2000}"
+        variants = [
+            "https://" + base,
+            "http://www." + base,
+            "https://" + base.upper().replace("/PAGE/", "/page/")
+            .replace(str(i % 2000).upper(), str(i % 2000)),
+            "https://" + base + "?utm_source=x",
+            "https://" + base + "/",
+        ]
+        keys = set(canonicalize_urls(pa.array(variants)).to_pylist())
+        assert keys == {base}
 
 
 class TestRegisteredDomain:
