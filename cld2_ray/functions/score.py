@@ -577,5 +577,8 @@ def calc_summary_lang(language3, percent3, total_text_bytes,
             lbytes = (total_text_bytes * percent3[s]) // 100
             if percent3[s] >= thresh and lbytes >= GOOD_SECOND_T1T2_MIN_BYTES:
                 summary = lid
-            break
+                break
+            # a declared lang below ITS threshold doesn't end the
+            # search: a later declared ENGLISH slot has a lower
+            # threshold (17 vs 20) and can still qualify
     return summary, reliable

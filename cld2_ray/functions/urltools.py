@@ -10,6 +10,13 @@ additions, SURVEY §2.7).
 
 Everything here is pure pyarrow.compute over string columns — no
 per-row Python in the hot path.
+
+The canonical key is a FIXPOINT by construction: ``canonicalize_urls``
+re-applies the (vectorized) strip pipeline until the column stops
+changing, so crawl junk like ``http://http://a.com`` or
+``https://a.com://x`` cannot make the dedup key depend on how many
+times the stage ran. Each pass only shortens or lowercases, so the
+loop terminates in a handful of passes (1 for normal URLs).
 """
 
 from __future__ import annotations
@@ -20,26 +27,24 @@ import pyarrow.compute as pc
 # query/fragment and scheme prefixes; scheme per RFC 3986 ALPHA
 # *( ALPHA / DIGIT / "+" / "-" / "." )
 _QUERY_FRAG = r"[?#].*$"
-_SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
-_WWW = r"^(www\.)+"  # (…)+: stripping one level at a time would make
-                     # the canonical key depend on pass count
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*://)+"
+_WWW = r"^(www\.)+"
 _DEFAULT_PORT = r":(80|443)$"
 _TRAIL_SLASH = r"/+$"
 
 
-def canonicalize_urls(urls) -> pa.Array:
-    """Vectorized canonical key for a string column of URLs.
-
-    Steps (host case-insensitive per RFC 3986 §6.2.2.1; the path keeps
-    its case): drop query+fragment, drop the scheme, lowercase the
-    host, strip a leading "www.", strip the default :80/:443 port,
-    strip trailing slashes.
-    """
+def _coerce(urls) -> pa.Array:
     if isinstance(urls, pa.ChunkedArray):
-        urls = urls.combine_chunks()
-    elif not isinstance(urls, pa.Array):
-        urls = pa.array(urls, type=pa.string())
-    s = pc.replace_substring_regex(urls, pattern=_QUERY_FRAG,
+        return urls.combine_chunks()
+    if isinstance(urls, pa.Array):
+        return urls
+    return pa.array(urls, type=pa.string())
+
+
+def _split_host(s: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(host, rest): scheme/query/fragment stripped, host lowercased
+    with www. prefixes and the default :80/:443 port removed."""
+    s = pc.replace_substring_regex(s, pattern=_QUERY_FRAG,
                                    replacement="")
     s = pc.replace_substring_regex(s, pattern=_SCHEME, replacement="")
     parts = pc.extract_regex(s, r"^(?P<host>[^/]*)(?P<rest>.*)$")
@@ -47,24 +52,36 @@ def canonicalize_urls(urls) -> pa.Array:
     host = pc.replace_substring_regex(host, pattern=_WWW, replacement="")
     host = pc.replace_substring_regex(host, pattern=_DEFAULT_PORT,
                                       replacement="")
-    rest = pc.replace_substring_regex(pc.struct_field(parts, "rest"),
-                                      pattern=_TRAIL_SLASH,
+    return host, pc.struct_field(parts, "rest")
+
+
+def _canon_once(s: pa.Array) -> pa.Array:
+    host, rest = _split_host(s)
+    rest = pc.replace_substring_regex(rest, pattern=_TRAIL_SLASH,
                                       replacement="")
     return pc.binary_join_element_wise(host, rest, "")
 
 
+def canonicalize_urls(urls) -> pa.Array:
+    """Vectorized canonical key for a string column of URLs.
+
+    Steps (host case-insensitive per RFC 3986 §6.2.2.1; the path keeps
+    its case): drop query+fragment, drop the scheme, lowercase the
+    host, strip leading "www." prefixes, strip the default :80/:443
+    port, strip trailing slashes — iterated to fixpoint (see module
+    docstring)."""
+    s = _coerce(urls)
+    while True:
+        t = _canon_once(s)
+        if t.equals(s):
+            return t
+        s = t
+
+
 def registered_domain(urls) -> pa.Array:
     """Vectorized host extraction (canonical form: lowercased, www.
-    and default port stripped) for per-domain aggregation."""
-    if isinstance(urls, pa.ChunkedArray):
-        urls = urls.combine_chunks()
-    elif not isinstance(urls, pa.Array):
-        urls = pa.array(urls, type=pa.string())
-    s = pc.replace_substring_regex(urls, pattern=_QUERY_FRAG,
-                                   replacement="")
-    s = pc.replace_substring_regex(s, pattern=_SCHEME, replacement="")
-    host = pc.utf8_lower(
-        pc.replace_substring_regex(s, pattern=r"/.*$", replacement=""))
-    host = pc.replace_substring_regex(host, pattern=_WWW, replacement="")
-    return pc.replace_substring_regex(host, pattern=_DEFAULT_PORT,
-                                      replacement="")
+    and default port stripped) for per-domain aggregation. Shares the
+    canonical-key pipeline, so the domain of a URL always equals the
+    host part of its canonical key."""
+    host, _ = _split_host(canonicalize_urls(urls))
+    return host

@@ -89,7 +89,13 @@ class LangidStage:
         # declared/TLD provide the metadata fallback for zero-signal
         # pages (all per-page metadata — see calc_summary_lang and
         # the fallback loop below). Hints scan only the valid prefix.
-        ph = [page_hints(urls[j] or "", (htmls[j] or b"")[:int(vp[j])])
+        # cap the valid-prefix slice at the hint scan window so the
+        # slice never copies a whole page body (page_hints reads only
+        # the first MAX_SCAN_BYTES anyway)
+        from cld2_ray.functions.hints import MAX_SCAN_BYTES
+        ph = [page_hints(urls[j] or "",
+                         (htmls[j] or b"")[:min(int(vp[j]),
+                                                MAX_SCAN_BYTES)])
               for j in range(n)]
         # detect every row that yielded text — including truncated
         # bad-UTF-8 pages (the extractor already salvaged the longest
@@ -280,7 +286,10 @@ class FusedPipelineStage:
         # including the salvaged valid prefix of bad-UTF-8 pages (the
         # keep/drop gate below still drops those as utf8_invalid)
         todo = [j for j in range(n) if texts[j]]
-        ph = [page_hints(urls[j] or "", (htmls[j] or b"")[:int(valid[j])])
+        from cld2_ray.functions.hints import MAX_SCAN_BYTES
+        ph = [page_hints(urls[j] or "",
+                         (htmls[j] or b"")[:min(int(valid[j]),
+                                                MAX_SCAN_BYTES)])
               for j in range(n)]
         hints = [[lid for lid, w in ph[j][0] if w > 0] for j in todo]
         declared = [frozenset(ph[j][1]) or None for j in todo]

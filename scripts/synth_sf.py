@@ -52,9 +52,19 @@ def synth_sf_dir(src_dir: str, out_dir: str, factor: int = 10) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    sizes = {t: pq.read_metadata(
-        os.path.join(src_dir, f"{t}.parquet")).num_rows
-        for t in list(_SCALED) + list(_FIXED)}
+    # stride per key space = max(key)+1 measured from the PRIMARY
+    # table of that space, NOT its row count: sparse key spaces (e.g.
+    # standard TPC-H orderkeys, max ~ 4x rows) would otherwise make
+    # replica i's shifted keys collide with replica i-1's range and
+    # silently corrupt every join fan-out in the synthesized tables.
+    _primary_key = {"customer": "c_custkey", "supplier": "s_suppkey",
+                    "part": "p_partkey", "orders": "o_orderkey",
+                    "events": "event_id"}
+    sizes = {}
+    for t, col in _primary_key.items():
+        tbl = pq.read_table(os.path.join(src_dir, f"{t}.parquet"),
+                            columns=[col])
+        sizes[t] = int(pc.max(tbl[col]).as_py()) + 1
     ev = pq.read_table(os.path.join(src_dir, "events.parquet"),
                        columns=["user_id"])
     sizes["_users"] = int(pc.max(ev["user_id"]).as_py()) + 1
