@@ -719,3 +719,50 @@ for _c, _t in _SA4.items():
 HELDOUT.update(_SH)
 HELDOUT.update(_TH)
 HELDOUT.update(_NH4)
+
+# script-variant corpora (the full-unittest lang-script matrix,
+# cld2_unittest_full.cc: sr-Latn, ro-Cyrl, uz-Cyrl, kk-Latn, tt-Latn,
+# tk-Cyrl, ug-Cyrl/Latn, sa-Latn): derive the variant-script text from
+# the SAME authored corpus via published orthography mappings
+# (data/translit.py); both scripts train under one language id, so
+# detection of either script reports the base code.
+from cld2_ray.data import translit as _T
+
+_VARIANTS = [
+    ("sr", "sr-Latn", _T.sr_to_latin),
+    ("ro", "ro-Cyrl", _T.ro_to_cyrillic),
+    ("uz", "uz-Cyrl", _T.uz_to_cyrillic),
+    ("kk", "kk-Latn", _T.kk_to_latin),
+    ("tt", "tt-Latn", _T.tt_to_latin),
+    ("tk", "tk-Cyrl", _T.tk_to_cyrillic),
+    ("ug", "ug-Cyrl", _T.ug_to_cyrillic),
+    ("ug", "ug-Latn", _T.ug_to_latin),
+    ("sa", "sa-Latn", _T.sa_to_iast),
+]
+# transliterate the BASE corpus captured once (ug has two variants;
+# transliterating the already-extended corpus would duplicate text)
+_VBASE = {c: SEEDS[c] for c, _, _ in _VARIANTS}
+for _src, _key, _fn in _VARIANTS:
+    SEEDS[_src] = SEEDS[_src] + " " + _fn(_VBASE[_src])
+    HELDOUT[_key] = _fn(HELDOUT[_src])
+
+# (lang, variant script) pairs whose text is the web-MINORITY usage of
+# that script (Cyrillic Romanian/Turkmen/Uzbek/Uyghur, Latin Serbian/
+# Kazakh/Tatar/Uyghur, IAST Sanskrit). Training demotes these spans'
+# gram weights 3x (state/model._build_seed_tables) so the flood of
+# variant-script grams cannot push the script's MAJORITY languages
+# (ru, uk, bg / en, ...) out of shared-gram langprob slots — the
+# analogue of corpus-frequency priors in the reference's web training
+# data. Script names are ULScript-style 4-letter codes.
+# Only the CYRILLIC variants are demoted: that's where the dilution
+# measurably bit (generic-Cyrillic grams pushed ru out of langprob
+# slots). The Latin variants (sr/kk/tt/ug-Latn, sa-IAST) train at
+# full weight — Latin's majority languages have orders more seed mass
+# and distinctive diacritic-free grams, and demoting ug-Latn was
+# observed to break its own heldout.
+SECONDARY_SCRIPTS: dict[str, tuple[str, ...]] = {
+    "ro": ("Cyrl",),
+    "uz": ("Cyrl",),
+    "tk": ("Cyrl",),
+    "ug": ("Cyrl",),
+}

@@ -376,16 +376,24 @@ def _count_table(counts: dict[int, dict[int, int]],
 def _build_seed_tables(seed_texts: dict[str, str]):
     """-> (quad HashTable, seed-word HashTable), both trained from
     the authored seed corpora with the RUNTIME walks."""
-    quad_counts: dict[int, dict[int, int]] = {}
-    quad_totals: dict[int, int] = {}
-    octa_counts: dict[int, dict[int, int]] = {}
-    octa_totals: dict[int, int] = {}
+    quad_counts: dict[int, dict[int, float]] = {}
+    quad_totals: dict[int, float] = {}
+    octa_counts: dict[int, dict[int, float]] = {}
+    octa_totals: dict[int, float] = {}
 
-    def bump(counts, totals, lid, keys):
-        totals[lid] = totals.get(lid, 0) + max(len(keys), 1)
+    def bump(counts, totals, lid, keys, w: float):
+        totals[lid] = totals.get(lid, 0.0) + max(len(keys), 1) * w
         for k in keys.tolist():
             counts.setdefault(k, {})
-            counts[k][lid] = counts[k].get(lid, 0) + 1
+            counts[k][lid] = counts[k].get(lid, 0.0) + w
+
+    # web-minority (lang, script) variant spans train at 1/3 weight —
+    # see data/seeds.SECONDARY_SCRIPTS for the rationale
+    from cld2_ray.data.seeds import SECONDARY_SCRIPTS
+    _script_id = {"Latn": us.LATIN, "Cyrl": us.CYRILLIC}
+    secondary = {(langs.lang_id(c), _script_id[s])
+                 for c, names in SECONDARY_SCRIPTS.items()
+                 for s in names if s in _script_id}
 
     for code, text in sorted(seed_texts.items()):
         lid = langs.lang_id(code)
@@ -394,12 +402,17 @@ def _build_seed_tables(seed_texts: dict[str, str]):
         for sp in spans.script_spans(" ".join(text.split())):
             rt = us.script_rtype(sp.script)
             if rt == us.RTYPE_MANY:
+                # 1/2, not 1/3: at 1/3 the demoted variants' own
+                # detection breaks (ro-Cyrl); at full weight the
+                # Cyrillic majority (ru, bg) loses shared-gram slots.
+                # 1/2 measured as the point where both sides hold.
+                w = 0.5 if (lid, sp.script) in secondary else 1.0
                 # dense (every-alignment) sampling for table coverage
                 sb = sp.text.encode("utf-8")
                 bump(quad_counts, quad_totals, lid,
-                     hits.quad_hits_dense(sb)[0])
+                     hits.quad_hits_dense(sb)[0], w)
                 wh, _, _, _ = hits.octa_word_and_pair_hits(sb)
-                bump(octa_counts, octa_totals, lid, wh)
+                bump(octa_counts, octa_totals, lid, wh, w)
     return (_count_table(quad_counts, quad_totals),
             _count_table(octa_counts, octa_totals))
 
@@ -512,12 +525,28 @@ def train(seed_texts: dict[str, str] | None = None) -> LangModel:
     # full either way), giving a realistic out-of-vocabulary rate.
     # Languages without seed corpora keep expected 0 = "no estimate",
     # which reliability_expected treats as fully reliable.
+    # halve WITHIN each script section, not across the whole corpus:
+    # the script-variant corpora (data/seeds.py _VARIANTS) are built
+    # as "base-script text + transliterated text", and a whole-corpus
+    # positional split would train half A on one script and score
+    # half B in the other, measuring a cross-script expected rate of
+    # ~0 (observed: uz=17, tk=9 per KB, which then killed those
+    # languages' reliability at detection). Per-section halving keeps
+    # the measurement identical to the historical split for
+    # single-script corpora (first/second half = real out-of-vocab
+    # text, NOT vocabulary-sharing interleaved blocks) while giving
+    # mixed-script corpora both scripts in both halves.
     halves_a = {}
     halves_b = {}
     for code, text in seed_texts.items():
-        words = text.split()
-        halves_a[code] = " ".join(words[: len(words) // 2])
-        halves_b[code] = " ".join(words[len(words) // 2:])
+        a_parts: list[str] = []
+        b_parts: list[str] = []
+        for sec in spans.script_spans(" ".join(text.split())):
+            words = sec.text.split()
+            a_parts.append(" ".join(words[: len(words) // 2]))
+            b_parts.append(" ".join(words[len(words) // 2:]))
+        halves_a[code] = " ".join(a_parts)
+        halves_b[code] = " ".join(b_parts)
     hq, hs = _build_seed_tables(halves_a)
     half_model = LangModel(hq, hs, docta, xocta,
                            uni, cjkbi, model.expected_quad,
