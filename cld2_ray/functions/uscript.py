@@ -237,7 +237,7 @@ def lower_lut() -> np.ndarray:
     absent): unicodedata simple lowering over cased scripts."""
     ref = _ref_luts()
     if ref is not None:
-        return ref[1].astype(np.uint32, copy=False)
+        return _fold_arabic_presentation(ref[1].astype(np.uint32))
     lut = np.arange(LUT_SIZE, dtype=np.uint32)
     cased = {LATIN, CYRILLIC, GREEK, ARMENIAN}
     script = script_lut()
@@ -246,7 +246,32 @@ def lower_lut() -> np.ndarray:
             low = chr(cp).lower()
             if len(low) == 1 and ord(low) != cp:
                 lut[cp] = ord(low)
-    return lut
+    return _fold_arabic_presentation(lut)
+
+
+def _fold_arabic_presentation(lut: np.ndarray) -> np.ndarray:
+    """Fold Arabic presentation forms (U+FB50-FDFF, U+FE70-FEFF) to
+    their base letters in the pinned lowercase remap.
+
+    Documented deviation: the reference leaves presentation forms
+    unmapped and instead carries presentation-form quadgrams in its
+    web-trained tables (its kk-Arab unittest string is entirely
+    contextual-form codepoints). This engine's tables are trained on
+    base-form text, so the 1:1 remap folds each positional variant to
+    its NFKC base letter; multi-letter ligatures (lam-alef and the
+    FDxx word ligatures) keep only the first base letter — a bounded
+    approximation affecting only ligature-encoded text."""
+    out = lut.copy()
+    for lo, hi in ((0xFB50, 0xFDFF), (0xFE70, 0xFEFF)):
+        for cp in range(lo, hi + 1):
+            base = unicodedata.normalize("NFKC", chr(cp))
+            if not base:
+                continue
+            b0 = ord(base[0])
+            if b0 != cp and 0x0600 <= b0 <= 0x06FF \
+                    and unicodedata.category(base[0]).startswith("L"):
+                out[cp] = lut[b0] if b0 < len(lut) else b0
+    return out
 
 
 def lower_cps(cps: np.ndarray) -> np.ndarray:

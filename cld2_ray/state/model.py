@@ -387,13 +387,14 @@ def _build_seed_tables(seed_texts: dict[str, str]):
             counts.setdefault(k, {})
             counts[k][lid] = counts[k].get(lid, 0.0) + w
 
-    # web-minority (lang, script) variant spans train at 1/3 weight —
-    # see data/seeds.SECONDARY_SCRIPTS for the rationale
+    # web-minority (lang, script) variant spans train at a demoted
+    # weight — see data/seeds.SECONDARY_SCRIPTS for the rationale
     from cld2_ray.data.seeds import SECONDARY_SCRIPTS
-    _script_id = {"Latn": us.LATIN, "Cyrl": us.CYRILLIC}
-    secondary = {(langs.lang_id(c), _script_id[s])
-                 for c, names in SECONDARY_SCRIPTS.items()
-                 for s in names if s in _script_id}
+    _script_id = {"Latn": us.LATIN, "Cyrl": us.CYRILLIC,
+                  "Arab": us.ARABIC, "Deva": us.DEVANAGARI}
+    secondary = {(langs.lang_id(c), _script_id[s]): w
+                 for c, per in SECONDARY_SCRIPTS.items()
+                 for s, w in per.items() if s in _script_id}
 
     for code, text in sorted(seed_texts.items()):
         lid = langs.lang_id(code)
@@ -402,11 +403,7 @@ def _build_seed_tables(seed_texts: dict[str, str]):
         for sp in spans.script_spans(" ".join(text.split())):
             rt = us.script_rtype(sp.script)
             if rt == us.RTYPE_MANY:
-                # 1/2, not 1/3: at 1/3 the demoted variants' own
-                # detection breaks (ro-Cyrl); at full weight the
-                # Cyrillic majority (ru, bg) loses shared-gram slots.
-                # 1/2 measured as the point where both sides hold.
-                w = 0.5 if (lid, sp.script) in secondary else 1.0
+                w = secondary.get((lid, sp.script), 1.0)
                 # dense (every-alignment) sampling for table coverage
                 sb = sp.text.encode("utf-8")
                 bump(quad_counts, quad_totals, lid,
