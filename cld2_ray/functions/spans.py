@@ -131,7 +131,7 @@ def script_spans(text: str, text_limit: int = TEXT_LIMIT) -> list[ScriptSpan]:
                 text_utf8=bytes(out_buf[os_:os_ + ob]),
                 script=sc_id, offset=c0, text_bytes=ob,
                 end_offset=c1,
-                letter_pos=lt_idx[lp0:lp1].copy(),
+                letter_pos=lt_idx[lp0:lp1],
             ))
         return out
     return _script_spans_numpy(text, text_limit)
@@ -152,6 +152,9 @@ def script_spans_batch(texts: list[str],
     meta, ns_doc, out_buf, lt_idx = native.script_spans_scan_multi(
         cat, bounds, us.script_lut(), us.lower_lut(),
         text_limit, MAX_SCRIPT_BYTES)
+    # letter_pos below are VIEWS into lt_idx (read-only downstream --
+    # langid.py only indexes/searchsorts them); copying each span's
+    # slice measured ~5% of detect_batch on span-dense batches
     out: list[list[ScriptSpan]] = []
     row = 0
     for d in range(len(texts)):
@@ -162,7 +165,7 @@ def script_spans_batch(texts: list[str],
                 text_utf8=bytes(out_buf[os_:os_ + ob]),
                 script=sc_id, offset=c0, text_bytes=ob,
                 end_offset=c1,
-                letter_pos=lt_idx[lp0:lp1].copy(),
+                letter_pos=lt_idx[lp0:lp1],
             ))
         row += int(ns_doc[d])
         out.append(spans_d)
