@@ -392,9 +392,15 @@ def _build_seed_tables(seed_texts: dict[str, str]):
     from cld2_ray.data.seeds import SECONDARY_SCRIPTS
     _script_id = {"Latn": us.LATIN, "Cyrl": us.CYRILLIC,
                   "Arab": us.ARABIC, "Deva": us.DEVANAGARI}
+    for _c, _per in SECONDARY_SCRIPTS.items():
+        unknown = set(_per) - set(_script_id)
+        if unknown:  # silent drop would train the variant at FULL
+            raise ValueError(  # weight and skew the committed artifact
+                f"SECONDARY_SCRIPTS[{_c!r}] names scripts {unknown} "
+                f"missing from _script_id — add them here")
     secondary = {(langs.lang_id(c), _script_id[s]): w
                  for c, per in SECONDARY_SCRIPTS.items()
-                 for s, w in per.items() if s in _script_id}
+                 for s, w in per.items()}
 
     for code, text in sorted(seed_texts.items()):
         lid = langs.lang_id(code)

@@ -378,6 +378,36 @@ class TestScriptSpansScan:
     def test_fuzz(self, t):
         self._eq(t)
 
+    @settings(deadline=None, max_examples=100)
+    @given(st.text(alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x2FFF),
+        st.characters(min_codepoint=0xFB50, max_codepoint=0xFEFF)),
+        max_size=300))
+    def test_fuzz_arabic_presentation_forms(self, t):
+        """C/numpy equivalence over the presentation-form fold range
+        (U+FB50-FEFF -> base letters, uscript._fold_arabic_presentation)
+        — the base fuzz caps at 0x2FFF and never exercises it."""
+        self._eq(t)
+
+    def test_spans_stable_across_scan_calls(self):
+        """letter_pos must stay valid after LATER scan calls: the
+        native kernel reuses scratch buffers, so spans must hand out
+        private memory, not views into the scratch (regression: the
+        first view-based optimization returned scratch views)."""
+        from cld2_ray.functions import spans
+        a = spans.script_spans("hello world " * 40 + "привет мир " * 40)
+        snap = [np.asarray(sp.letter_pos).copy() for sp in a]
+        spans.script_spans("zzzz " * 400)
+        for s, sp in zip(snap, a):
+            assert np.array_equal(s, np.asarray(sp.letter_pos))
+        b = spans.script_spans_batch(["hello world " * 30,
+                                      "привет мир " * 30])
+        flat = [sp for d in b for sp in d]
+        snap2 = [np.asarray(sp.letter_pos).copy() for sp in flat]
+        spans.script_spans_batch(["qqqq " * 300, "wwww " * 300])
+        for s, sp in zip(snap2, flat):
+            assert np.array_equal(s, np.asarray(sp.letter_pos))
+
 
 class TestExtractScan:
     """C extract_scan must be byte-equal to the Python extractor."""

@@ -45,8 +45,8 @@ def _load_strings():
             try:
                 s = (s.encode("latin1").decode("unicode_escape")
                      .encode("latin1").decode("utf-8"))
-            except UnicodeDecodeError:
-                continue
+            except UnicodeError:  # encode (chars > U+00FF mixed with
+                continue          # \x escapes) or decode failures
         out[name] = s
     return out
 
