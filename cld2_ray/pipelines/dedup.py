@@ -289,6 +289,98 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(rewrite, batch_format="pandas", batch_size=None)
 
 
+def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    window: int = 8, min_count: int = 2):
+    """Substring-level exact dedup — the granularity below
+    segment_dedup (fixed aligned segments) and exact_dedup (whole
+    docs): the suffix-array family of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (2022), approximated
+    with stride-1 ``window``-token rolling windows so it distributes
+    as two map passes + one hash-bucket shuffle instead of a global
+    suffix array.
+
+    A window text occurring >= ``min_count`` times corpus-wide (any
+    doc, any offset, self-repeats included) marks ALL its occurrences;
+    a doc's duplicated coverage is the token-union of its marked
+    windows. Per doc emits (doc_id, n_tokens, n_dup_windows,
+    dup_tokens, clean_text) where clean_text cuts every covered token
+    (the paper's "remove all copies" policy — deterministic, and what
+    the DuckDB oracle mirrors).
+
+    Scale shape: pass 1 ships per-batch (window_md5 -> count) partials
+    into 64 hash buckets — never window text, and pre-aggregated so a
+    block's repeated windows collapse before the exchange; the
+    duplicated-hash set is the heavy-hitter tail (small by the usual
+    dup-rate assumption), broadcast once via ray.put; pass 2 rewrites
+    locally in one map_batches. md5 keeps the oracle bit-comparable;
+    a 100-TB run would swap _win_hashes to a polynomial rolling hash
+    (O(n) per doc instead of O(n*window)) at the cost of SQL parity.
+    """
+    import pyarrow as _pa
+    import ray
+
+    def _win_hashes(words: list[str]) -> list[str]:
+        if len(words) < window:
+            return []
+        return [hashlib.md5(" ".join(words[i:i + window]).encode())
+                .hexdigest() for i in range(len(words) - window + 1)]
+
+    def win_partial(df: pd.DataFrame):
+        counts: dict[str, int] = {}
+        for text in df[text_col]:
+            for h in _win_hashes((text or "").split(" ")):
+                counts[h] = counts.get(h, 0) + 1
+        keys = list(counts)
+        part = np.array([int(k[:2], 16) % 64 for k in keys],
+                        dtype=np.int64)
+        return _pa.table({
+            "win_md5": _pa.array(keys, _pa.string()),
+            "part": _pa.array(part),
+            "n_": _pa.array([counts[k] for k in keys], _pa.int64())})
+
+    def win_merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("win_md5", as_index=False).agg(cnt=("n_", "sum"))
+        return gg[gg["cnt"] >= min_count][["win_md5"]]
+
+    hot = ds.map_batches(win_partial, batch_format="pandas",
+                         batch_size=None) \
+        .groupby("part").map_groups(win_merge, batch_format="pandas") \
+        .to_pandas()
+    # a window-less corpus (every doc < `window` tokens) comes back as
+    # an empty, schema-less frame
+    dup_ref = ray.put(set(hot["win_md5"]) if "win_md5" in hot.columns
+                      else set())
+
+    def rewrite(df: pd.DataFrame):
+        dup = ray.get(dup_ref)
+        ids, ntok, nwin, ndup, clean = [], [], [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            words = (text or "").split(" ")
+            starts = [i for i, h in enumerate(_win_hashes(words))
+                      if h in dup]
+            # merged coverage via a diff array (windows overlap)
+            diff = np.zeros(len(words) + 1, dtype=np.int32)
+            for s in starts:
+                diff[s] += 1
+                diff[s + window] -= 1
+            covered = np.cumsum(diff[:-1]) > 0
+            ids.append(int(doc_id))
+            ntok.append(len(words))
+            nwin.append(len(starts))
+            ndup.append(int(covered.sum()))
+            clean.append(" ".join(
+                w for w, c in zip(words, covered) if not c))
+        return _pa.table({
+            id_col: _pa.array(ids, _pa.int64()),
+            "n_tokens": _pa.array(ntok, _pa.int64()),
+            "n_dup_windows": _pa.array(nwin, _pa.int64()),
+            "dup_tokens": _pa.array(ndup, _pa.int64()),
+            "clean_text": _pa.array(clean, _pa.string())})
+
+    # stays a Dataset — the rewritten corpus is corpus-sized
+    return ds.map_batches(rewrite, batch_format="pandas", batch_size=None)
+
+
 _CLIQUE_CUTOFF = 64
 
 

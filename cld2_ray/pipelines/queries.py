@@ -116,6 +116,55 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_substring_dedup(sf_dir):
+    """Substring-level (stride-1 rolling-window) exact dedup — the
+    Lee-et-al-2022 suffix-array family, windowed so it distributes
+    (pipelines/dedup.substring_dedup)."""
+    from cld2_ray.pipelines.dedup import substring_dedup
+    return substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+), wtok AS (
+  SELECT doc_id, unnest(w) AS wd, generate_subscripts(w, 1) AS gs FROM toks
+), wins AS (
+  SELECT doc_id, i AS start, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+  WHERE len(w) >= 8
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, start FROM wins WHERE h IN (SELECT h FROM dup)
+), cov AS (
+  SELECT doc_id, start, GREATEST(start, coalesce(max(start + 8) OVER (
+      PARTITION BY doc_id ORDER BY start
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS s_eff
+  FROM marked
+), agg AS (
+  SELECT doc_id, count(*) AS n_dup_windows,
+         CAST(sum(GREATEST(start + 8 - s_eff, 0)) AS BIGINT) AS dup_tokens
+  FROM cov GROUP BY doc_id
+), kept AS (
+  SELECT w.doc_id, w.gs, w.wd FROM wtok w
+  WHERE NOT EXISTS (SELECT 1 FROM marked m
+                    WHERE m.doc_id = w.doc_id
+                      AND w.gs BETWEEN m.start AND m.start + 7)
+), clean AS (
+  SELECT doc_id, string_agg(wd, ' ' ORDER BY gs) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(a.dup_tokens, 0) AS dup_tokens,
+       coalesce(c.clean_text, '') AS clean_text
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+"""
+
+
 def q_segment_dedup(sf_dir):
     """C4-style corpus-wide duplicate-segment removal (reference
     analogue: the corpus-level line dedup of the C4/Gopher recipes;
@@ -2440,6 +2489,7 @@ QUERIES = {
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
+    "substring_dedup": q_substring_dedup,
     "source_lang_matrix": q_source_lang_matrix,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
@@ -2505,6 +2555,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
     "source_quota": SQL_SOURCE_QUOTA,
     "tfidf_top5": SQL_TFIDF_TOP5,
     "lang_quantiles": SQL_LANG_QUANTILES,

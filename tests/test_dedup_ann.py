@@ -82,6 +82,50 @@ class TestSegmentDedup:
         assert by_id.loc[9, "clean_text"] == ""
 
 
+class TestSubstringDedup:
+    def test_shared_passage_cut_everywhere(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import substring_dedup
+        passage = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+        rows = [
+            {"doc_id": 0, "text": "alpha beta " + passage + " gamma"},
+            {"doc_id": 1, "text": passage + " delta epsilon"},
+            {"doc_id": 2, "text": "totally different words only here now"},
+        ]
+        out = substring_dedup(rd.from_items(rows), window=8).to_pandas()
+        by_id = out.set_index("doc_id")
+        # the 12-token passage is covered by 5 stride-1 windows of 8,
+        # each occurring twice corpus-wide -> all 12 tokens cut in BOTH
+        # docs (remove-all-copies policy)
+        assert by_id.loc[0, "n_dup_windows"] == 5
+        assert by_id.loc[0, "dup_tokens"] == 12
+        assert by_id.loc[0, "clean_text"] == "alpha beta gamma"
+        assert by_id.loc[1, "clean_text"] == "delta epsilon"
+        assert by_id.loc[2, "n_dup_windows"] == 0
+        assert by_id.loc[2, "dup_tokens"] == 0
+
+    def test_intra_doc_repeat_counts(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import substring_dedup
+        chunk = " ".join(f"r{i}" for i in range(8))
+        rows = [{"doc_id": 5, "text": chunk + " mid " + chunk},
+                {"doc_id": 6, "text": "eight unique tokens " * 2}]
+        out = substring_dedup(rd.from_items(rows), window=8).to_pandas()
+        by_id = out.set_index("doc_id")
+        # self-repeat: the 8-token chunk occurs twice IN THE SAME doc
+        assert by_id.loc[5, "dup_tokens"] == 16
+        assert by_id.loc[5, "clean_text"] == "mid"
+
+    def test_short_docs_pass_through(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import substring_dedup
+        rows = [{"doc_id": 1, "text": "too short"},
+                {"doc_id": 2, "text": "too short"}]  # < window: no windows
+        out = substring_dedup(rd.from_items(rows), window=8).to_pandas()
+        assert (out["n_dup_windows"] == 0).all()
+        assert set(out["clean_text"]) == {"too short"}
+
+
 class TestMinHash:
     def test_near_dups_found(self, doc_ds):
         from cld2_ray.pipelines.dedup import minhash_dedup
