@@ -209,7 +209,8 @@ class Detector:
             c = score.score_chunks(l3, q3, all_off, len(sb),
                                    score.CHUNKSIZE_QUADS,
                                    self.model.expected_quad, hp,
-                                   distinct_mask=all_dist)
+                                   distinct_mask=all_dist,
+                                   script4=int(us.LSCRIPT4[sp.script]))
             tote.add_chunks(*c)
         elif rt == us.RTYPE_CJK:
             uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
@@ -251,8 +252,7 @@ class Detector:
             for sp in sl:
                 rt = self._rtype(sp.script)
                 if rt == us.RTYPE_MANY:
-                    many.append((di, sp.text_utf8, hl,
-                                 sp.script == us.LATIN))
+                    many.append((di, sp.text_utf8, hl, sp.script))
                 elif rt == us.RTYPE_CJK:
                     cjk.append((di, sp, hl))
                 elif rt == us.RTYPE_ONE:
@@ -265,9 +265,12 @@ class Detector:
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             bounds = np.cumsum(lens)
             cat = b"".join(bufs)
-            hl_list = [hl[0 if la else 1] if hl else None
-                       for _, _, hl, la in many]
-            latin_of_span = np.array([la for _, _, _, la in many])
+            script_of_span = np.array([sc for _, _, _, sc in many],
+                                      dtype=np.int64)
+            hl_list = [hl[0 if sc == us.LATIN else 1] if hl else None
+                       for _, _, hl, sc in many]
+            latin_of_span = script_of_span == us.LATIN
+            script4_of_span = us.LSCRIPT4[script_of_span]
             if native.AVAILABLE:
                 # fused scan + chunk scoring: per-hit arrays never
                 # materialize (they are ~1 per 2 text bytes and were
@@ -283,7 +286,8 @@ class Detector:
                     self.model.docta, self.model.xocta, latin_of_span,
                     score.CHUNKSIZE_QUADS, self.model.expected_quad,
                     langs.CLOSE_SET, hint_csr,
-                    np.asarray(flat, dtype=np.int64))
+                    np.asarray(flat, dtype=np.int64),
+                    script4_of_span)
             else:
                 all_vals, all_off, all_dist = self._many_hits(
                     cat, bounds, latin_of_span)
@@ -294,7 +298,8 @@ class Detector:
                     np.full(len(bufs), score.CHUNKSIZE_QUADS,
                             dtype=np.int64),
                     self.model.expected_quad, hl_list,
-                    distinct_mask=all_dist)
+                    distinct_mask=all_dist,
+                    script4_of_span=script4_of_span)
             lang1, cbytes, s1, rel, span_of_chunk = c
             docs_of_span = np.array([di for di, _, _, _ in many])
             doc_of_chunk = docs_of_span[span_of_chunk]
@@ -597,9 +602,18 @@ class Detector:
                     raw.append((sp.offset, sp.end_offset, "un"))
                     continue
                 l3, q3 = unpack_langprobs(vals)
+                # delta-reliability only for the per-chunk "un" gate:
+                # the expected-rate check (exact 1.5x/4.0x ramp) is a
+                # DOCUMENT-level calibration signal; at single-chunk
+                # granularity in-vocabulary text overshoots the 4x
+                # high cutoff and would shred one-language documents
+                # into un fragments (expected=0 means "no estimate"
+                # -> rel_e=100 -> rel=rel_delta)
                 lang1, _cb, _s1, rel = score.score_chunks(
                     l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
-                    self.model.expected_quad, distinct_mask=rdist)
+                    np.zeros_like(self.model.expected_quad),
+                    distinct_mask=rdist,
+                    script4=int(us.LSCRIPT4[sp.script]))
                 nch = len(lang1)
                 bidx = self._sharpen_boundaries(
                     lang1, l3, q3, score.CHUNKSIZE_QUADS, len(offs))

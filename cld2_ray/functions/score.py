@@ -67,10 +67,8 @@ def reliability_expected_exact(actual_1kb: np.ndarray,
                                expected_1kb: np.ndarray) -> np.ndarray:
     """The reference's EXACT ReliabilityExpected (cldutil.cc:586-605):
     symmetric ratio; <= 1.5 -> 100%, > 4.0 -> 0%, linear between
-    (int truncation as in the C code). Kept bit-testable against the
-    reference formula; the production ramp below stays widened for the
-    seed-scale quadgram tables (measured: the exact ramp costs ~18
-    points of recall with them — see reliability_expected)."""
+    (int truncation as in the C code). Production uses this formula —
+    reliability_expected below delegates here."""
     a = actual_1kb.astype(np.int64)
     e = expected_1kb.astype(np.int64)
     out = np.full(len(a), 100, dtype=np.int64)
@@ -93,56 +91,24 @@ def reliability_expected_exact(actual_1kb: np.ndarray,
 
 def reliability_expected(actual_1kb: np.ndarray,
                          expected_1kb: np.ndarray) -> np.ndarray:
-    """Vectorized ReliabilityExpected (cldutil.cc:586-605).
+    """Production ReliabilityExpected == the reference's EXACT ramp.
 
-    Low side (actual below expected): ratio 1.5 -> 100%, 4.0 -> 0%,
-    linear — the reference's ramp. High side (actual above expected) is
-    softened per the reference's own note ("short-text word scoring can
-    give unusually good results. Let top exceed mainstream by 4x at 50%
-    reliable"): ratio 1.5 -> 100%, 4x -> ~60%, ~8x -> 0."""
-    a = actual_1kb.astype(np.float64)
-    e = expected_1kb.astype(np.float64)
-    out = np.full(len(a), 100, dtype=np.int64)
-    has_exp = e != 0
-    zero_act = (a == 0) & has_exp
-    both = has_exp & ~zero_act
-
-    safe_a = np.maximum(a, 1e-9)
-    safe_e = np.maximum(e, 1e-9)
-    low = both & (e > a)    # scoring worse than expected
-    high = both & (a >= e)  # scoring better than expected
-
-    ratio = np.ones(len(a))
-    np.divide(safe_e, safe_a, out=ratio, where=low)
-    np.divide(safe_a, safe_e, out=ratio, where=high)
-
-    # widened ramps (reference uses 1.5..4.0): with seed-trained quad
-    # tables the spread between in-vocabulary and out-of-vocabulary
-    # text is far larger than with the reference's web-scale tables,
-    # so the low side ramps 2.0 -> 8.0 and the high side declines
-    # gently. Re-measured round 3 AFTER integrating the reference's
-    # real delta-octa/distinct-octa/CJK tables (1500-page eval):
-    # exact ramp 0.537 correct vs widened 0.935. Re-measured round 4
-    # including a learned global expected-score scale k (the r3
-    # verdict's suggested fix) under the EXACT formula, 1500-page
-    # eval (no metadata fallback) + 138-sentence conformance:
-    #   k=1.0: 1151/1500, conf 135->130   k=2.0: 1413/1500, conf 114
-    #   k=0.5:  207/1500, conf 122        k=3.0: 1381/1500, conf 65
-    # vs widened: 1413/1500, conf 135. No scale satisfies both —
-    # seed-table per-KB rates disperse WITHIN a language (short
-    # heldout sentences score far above page chunks), so the exact
-    # ramp's hard 4x cutoffs must fire on one side or the other;
-    # only widening both sides calibrates the variance. The exact
-    # formula is implemented and unit-tested in
-    # reliability_expected_exact.
-    pct_low = np.clip(100.0 * (8.0 - ratio) / 6.0, 0, 100)
-    pct_high = np.clip(100.0 - (ratio - 1.5) * 8.0, 0, 100)
-    sel_low = low & (ratio > 2.0)
-    sel_high = high & (ratio > 1.5)
-    out[sel_low] = pct_low[sel_low].astype(np.int64)
-    out[sel_high] = pct_high[sel_high].astype(np.int64)
-    out[zero_act] = 0
-    return out
+    History: rounds 1-3 ran a WIDENED ramp (low side 2.0->8.0, high
+    side gently declining) because the seed-trained quad tables put
+    heldout sentences and page chunks ~2x apart in per-KB score, and a
+    GLOBAL expected scale could not hold both under the exact 1.5..4.0
+    cutoffs (r4 measurement, 1500-page eval + conformance: exact
+    k=1.0 1151/1500+185, k=2.0 1396/1500+171 vs widened 1396+189).
+    What closed it in round 4: (a) the expected table became
+    per-(lang, LScript4) like the reference's kAvgDeltaOctaScore —
+    multi-script languages' rates differ per script and the shared
+    cell was unusable for both; (b) a per-CELL calibration scale
+    (data/calib.py, learned on calibration pages seed!=42 + heldout
+    sentences) centers each cell between its two text populations.
+    With those, the exact ramp matches-or-beats the widened one
+    (measured in data/calib.py's header), so production now IS the
+    reference formula."""
+    return reliability_expected_exact(actual_1kb, expected_1kb)
 
 
 def _top2(scores: np.ndarray):
@@ -194,13 +160,18 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
                  offsets: np.ndarray, span_end: int, chunk_size: int,
                  expected_1kb: np.ndarray,
                  hint_payload: list[int] | None = None,
-                 distinct_mask: np.ndarray | None = None):
+                 distinct_mask: np.ndarray | None = None,
+                 script4: int = 3):
     """Score a span's hits in fixed-size chunks.
 
     lang3/qprob3: (n_hits, lanes) decoded langprobs (4 lanes). offsets: byte offset of
     each hit in the span. Returns arrays (lang1, bytes, score1, rel) per
     chunk — exactly what SummaryBufferToDocTote feeds the DocTote
     (scoreonescriptspan.cc:305-315).
+
+    expected_1kb: either int32[NUM_LANGS] (legacy / CJK unigram rates)
+    or int32[NUM_LANGS, 4] indexed by the span's LScript4 slot
+    ``script4`` (the kAvgDeltaOctaScore layout, see uscript.LSCRIPT4).
     """
     nh = len(offsets)
     if nh == 0:
@@ -245,7 +216,9 @@ def score_chunks(lang3: np.ndarray, qprob3: np.ndarray,
     same_set = (cs1 > 0) & (cs1 == langs.CLOSE_SET[top2])
     rel_d = np.where(same_set, 100, rel_d)
     actual_1kb = (s1 << 10) // cbytes
-    rel_e = reliability_expected(actual_1kb, expected_1kb[top1])
+    exp = expected_1kb[top1, script4] if expected_1kb.ndim == 2 \
+        else expected_1kb[top1]
+    rel_e = reliability_expected(actual_1kb, exp)
     rel = np.minimum(rel_d, rel_e)
     return top1.astype(np.int16), cbytes, s1, rel
 
@@ -255,13 +228,18 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
                        span_starts: np.ndarray, span_lens: np.ndarray,
                        chunk_sizes: np.ndarray, expected_1kb: np.ndarray,
                        hint_payload_per_span: list | None = None,
-                       distinct_mask: np.ndarray | None = None):
+                       distinct_mask: np.ndarray | None = None,
+                       script4_of_span: np.ndarray | None = None):
     """Batch version of score_chunks over MANY concatenated spans.
 
     Hits must be sorted by (span, offset) with quad-before-octa tie
     order — then the per-span chunking, scores, and reliabilities are
     bit-identical to calling score_chunks span by span. Returns
     (lang1, cbytes, s1, rel, span_of_chunk).
+
+    expected_1kb: int32[NUM_LANGS] or int32[NUM_LANGS, 4]; in the 2-D
+    (kAvgDeltaOctaScore) layout each chunk reads its span's LScript4
+    slot from ``script4_of_span`` (slot 3 when omitted).
     """
     nspans = len(span_lens)
     nh = len(offsets)
@@ -333,7 +311,14 @@ def score_chunks_multi(lang3: np.ndarray, qprob3: np.ndarray,
     same_set = (cs1 > 0) & (cs1 == langs.CLOSE_SET[top2])
     rel_d = np.where(same_set, 100, rel_d)
     actual_1kb = (s1 << 10) // cbytes
-    rel_e = reliability_expected(actual_1kb, expected_1kb[top1])
+    if expected_1kb.ndim == 2:
+        s4 = (script4_of_span[span_of_chunk].astype(np.int64)
+              if script4_of_span is not None
+              else np.full(total_chunks, 3, dtype=np.int64))
+        exp = expected_1kb[top1, s4]
+    else:
+        exp = expected_1kb[top1]
+    rel_e = reliability_expected(actual_1kb, exp)
     rel = np.minimum(rel_d, rel_e)
     return top1.astype(np.int16), cbytes, s1, rel, span_of_chunk
 

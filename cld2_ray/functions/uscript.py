@@ -57,6 +57,16 @@ LIMBU = 31
 
 NUM_SCRIPTS = 32
 
+# LScript4 slot compaction (reference cldutil.cc / generated score
+# tables: kAvgDeltaOctaScore[lang*4 + LScript4(ulscript)]): the
+# expected-score table keeps 4 per-language slots — Latn=0, Cyrl=1,
+# Arab=2, every other script=3 — because per-KB hit rates differ by
+# SCRIPT for multi-script languages (kk Cyrl vs kk Latn etc.).
+LSCRIPT4 = np.full(NUM_SCRIPTS, 3, dtype=np.uint8)
+LSCRIPT4[LATIN] = 0
+LSCRIPT4[CYRILLIC] = 1
+LSCRIPT4[ARABIC] = 2
+
 SCRIPT_NAMES = [
     "Common", "Latn", "Cyrl", "Grek", "Arab", "Hebr", "Deva", "Beng",
     "Guru", "Gujr", "Orya", "Taml", "Telu", "Knda", "Mlym", "Sinh",

@@ -133,7 +133,7 @@ def _load() -> None:
         u8p, ctypes.c_int64, i64p, ctypes.c_int64,
         u64p, u64p, ctypes.c_uint64,
         u64p, u64p, ctypes.c_uint64,
-        *_bt, *_bt, u8p,
+        *_bt, *_bt, u8p, u8p,
         ctypes.c_int64, i32p, i8p, ctypes.c_int64,
         i64p, i64p,
         u64p, i64p, u64p, i64p, u8wp0, i64p,
@@ -272,7 +272,7 @@ _cs_scratch: dict[str, np.ndarray] = {}
 
 
 def _cs_grow(sc: dict, max_span: int, n: int, nb: int, chunk_size: int,
-             expected_1kb: np.ndarray) -> None:
+             num_langs: int) -> None:
     """Shared scratch growth for the fused chunk-score kernels
     (2x headroom + page prefault; see _prefault)."""
     # worst case hit count per span: quads ~1/byte; octa stream up to
@@ -288,9 +288,9 @@ def _cs_grow(sc: dict, max_span: int, n: int, nb: int, chunk_size: int,
         _prefault(sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
                   sc["odist"])
         sc["span_cap"] = cap
-    if sc.get("nl", 0) < len(expected_1kb):
-        sc["scores"] = np.zeros(len(expected_1kb), dtype=np.int64)
-        sc["nl"] = len(expected_1kb)
+    if sc.get("nl", 0) < num_langs:
+        sc["scores"] = np.zeros(num_langs, dtype=np.int64)
+        sc["nl"] = num_langs
     out_cap = n // max(chunk_size, 1) + nb + 8
     if sc.get("out_cap", 0) < out_cap:
         out_cap = 2 * out_cap
@@ -309,11 +309,16 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
                           latin_of_span: np.ndarray,
                           chunk_size: int,
                           expected_1kb: np.ndarray, close_set: np.ndarray,
-                          hint_csr: np.ndarray, hint_flat: np.ndarray):
+                          hint_csr: np.ndarray, hint_flat: np.ndarray,
+                          script4_of_span: np.ndarray | None = None):
     """Fused scan + chunk scoring: the whole _many_hits ->
     score_chunks_multi chain in one C pass, per-hit arrays never
     materialized. Returns per-chunk (lang1 i16, cbytes i64, s1 i64,
-    rel i64, span_of_chunk i64) — bit-equal to the numpy chain."""
+    rel i64, span_of_chunk i64) — bit-equal to the numpy chain.
+
+    expected_1kb: int32[NUM_LANGS, 4] in the kAvgDeltaOctaScore layout
+    (per-span LScript4 slot from ``script4_of_span``; slot 3 when
+    omitted); a 1-D array is broadcast across the 4 slots."""
     n = len(cat)
     buf = np.frombuffer(cat, dtype=np.uint8)
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
@@ -321,8 +326,14 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
     nb = len(bounds)
     max_span = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
     sc = _cs_scratch
-    _cs_grow(sc, max_span, n, nb, chunk_size, expected_1kb)
+    num_langs = expected_1kb.shape[0]
+    _cs_grow(sc, max_span, n, nb, chunk_size, num_langs)
+    if expected_1kb.ndim == 1:
+        expected_1kb = np.repeat(expected_1kb[:, None], 4, axis=1)
     exp = np.ascontiguousarray(expected_1kb, dtype=np.int32)
+    s4 = (np.ascontiguousarray(script4_of_span, dtype=np.uint8)
+          if script4_of_span is not None
+          else np.full(nb, 3, dtype=np.uint8))
     cset = np.ascontiguousarray(close_set, dtype=np.int8)
     csr = np.ascontiguousarray(hint_csr, dtype=np.int64)
     flat = np.ascontiguousarray(hint_flat, dtype=np.int64)
@@ -331,8 +342,8 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
     nch = _CS(buf, n, bounds, nb,
               quad_table.keys, quad_table.vals, int(quad_table.mask),
               socta.keys, socta.vals, int(socta.mask),
-              *_bt_args(docta), *_bt_args(xocta), lat,
-              chunk_size, exp, cset, len(exp),
+              *_bt_args(docta), *_bt_args(xocta), lat, s4,
+              chunk_size, exp, cset, num_langs,
               csr, flat,
               sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
               sc["odist"],
@@ -360,7 +371,7 @@ def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
     nb = len(bounds)
     max_span = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
     sc = _cs_scratch
-    _cs_grow(sc, max_span, n, nb, chunk_size, expected_1kb)
+    _cs_grow(sc, max_span, n, nb, chunk_size, len(expected_1kb))
     exp = np.ascontiguousarray(expected_1kb, dtype=np.int32)
     cset = np.ascontiguousarray(close_set, dtype=np.int8)
     csr = np.ascontiguousarray(hint_csr, dtype=np.int64)

@@ -877,8 +877,9 @@ int quad_octa_scan(const uint8_t *buf, int64_t n,
  *    lane suppressed
  *  - hint boost 12 + grams*12/16 to hinted langs with evidence
  *  - deterministic top-2 (ties -> smaller lang id, = score.py _top2)
- *  - ReliabilityDelta integer math + widened ReliabilityExpected ramps
- *    in double (same expressions, same truncation)
+ *  - ReliabilityDelta integer math + the reference's exact
+ *    ReliabilityExpected ramp in double (same expressions, same
+ *    truncation as score.reliability_expected_exact)
  *
  * hint_csr: nb+1 offsets into hint_flat (per-span hinted lang ids).
  * Scratch: sc_qvals/sc_qoffs/sc_ovals/sc_ooffs sized >= max span len+8;
@@ -895,7 +896,8 @@ static int64_t chunk_score_merged(
         const uint64_t *bv, const int64_t *bo, const uint8_t *bd,
         int64_t nb_,
         int64_t span_len, int64_t chunk_size,
-        const int32_t *expected_1kb, const int8_t *close_set,
+        const int32_t *expected_1kb, int32_t exp_script4,
+        const int8_t *close_set,
         int64_t num_langs,
         const int64_t *hints, int64_t nhints,
         int64_t *sc_scores, int64_t span_i,
@@ -1015,35 +1017,28 @@ static int64_t chunk_score_merged(
         int64_t cb = span_len - prev_chunk_start;
         out_cbytes[nchunks_total - 1] = cb > 0 ? cb : 1;
     }
-    /* fold in ReliabilityExpected (widened ramps, score.py:66-102) */
+    /* fold in ReliabilityExpected — the reference's EXACT ramp
+     * (cldutil.cc:586-605, = score.reliability_expected_exact):
+     * symmetric ratio, <= 1.5 -> 100, > 4.0 -> 0, linear between,
+     * int truncation. exp_script4 >= 0 selects the LScript4 slot of
+     * a [num_langs][4] kAvgDeltaOctaScore-layout table; -1 means a
+     * plain per-language table (CJK unigram rates). */
     for (int64_t c = nchunks_total - nch; c < nchunks_total; c++) {
         int64_t s1 = out_s1[c];
         int64_t cb = out_cbytes[c];
         int64_t actual = (s1 << 10) / cb;
-        int32_t exp1kb = expected_1kb[out_lang1[c]];
+        int32_t exp1kb = exp_script4 >= 0
+            ? expected_1kb[out_lang1[c] * 4 + exp_script4]
+            : expected_1kb[out_lang1[c]];
         int64_t rel_e = 100;
         if (exp1kb != 0) {
             if (actual == 0) rel_e = 0;
             else {
                 double a = (double)actual, e = (double)exp1kb;
-                double sa = a > 1e-9 ? a : 1e-9;
-                double se = e > 1e-9 ? e : 1e-9;
-                if (e > a) {
-                    double ratio = se / sa;
-                    if (ratio > 2.0) {
-                        double pct = 100.0 * (8.0 - ratio) / 6.0;
-                        if (pct < 0) pct = 0;
-                        if (pct > 100) pct = 100;
-                        rel_e = (int64_t)pct;
-                    }
-                } else {
-                    double ratio = sa / se;
-                    if (ratio > 1.5) {
-                        double pct = 100.0 - (ratio - 1.5) * 8.0;
-                        if (pct < 0) pct = 0;
-                        if (pct > 100) pct = 100;
-                        rel_e = (int64_t)pct;
-                    }
+                double ratio = e > a ? e / a : a / e;
+                if (ratio > 1.5) {
+                    rel_e = ratio > 4.0 ? 0
+                        : (int64_t)(100.0 * (4.0 - ratio) / (4.0 - 1.5));
                 }
             }
         }
@@ -1062,7 +1057,7 @@ int64_t quad_octa_chunk_score(
         const uint64_t *dpl, const uint64_t *dpo,
         const uint32_t *xb, int64_t xnb, uint32_t xkeymask,
         const uint64_t *xpl, const uint64_t *xpo,
-        const uint8_t *span_latin,
+        const uint8_t *span_latin, const uint8_t *span_script4,
         int64_t chunk_size,
         const int32_t *expected_1kb, const int8_t *close_set,
         int64_t num_langs,
@@ -1093,7 +1088,8 @@ int64_t quad_octa_chunk_score(
         span_start = span_end;
         chunk_score_merged(sc_qvals, sc_qoffs, nq, sc_ovals, sc_ooffs,
                            sc_odist, no,
-                           len, chunk_size, expected_1kb, close_set,
+                           len, chunk_size, expected_1kb,
+                           (int32_t)span_script4[span_i], close_set,
                            num_langs,
                            hint_flat + hint_csr[span_i],
                            hint_csr[span_i + 1] - hint_csr[span_i],
@@ -1192,7 +1188,7 @@ int64_t cjk_chunk_score(
         chunk_score_merged(sc_uvals, sc_uoffs, nu, sc_bvals, sc_boffs,
                            (const uint8_t *)0, nbi,
                            pseudo_lens[span_i], chunk_size,
-                           expected_1kb, close_set, num_langs,
+                           expected_1kb, -1, close_set, num_langs,
                            hint_flat + hint_csr[span_i],
                            hint_csr[span_i + 1] - hint_csr[span_i],
                            sc_scores, span_i,

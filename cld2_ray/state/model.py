@@ -206,8 +206,10 @@ class LangModel:
     xocta: BucketTable       # reference distinct-octa words + pairs
     uni: HashTable           # reference CJK unigrams (cp -> packed)
     cjkbi: BucketTable       # reference CJK bigrams (BiHashV2 probe)
-    expected_quad: np.ndarray  # int32[NUM_LANGS] score per 1024 bytes
-    expected_uni: np.ndarray
+    expected_quad: np.ndarray  # int32[NUM_LANGS, 4] score per 1024
+    #                            bytes per LScript4 slot (the
+    #                            kAvgDeltaOctaScore layout)
+    expected_uni: np.ndarray   # int32[NUM_LANGS] CJK unigram rate
 
     def save(self, path: str = ARTIFACT) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -477,33 +479,40 @@ def _build_ref_tables():
 
 
 def _score_text_for_lang(model: "LangModel", text: str, lid: int):
-    """Score text with the RUNTIME hit walk; return (score, bytes, cjk)."""
-    tot_score, tot_bytes, is_cjk = 0, 0, False
+    """Score text with the RUNTIME hit walk. Returns
+    (many: {lscript4 -> [score, bytes]}, cjk: [score, bytes]) — the
+    MANY accumulation is per LScript4 slot because the expected table
+    keeps 4 per-language script slots like the reference's
+    kAvgDeltaOctaScore (multi-script corpora hit at very different
+    per-KB rates per script)."""
+    many: dict[int, list[int]] = {}
+    cjk = [0, 0]
     for sp in spans.script_spans(" ".join(text.split())):
         rt = us.script_rtype(sp.script)
         latin = sp.script == us.LATIN
         if rt == us.RTYPE_MANY:
+            s4 = int(us.LSCRIPT4[sp.script])
+            acc = many.setdefault(s4, [0, 0])
             sb = sp.text.encode("utf-8")
             h, _ = hits.quad_hits_dense(sb)
             l4, q4 = unpack_langprobs(model.quad.lookup(h))
-            tot_score += int(np.where(l4 == lid, q4, 0).sum())
+            acc[0] += int(np.where(l4 == lid, q4, 0).sum())
             ho, oo, hp, po = hits.octa_word_and_pair_hits(sb)
             for tbl, keys in ((model.docta, ho), (model.xocta, ho),
                               (model.xocta, hp)):
                 l4, q4 = unpack_langprobs(tbl.lookup(keys, latin))
-                tot_score += int(np.where(l4 == lid, q4, 0).sum())
+                acc[0] += int(np.where(l4 == lid, q4, 0).sum())
             l4, q4 = unpack_langprobs(model.socta.lookup(ho))
-            tot_score += int(np.where(l4 == lid, q4, 0).sum())
-            tot_bytes += sp.text_bytes
+            acc[0] += int(np.where(l4 == lid, q4, 0).sum())
+            acc[1] += sp.text_bytes
         elif rt == us.RTYPE_CJK:
-            is_cjk = True
             uni, _, bih, _ = hits.cjk_candidates(sp.text)
             l4, q4 = unpack_langprobs(model.uni.lookup(uni))
-            tot_score += int(np.where(l4 == lid, q4, 0).sum())
+            cjk[0] += int(np.where(l4 == lid, q4, 0).sum())
             l4, q4 = unpack_langprobs(model.cjkbi.lookup(bih, False))
-            tot_score += int(np.where(l4 == lid, q4, 0).sum())
-            tot_bytes += sp.text_bytes
-    return tot_score, tot_bytes, is_cjk
+            cjk[0] += int(np.where(l4 == lid, q4, 0).sum())
+            cjk[1] += sp.text_bytes
+    return many, cjk
 
 
 def train(seed_texts: dict[str, str] | None = None) -> LangModel:
@@ -517,7 +526,7 @@ def train(seed_texts: dict[str, str] | None = None) -> LangModel:
     model = LangModel(
         quad=quad, socta=socta,
         docta=docta, xocta=xocta, uni=uni, cjkbi=cjkbi,
-        expected_quad=np.zeros(langs.NUM_LANGS, dtype=np.int32),
+        expected_quad=np.zeros((langs.NUM_LANGS, 4), dtype=np.int32),
         expected_uni=np.zeros(langs.NUM_LANGS, dtype=np.int32),
     )
 
@@ -554,15 +563,19 @@ def train(seed_texts: dict[str, str] | None = None) -> LangModel:
     half_model = LangModel(hq, hs, docta, xocta,
                            uni, cjkbi, model.expected_quad,
                            model.expected_uni)
+    from cld2_ray.data.calib import CALIB_K
     for code, text_b in sorted(halves_b.items()):
         lid = langs.lang_id(code)
-        s, b, is_cjk = _score_text_for_lang(half_model, text_b, lid)
+        many, cjk = _score_text_for_lang(half_model, text_b, lid)
+        for s4, (s, b) in sorted(many.items()):
+            if b > 0:
+                k = CALIB_K.get((code, s4), 1.0)
+                model.expected_quad[lid, s4] = int(
+                    round(k * ((s << 10) // b)))
+        s, b = cjk
         if b > 0:
-            per_kb = (s << 10) // b
-            if is_cjk:
-                model.expected_uni[lid] = per_kb
-            else:
-                model.expected_quad[lid] = per_kb
+            k = CALIB_K.get((code, "uni"), 1.0)
+            model.expected_uni[lid] = int(round(k * ((s << 10) // b)))
     return model
 
 

@@ -137,13 +137,16 @@ class TestFusedChunkScore:
         det = Detector()
         many = []
         latin = []
+        script4 = []
         for t in _page_texts():
             for sp in spans.script_spans(t):
                 if us.script_rtype(sp.script) == us.RTYPE_MANY:
                     many.append(sp.text.encode("utf-8"))
                     latin.append(sp.script == us.LATIN)
+                    script4.append(int(us.LSCRIPT4[sp.script]))
         bufs = many
         latin = np.asarray(latin, dtype=bool)
+        script4 = np.asarray(script4, dtype=np.uint8)
         lens = np.array([len(x) for x in bufs], dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         bounds = np.cumsum(lens)
@@ -156,7 +159,8 @@ class TestFusedChunkScore:
         c_np = score.score_chunks_multi(
             l3, q3, all_off, span_of, starts, lens,
             np.full(len(bufs), score.CHUNKSIZE_QUADS, dtype=np.int64),
-            det.model.expected_quad, hl_list, distinct_mask=all_dist)
+            det.model.expected_quad, hl_list, distinct_mask=all_dist,
+            script4_of_span=script4)
         hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
         flat = []
         for k, hl in enumerate(hl_list):
@@ -167,7 +171,8 @@ class TestFusedChunkScore:
             cat, bounds, det.model.quad, det.model.socta,
             det.model.docta, det.model.xocta, latin,
             score.CHUNKSIZE_QUADS, det.model.expected_quad,
-            langs.CLOSE_SET, hint_csr, np.asarray(flat, dtype=np.int64))
+            langs.CLOSE_SET, hint_csr, np.asarray(flat, dtype=np.int64),
+            script4_of_span=script4)
         assert len(c_np[0]) > 100
         for x, y in zip(c_np, c_c):
             assert np.array_equal(np.asarray(x), np.asarray(y))
