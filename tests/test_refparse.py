@@ -83,6 +83,30 @@ class TestParsedTables:
         assert exp["ja"][3] == 3100      # Japanese Other
         assert exp["ru"][1] == 648       # RUSSIAN Cyrl
 
+    def test_trained_expected_table_layout(self):
+        """The trained expected table mirrors the reference's
+        kAvgDeltaOctaScore shape — one int32 cell per (language,
+        LScript4 slot) — and fills the slots a language's seed corpus
+        actually exercises: multi-script languages get DISTINCT
+        per-script rates (the round-4 exact-ramp fix), single-script
+        languages leave foreign slots 0 (= "no estimate")."""
+        from cld2_ray.functions import langs
+        from cld2_ray.state.model import default_model
+        m = default_model()
+        assert m.expected_quad.shape == (langs.NUM_LANGS, 4)
+        assert m.expected_quad.dtype == np.int32
+        assert (m.expected_quad >= 0).all()
+        en = langs.lang_id("en")
+        assert m.expected_quad[en, 0] > 0          # Latn measured
+        assert (m.expected_quad[en, 1:] == 0).all()  # en never Cyrl/Arab
+        kk = langs.lang_id("kk")
+        assert m.expected_quad[kk, 0] > 0          # kk-Latn translit
+        assert m.expected_quad[kk, 1] > 0          # kk Cyrillic
+        assert m.expected_quad[kk, 0] != m.expected_quad[kk, 1]
+        ja = langs.lang_id("ja")
+        assert m.expected_uni[ja] > 0              # CJK rate separate
+        assert (m.expected_quad[ja] == 0).all()
+
 
 class TestCJKConformance:
     """The reference unittest's own CJK samples (unittest_data.h
