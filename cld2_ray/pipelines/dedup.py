@@ -290,7 +290,8 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                    window: int = 8, min_count: int = 2):
+                    window: int = 8, min_count: int = 2,
+                    hash_fn: str = "md5"):
     """Substring-level exact dedup — the granularity below
     segment_dedup (fixed aligned segments) and exact_dedup (whole
     docs): the suffix-array family of Lee et al., "Deduplicating
@@ -307,40 +308,82 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     (the paper's "remove all copies" policy — deterministic, and what
     the DuckDB oracle mirrors).
 
-    Scale shape: pass 1 ships per-batch (window_md5 -> count) partials
-    into 64 hash buckets — never window text, and pre-aggregated so a
-    block's repeated windows collapse before the exchange; the
-    duplicated-hash set is the heavy-hitter tail (small by the usual
-    dup-rate assumption), broadcast once via ray.put; pass 2 rewrites
-    locally in one map_batches. md5 keeps the oracle bit-comparable;
-    a 100-TB run would swap _win_hashes to a polynomial rolling hash
-    (O(n) per doc instead of O(n*window)) at the cost of SQL parity.
+    Scale shape: pass 1 ships per-batch (window_hash -> count)
+    partials into 64 hash buckets — never window text, and
+    pre-aggregated so a block's repeated windows collapse before the
+    exchange; the duplicated-hash set is the heavy-hitter tail (small
+    by the usual dup-rate assumption), broadcast once via ray.put;
+    pass 2 rewrites locally in one map_batches.
+
+    hash_fn: "md5" hashes each window string (keeps the DuckDB oracle
+    bit-comparable but is O(n*window) string work per doc); "fast" is
+    the 100-TB production path — one blake2b per DISTINCT token
+    (memoized per batch) + a vectorized positional polynomial mix per
+    window, O(n) numpy per doc — measured 1.7x end-to-end at stress
+    scale (200k docs 88 -> 50 s; the residual is the rewrite's
+    per-doc string rebuild, which both variants share). Both variants
+    select the same duplicate windows (tested) — only the key
+    representation differs.
     """
     import pyarrow as _pa
     import ray
 
-    def _win_hashes(words: list[str]) -> list[str]:
+    fast = hash_fn == "fast"
+    if hash_fn not in ("md5", "fast"):
+        raise ValueError(f"hash_fn must be 'md5' or 'fast', got {hash_fn!r}")
+
+    def _win_md5(words: list[str]) -> list[str]:
         if len(words) < window:
             return []
         return [hashlib.md5(" ".join(words[i:i + window]).encode())
                 .hexdigest() for i in range(len(words) - window + 1)]
 
+    def _win_fast(words: list[str], memo: dict) -> np.ndarray:
+        if len(words) < window:
+            return np.empty(0, dtype=np.uint64)
+        th = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = memo.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.blake2b(
+                    w.encode(), digest_size=8).digest(), "little")
+                memo[w] = h
+            th[i] = h
+        n = len(words) - window + 1
+        with np.errstate(over="ignore"):
+            out = np.zeros(n, dtype=np.uint64)
+            for j in range(window):
+                out = out * np.uint64(0x100000001B3) + th[j:n + j]
+        return out
+
     def win_partial(df: pd.DataFrame):
+        if fast:
+            memo: dict[str, int] = {}
+            parts = [_win_fast((t or "").split(" "), memo)
+                     for t in df[text_col]]
+            allh = np.concatenate(parts) if parts \
+                else np.empty(0, np.uint64)
+            keys, cnts = np.unique(allh, return_counts=True)
+            return _pa.table({
+                "win_h": _pa.array(keys, _pa.uint64()),
+                "part": _pa.array((keys & np.uint64(63))
+                                  .astype(np.int64)),
+                "n_": _pa.array(cnts.astype(np.int64))})
         counts: dict[str, int] = {}
         for text in df[text_col]:
-            for h in _win_hashes((text or "").split(" ")):
+            for h in _win_md5((text or "").split(" ")):
                 counts[h] = counts.get(h, 0) + 1
         keys = list(counts)
         part = np.array([int(k[:2], 16) % 64 for k in keys],
                         dtype=np.int64)
         return _pa.table({
-            "win_md5": _pa.array(keys, _pa.string()),
+            "win_h": _pa.array(keys, _pa.string()),
             "part": _pa.array(part),
             "n_": _pa.array([counts[k] for k in keys], _pa.int64())})
 
     def win_merge(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby("win_md5", as_index=False).agg(cnt=("n_", "sum"))
-        return gg[gg["cnt"] >= min_count][["win_md5"]]
+        gg = g.groupby("win_h", as_index=False).agg(cnt=("n_", "sum"))
+        return gg[gg["cnt"] >= min_count][["win_h"]]
 
     hot = ds.map_batches(win_partial, batch_format="pandas",
                          batch_size=None) \
@@ -348,21 +391,35 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .to_pandas()
     # a window-less corpus (every doc < `window` tokens) comes back as
     # an empty, schema-less frame
-    dup_ref = ray.put(set(hot["win_md5"]) if "win_md5" in hot.columns
-                      else set())
+    if "win_h" not in hot.columns:
+        dup_obj = np.empty(0, np.uint64) if fast else set()
+    elif fast:
+        dup_obj = np.sort(hot["win_h"].to_numpy(dtype=np.uint64))
+    else:
+        dup_obj = set(hot["win_h"])
+    dup_ref = ray.put(dup_obj)
 
     def rewrite(df: pd.DataFrame):
         dup = ray.get(dup_ref)
+        memo: dict[str, int] = {}
         ids, ntok, nwin, ndup, clean = [], [], [], [], []
         for doc_id, text in zip(df[id_col], df[text_col]):
             words = (text or "").split(" ")
-            starts = [i for i, h in enumerate(_win_hashes(words))
-                      if h in dup]
+            if fast:
+                wins = _win_fast(words, memo)
+                idx = np.searchsorted(dup, wins)
+                idx[idx == len(dup)] = max(len(dup) - 1, 0)
+                hit = dup[idx] == wins if len(dup) else \
+                    np.zeros(len(wins), dtype=bool)
+                starts = np.flatnonzero(hit)
+            else:
+                starts = np.array([i for i, h in
+                                   enumerate(_win_md5(words))
+                                   if h in dup], dtype=np.int64)
             # merged coverage via a diff array (windows overlap)
             diff = np.zeros(len(words) + 1, dtype=np.int32)
-            for s in starts:
-                diff[s] += 1
-                diff[s + window] -= 1
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + window, -1)
             covered = np.cumsum(diff[:-1]) > 0
             ids.append(int(doc_id))
             ntok.append(len(words))
