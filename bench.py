@@ -99,7 +99,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                  "token_freq_top50", "tpch_q1", "events_hourly",
                  "ann_top1", "embedding_near_pairs", "decontaminate",
                  "incremental_dedup", "epoch_shuffle",
-                 "url_canonical_dedup", "domain_stats"):
+                 "url_canonical_dedup", "domain_stats",
+                 "substring_dedup"):
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "to_pandas"):
