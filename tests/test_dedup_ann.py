@@ -132,6 +132,37 @@ class TestSubstringDedup:
         pd.testing.assert_frame_equal(a, b)
         assert (a["n_dup_windows"] > 0).any()  # signal, not vacuous
 
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_random_corpus_invariants(self, ray_session, seed):
+        """Structural invariants on a random small-vocab corpus (small
+        vocab -> natural window collisions): coverage bounded by
+        window count, clean token count == n_tokens - dup_tokens, and
+        the rewrite is deterministic."""
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import substring_dedup
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [{"doc_id": i,
+                 "text": " ".join(rng.choice(vocab,
+                                             size=rng.integers(1, 60)))}
+                for i in range(40)]
+        out = substring_dedup(rd.from_items(rows), window=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert (out["dup_tokens"] <= out["n_tokens"]).all()
+        assert (out["n_dup_windows"]
+                <= (out["n_tokens"] - 7).clip(lower=0)).all()
+        # every marked window covers <= 8 tokens
+        assert (out["dup_tokens"] <= 8 * out["n_dup_windows"]).all()
+        for _, r in out.iterrows():
+            if r["dup_tokens"] < r["n_tokens"]:
+                assert len(r["clean_text"].split(" ")) \
+                    == r["n_tokens"] - r["dup_tokens"]
+            else:
+                assert r["clean_text"] == ""
+        out2 = substring_dedup(rd.from_items(rows), window=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, out2)
+
     def test_short_docs_pass_through(self, ray_session):
         import ray.data as rd
         from cld2_ray.pipelines.dedup import substring_dedup
