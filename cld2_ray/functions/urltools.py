@@ -24,12 +24,20 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# query/fragment and scheme prefixes; scheme per RFC 3986 ALPHA
-# *( ALPHA / DIGIT / "+" / "-" / "." )
+# query/fragment and scheme prefixes. The scheme set is the CLOSED
+# list a web crawl yields, NOT the open RFC 3986 charset: dots are
+# legal in schemes, so the open pattern reads a HOST followed by
+# "://" ("a.com://x") as a scheme and collapses unrelated hosts onto
+# one canonical key (found by review — false dedup merges).
 _QUERY_FRAG = r"[?#].*$"
-_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*://)+"
+_SCHEME = r"^(?i:(https?|ftps?|wss?)://)+"
+# userinfo (RFC 3986 authority): credentials must not distinguish —
+# or leak into — dedup keys / domain aggregates. Only strip when the
+# '@' precedes the first path slash.
+_USERINFO = r"^[^/@]+@"
 _WWW = r"^(www\.)+"
 _DEFAULT_PORT = r":(80|443)$"
+_ANY_PORT = r":\d+$"
 _TRAIL_SLASH = r"/+$"
 
 
@@ -47,6 +55,7 @@ def _split_host(s: pa.Array) -> tuple[pa.Array, pa.Array]:
     s = pc.replace_substring_regex(s, pattern=_QUERY_FRAG,
                                    replacement="")
     s = pc.replace_substring_regex(s, pattern=_SCHEME, replacement="")
+    s = pc.replace_substring_regex(s, pattern=_USERINFO, replacement="")
     parts = pc.extract_regex(s, r"^(?P<host>[^/]*)(?P<rest>.*)$")
     host = pc.utf8_lower(pc.struct_field(parts, "host"))
     host = pc.replace_substring_regex(host, pattern=_WWW, replacement="")
@@ -79,9 +88,12 @@ def canonicalize_urls(urls) -> pa.Array:
 
 
 def registered_domain(urls) -> pa.Array:
-    """Vectorized host extraction (canonical form: lowercased, www.
-    and default port stripped) for per-domain aggregation. Shares the
-    canonical-key pipeline, so the domain of a URL always equals the
-    host part of its canonical key."""
+    """Vectorized host extraction (canonical form: lowercased, www./
+    userinfo stripped) for per-domain aggregation. Shares the
+    canonical-key pipeline (so the domain of a URL always equals the
+    host part of its canonical key) and additionally drops ANY port —
+    a:8080 traffic belongs to domain a, even though the canonical
+    DEDUP key keeps non-default ports (distinct resources)."""
     host, _ = _split_host(canonicalize_urls(urls))
-    return host
+    return pc.replace_substring_regex(host, pattern=_ANY_PORT,
+                                      replacement="")

@@ -71,10 +71,12 @@ def scaled(base: M.LangModel, k_of_cell: dict) -> M.LangModel:
     eq = base.expected_quad.astype(np.float64).copy()
     eu = base.expected_uni.astype(np.float64).copy()
     for (code, slot), k in k_of_cell.items():
-        try:
-            lid = langs.lang_id(code)
-        except Exception:
+        # lang_id returns 0 (UNKNOWN) for unregistered codes instead
+        # of raising — scaling row 0 would corrupt the 'un' slot, so
+        # skip them explicitly
+        if code not in langs.CODE_TO_ID:
             continue
+        lid = langs.lang_id(code)
         if slot == "uni":
             eu[lid] *= k
         else:
