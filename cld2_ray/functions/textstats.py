@@ -93,6 +93,16 @@ def rolling_fingerprints(text: str, window: int = 16) -> np.ndarray:
     return shingle_hashes(token_hashes(toks), window)
 
 
+def kmv_estimate(kth_hex: str, k: int) -> float:
+    """Distinct-count estimate from a KMV (bottom-k) sketch: the
+    unbiased (k-1)/R_k estimator of Bar-Yossef et al. 2002, where
+    R_k is the k-th smallest hash normalized to [0,1) — here from the
+    first 16 hex digits of the md5 (uniform on 2^64 by construction).
+    Pure function of the sketch's last row (queries.q_kmv_distinct)."""
+    r = int(kth_hex[:16], 16) / 2.0**64
+    return (k - 1) / r
+
+
 def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:
     """Number of whitespace tokens that are stopwords (exact match,
     lowercased) — SQL: len(list_filter(tokens, t -> lower(t) IN (...)))."""

@@ -837,6 +837,55 @@ GROUP BY n_orders ORDER BY n_orders
 """
 
 
+def q_kmv_distinct(sf_dir, k: int = 64):
+    """KMV (k-minimum-values) distinct-count sketch over the corpus
+    token set — the SCALE path beside q_source_vocab's exact count:
+    at 100 TB the exact distinct needs a corpus-wide dedup shuffle,
+    while the KMV union ships k 128-bit hashes per block and merges
+    associatively (Bar-Yossef et al. 2002, the standard bottom-k
+    sketch). The sketch CONTENT is deterministic — the k smallest
+    md5s of the distinct token set — so the DuckDB oracle checks it
+    bit-for-bit (fixed-width hex sorts lexicographically = numerically);
+    the cardinality estimate is a pure function of row k
+    (functions/textstats.kmv_estimate, tested vs the exact count).
+
+    Shape: per-block distinct -> local bottom-k partial (k hashes per
+    block leave the node), then the bounded union (blocks x k rows)
+    merges driver-side — the textbook KMV merge; the driver return is
+    k rows by contract."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.compute as pc
+        toks = pc.split_pattern(
+            pc.coalesce(t["text"].combine_chunks(), pa.scalar("")), " ")
+        words = pc.unique(pc.list_flatten(toks)).to_pylist()
+        hs = sorted(hashlib.md5(w.encode()).hexdigest()
+                    for w in set(words))[:k]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    small = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    hs = sorted(set(small["h"]))[:k]
+    return pd.DataFrame({"rank": np.arange(1, len(hs) + 1,
+                                           dtype=np.int64),
+                         "h": hs})
+
+
+SQL_KMV_DISTINCT = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS w
+  FROM documents
+), hs AS (
+  SELECT DISTINCT md5(w) AS h FROM toks
+)
+SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank, h
+FROM hs ORDER BY h LIMIT 64
+"""
+
+
 def q_source_vocab(sf_dir):
     """Exact COUNT(DISTINCT token) per source. Per-batch local distinct
     collapses occurrences to unique (source, token) pairs BEFORE the
@@ -2490,6 +2539,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
     "substring_dedup": q_substring_dedup,
+    "kmv_distinct": q_kmv_distinct,
     "source_lang_matrix": q_source_lang_matrix,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
@@ -2556,6 +2606,7 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "kmv_distinct": SQL_KMV_DISTINCT,
     "source_quota": SQL_SOURCE_QUOTA,
     "tfidf_top5": SQL_TFIDF_TOP5,
     "lang_quantiles": SQL_LANG_QUANTILES,

@@ -34,7 +34,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
+    # only tear down a session this CLI itself started — embedded
+    # callers (tests, a larger driver) keep theirs (found by an
+    # order-dependent test failure: main() killed the shared session
+    # and the next Dataset join died mid-shuffle)
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         kw = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kw.update(address="local", num_cpus=args.num_cpus)
@@ -76,7 +81,8 @@ def main(argv=None) -> int:
     summary = cp.run_resumable(make_part, args.partitions, args.output,
                                flagship.build_fused)
     print(json.dumps({"output": args.output, **summary}))
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 

@@ -34,6 +34,30 @@ class TestTokens:
         assert list(out) == [3, 0]
 
 
+class TestKMV:
+    def test_estimator_accuracy(self):
+        """(k-1)/R_k on the k smallest of n md5 hashes estimates n —
+        within the sketch's ~1/sqrt(k) relative error band at k=64."""
+        import hashlib
+
+        from cld2_ray.functions.textstats import kmv_estimate
+        for n, seed in ((5000, 1), (50_000, 2)):
+            toks = [f"tok{seed}_{i}" for i in range(n)]
+            hs = sorted(hashlib.md5(t.encode()).hexdigest()
+                        for t in toks)
+            est = kmv_estimate(hs[63], 64)
+            assert abs(est - n) / n < 0.40  # ~3 sigma at k=64
+
+    def test_small_cardinality_sketch_is_exact(self):
+        """|distinct| <= k: the sketch IS the full hash set (the
+        oracle-checked q_kmv_distinct shape at small sf)."""
+        import hashlib
+
+        toks = {f"w{i}" for i in range(20)}
+        hs = sorted(hashlib.md5(t.encode()).hexdigest() for t in toks)
+        assert len(hs) == 20  # nothing truncated below k=64
+
+
 class TestRunCLI:
     def test_synthetic_resumable(self, ray_session, tmp_path):
         import json
