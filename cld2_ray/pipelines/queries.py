@@ -2580,9 +2580,12 @@ QUERIES = {
     "ann_top1": q_ann_top1,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
-    # -- position > 50: hash-green in CORRECTNESS_r03.json, rotated out
-    # so the previously-row-less 7 + the two new r4 queries get r4
-    # driver rows; each has a same-family sibling still in the window
+    # -- position > 50: every entry below is hash-green in
+    # CORRECTNESS_r03.json (verified when rotating), rotated out so
+    # the previously-row-less 7 + the four new r4 queries
+    # (url_canonical_dedup, domain_stats, substring_dedup,
+    # kmv_distinct) get r4 driver rows — r3 ∪ r4 then covers all 61;
+    # each tail entry keeps a same-family sibling in the window
     # (media_decode for media_*, ann_top1/knn_classify for the ANN
     # family, orders_by_segment, asof_join) --
     "embedding_near_pairs": q_embedding_near_pairs,
