@@ -93,14 +93,21 @@ def rolling_fingerprints(text: str, window: int = 16) -> np.ndarray:
     return shingle_hashes(token_hashes(toks), window)
 
 
-def kmv_estimate(kth_hex: str, k: int) -> float:
-    """Distinct-count estimate from a KMV (bottom-k) sketch: the
-    unbiased (k-1)/R_k estimator of Bar-Yossef et al. 2002, where
-    R_k is the k-th smallest hash normalized to [0,1) — here from the
-    first 16 hex digits of the md5 (uniform on 2^64 by construction).
-    Pure function of the sketch's last row (queries.q_kmv_distinct)."""
-    r = int(kth_hex[:16], 16) / 2.0**64
-    return (k - 1) / r
+def kmv_estimate(hashes: list[str], k: int = 64) -> float:
+    """Distinct-count estimate from a KMV (bottom-k) sketch
+    (queries.q_kmv_distinct's `h` column, sorted ascending).
+
+    Non-saturated sketch (fewer than k hashes): the sketch holds the
+    ENTIRE distinct hash set, so the count is exactly its size — the
+    KMV contract's small-cardinality case (review finding: feeding
+    the last row of a short sketch into the ratio estimator silently
+    reads ~2x high). Saturated: the unbiased (k-1)/R_k estimator of
+    Bar-Yossef et al. 2002, with R_k the k-th smallest hash
+    normalized to [0,1) from the first 16 hex digits of the md5."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    r = int(hashes[k - 1][:16], 16) / 2.0**64
+    return (k - 1) / max(r, 2.0**-64)
 
 
 def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:

@@ -837,7 +837,10 @@ GROUP BY n_orders ORDER BY n_orders
 """
 
 
-def q_kmv_distinct(sf_dir, k: int = 64):
+_KMV_K = 64  # interpolated into SQL_KMV_DISTINCT — keep in sync
+
+
+def q_kmv_distinct(sf_dir, k: int = _KMV_K):
     """KMV (k-minimum-values) distinct-count sketch over the corpus
     token set — the SCALE path beside q_source_vocab's exact count:
     at 100 TB the exact distinct needs a corpus-wide dedup shuffle,
@@ -857,13 +860,16 @@ def q_kmv_distinct(sf_dir, k: int = 64):
 
     def partial(t: pa.Table) -> pa.Table:
         import hashlib
+        import heapq
 
         import pyarrow.compute as pc
         toks = pc.split_pattern(
             pc.coalesce(t["text"].combine_chunks(), pa.scalar("")), " ")
         words = pc.unique(pc.list_flatten(toks)).to_pylist()
-        hs = sorted(hashlib.md5(w.encode()).hexdigest()
-                    for w in set(words))[:k]
+        # words is already distinct (pc.unique); bottom-k in
+        # O(V log k), not a full O(V log V) sort
+        hs = heapq.nsmallest(
+            k, (hashlib.md5(w.encode()).hexdigest() for w in words))
         return pa.table({"h": pa.array(hs, pa.string())})
 
     small = ds.map_batches(partial, batch_format="pyarrow",
@@ -874,7 +880,10 @@ def q_kmv_distinct(sf_dir, k: int = 64):
                          "h": hs})
 
 
-SQL_KMV_DISTINCT = """
+# LIMIT interpolated from _KMV_K so the oracle can never drift from
+# q_kmv_distinct's default (calls with a non-default k are outside
+# the gate's contract)
+SQL_KMV_DISTINCT = f"""
 WITH toks AS (
   SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS w
   FROM documents
@@ -882,7 +891,7 @@ WITH toks AS (
   SELECT DISTINCT md5(w) AS h FROM toks
 )
 SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank, h
-FROM hs ORDER BY h LIMIT 64
+FROM hs ORDER BY h LIMIT {_KMV_K}
 """
 
 

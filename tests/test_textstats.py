@@ -45,17 +45,27 @@ class TestKMV:
             toks = [f"tok{seed}_{i}" for i in range(n)]
             hs = sorted(hashlib.md5(t.encode()).hexdigest()
                         for t in toks)
-            est = kmv_estimate(hs[63], 64)
+            est = kmv_estimate(hs[:64], 64)
             assert abs(est - n) / n < 0.40  # ~3 sigma at k=64
 
-    def test_small_cardinality_sketch_is_exact(self):
-        """|distinct| <= k: the sketch IS the full hash set (the
-        oracle-checked q_kmv_distinct shape at small sf)."""
-        import hashlib
+    def test_small_cardinality_exact_end_to_end(self, ray_session):
+        """|distinct| < k through the PRODUCTION path: the sketch from
+        q_kmv_distinct is the full distinct hash set and the estimator
+        returns the exact count (the non-saturated KMV contract — a
+        short sketch fed to the ratio estimator would read ~2x high)."""
+        import duckdb
 
-        toks = {f"w{i}" for i in range(20)}
-        hs = sorted(hashlib.md5(t.encode()).hexdigest() for t in toks)
-        assert len(hs) == 20  # nothing truncated below k=64
+        from cld2_ray.functions.textstats import kmv_estimate
+        from cld2_ray.pipelines.queries import QUERIES
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["kmv_distinct"](sf)
+        exact = duckdb.sql(
+            "SELECT count(DISTINCT w) FROM (SELECT unnest(string_split("
+            f"coalesce(text,''), ' ')) AS w FROM '{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert exact < 64  # this fixture exercises the short branch
+        assert len(out) == exact
+        assert kmv_estimate(list(out["h"]), 64) == float(exact)
 
 
 class TestRunCLI:
