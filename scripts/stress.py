@@ -29,7 +29,7 @@ QUERIES = [
     "lang_counts", "exact_dedup", "token_freq_top50", "epoch_shuffle",
     "length_cdf", "stratified_sample", "incremental_dedup",
     "decontaminate", "inverted_index", "tfidf_top5", "segment_dedup",
-    "substring_dedup",
+    "substring_dedup", "kmv_distinct",
     "source_vocab", "bigram_top50", "quality_rules", "pii_scrub",
     "stopword_counts", "token_stats", "langid_documents",
     "lang_quantiles", "source_quota", "lang_source_rollup",
