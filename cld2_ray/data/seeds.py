@@ -763,21 +763,21 @@ for _src, _key, _fn in _VARIANTS:
     HELDOUT[_key] = _fn(HELDOUT[_src])
 
 # (lang, variant script) pairs whose text is the web-MINORITY usage of
-# that script (Cyrillic Romanian/Turkmen/Uzbek/Uyghur, Latin Serbian/
-# Kazakh/Tatar/Uyghur, IAST Sanskrit). Training demotes these spans'
-# gram weights 3x (state/model._build_seed_tables) so the flood of
-# variant-script grams cannot push the script's MAJORITY languages
-# (ru, uk, bg / en, ...) out of shared-gram langprob slots — the
-# analogue of corpus-frequency priors in the reference's web training
-# data. Script names are ULScript-style 4-letter codes.
-# Only the CYRILLIC variants are demoted: that's where the dilution
+# that script. Training multiplies these spans' gram weights by the
+# per-script values below (state/model._build_seed_tables) so the
+# flood of variant-script grams cannot push the script's MAJORITY
+# languages (ru, uk, bg / ar, fa, ur / hi, ...) out of shared-gram
+# langprob slots — the analogue of corpus-frequency priors in the
+# reference's web training data. Script names are ULScript-style
+# 4-letter codes.
+# The Cyrillic variants sit at 0.5: that's where the dilution
 # measurably bit (generic-Cyrillic grams pushed ru out of langprob
-# slots). The Latin variants (sr/kk/tt/ug-Latn, sa-IAST) train at
-# full weight — Latin's majority languages have orders more seed mass
-# and distinctive diacritic-free grams, and demoting ug-Latn was
-# observed to break its own heldout.
-# The Arabic variants are demoted for the same reason on the other
-# side: Turkic-in-Arabic-script is the web-minority usage of that
+# slots). Latin variants (sr/kk/tt/ug-Latn, sa-IAST) are NOT listed
+# and train at full weight — Latin's majority languages have orders
+# more seed mass and distinctive diacritic-free grams, and demoting
+# ug-Latn was observed to break its own heldout.
+# The Arabic variants are demoted for the same reason as Cyrillic:
+# Turkic-in-Arabic-script is the web-minority usage of that
 # script, and ar/fa/ur must keep their shared-gram slots. ku-Arab
 # (Sorani) is the web-MAJORITY Kurdish usage and trains at full
 # weight.

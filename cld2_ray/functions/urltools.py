@@ -24,13 +24,14 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# query/fragment and scheme prefixes. The scheme set is the CLOSED
-# list a web crawl yields, NOT the open RFC 3986 charset: dots are
-# legal in schemes, so the open pattern reads a HOST followed by
-# "://" ("a.com://x") as a scheme and collapses unrelated hosts onto
-# one canonical key (found by review — false dedup merges).
+# query/fragment and scheme prefixes. The scheme charset is RFC 3986
+# MINUS the dot: dots are legal in schemes, but keeping them would
+# read a HOST followed by "://" ("a.com://x") as a scheme and
+# collapse unrelated hosts onto one canonical key (found by review —
+# false dedup merges). Dot-free still canonicalizes arbitrary real
+# schemes (git://, s3://, rtmp://) scheme-insensitively.
 _QUERY_FRAG = r"[?#].*$"
-_SCHEME = r"^(?i:(https?|ftps?|wss?)://)+"
+_SCHEME = r"^(?i:[a-z][a-z0-9+\-]*://)+"
 # userinfo (RFC 3986 authority): credentials must not distinguish —
 # or leak into — dedup keys / domain aggregates. Only strip when the
 # '@' precedes the first path slash.

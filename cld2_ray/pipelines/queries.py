@@ -2529,12 +2529,17 @@ FROM documents GROUP BY 1
 
 # Ordering note: the driver gate checks the FIRST 50 registry entries
 # per round. Round 3 green-checked positions 1-50 of the r3 ordering;
-# for round 4 the seven entries that sat past position 50 all three
-# rounds (langid_documents .. source_csv) rotate into the head, and
-# seven r3-HASH-GREEN entries whose operator families keep another
-# in-window representative rotate out. Union of r3+r4 driver rows
-# covers all 57. All 57 always run in selfcheck and pytest regardless
-# of driver budget.
+# round 4 rotated the seven never-checked entries in (all green) and
+# eleven r3-green entries out. Round 5 rotates those eleven
+# (minhash_dedup .. range_join — green in r3, unchecked in r4) back
+# into the head, and eleven r4-HASH-GREEN entries whose operator
+# families keep another in-window representative rotate out
+# (jaccard_pairs, events_window, asof_join, knn_classify,
+# click_buyers, epoch_shuffle, length_cdf, lang_source_rollup,
+# orders_by_segment, part_brand_stats, inverted_index). Union of
+# r4+r5 driver rows covers all 61 with at-most-one-round staleness.
+# All queries always run in selfcheck and pytest regardless of
+# driver budget.
 QUERIES = {
     "lang_counts": q_lang_counts,
     "langid_documents": q_langid_documents,
@@ -2564,39 +2569,21 @@ QUERIES = {
     "embedding_label_stats": q_embedding_label_stats,
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
-    "knn_classify": q_knn_classify,
     "media_decode": q_media_decode,
     "flagship_pages": q_flagship_pages,
     "eval_confusion": q_eval_confusion,
-    "click_buyers": q_click_buyers,
-    "epoch_shuffle": q_epoch_shuffle,
-    "lang_source_rollup": q_lang_source_rollup,
-    "inverted_index": q_inverted_index,
-    "length_cdf": q_length_cdf,
-    "jaccard_pairs": q_jaccard_pairs,
     "token_freq_top50": q_token_freq_top50,
     "quality_rules": q_quality_rules,
     "pii_scrub": q_pii_scrub,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "stratified_sample": q_stratified_sample,
-    "orders_by_segment": q_orders_by_segment,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
-    "events_window": q_events_window,
-    "asof_join": q_asof_join,
-    "part_brand_stats": q_part_brand_stats,
     "ann_top1": q_ann_top1,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
-    # -- position > 50: every entry below is hash-green in
-    # CORRECTNESS_r03.json (verified when rotating), rotated out so
-    # the previously-row-less 7 + the four new r4 queries
-    # (url_canonical_dedup, domain_stats, substring_dedup,
-    # kmv_distinct) get r4 driver rows — r3 ∪ r4 then covers all 61;
-    # each tail entry keeps a same-family sibling in the window
-    # (media_decode for media_*, ann_top1/knn_classify for the ANN
-    # family, orders_by_segment, asof_join) --
+    # r3-green, unchecked in r4 -> rotated back into the r5 window
     "embedding_near_pairs": q_embedding_near_pairs,
     "ivf_topk": q_ivf_topk,
     "media_resize": q_media_resize,
@@ -2606,6 +2593,29 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "supplier_regions": q_supplier_regions,
     "range_join": q_range_join,
+    # -- position > 50: every entry below is hash-green in
+    # CORRECTNESS_r04.json (verified when rotating), rotated out so
+    # the 11 r3-green entries above get r5 driver rows — r4 ∪ r5
+    # then covers all 61; each tail entry keeps a same-family
+    # sibling in the window (exact/segment/substring/incremental/
+    # minhash for jaccard_pairs, events_hourly+event_sessions for
+    # events_window, range_join for asof_join, ann_top1/ivf_* for
+    # knn_classify, tpch_q3 for click_buyers/orders_by_segment,
+    # top_longest for epoch_shuffle, length_histogram for
+    # length_cdf, source_lang_matrix for lang_source_rollup,
+    # lang_quantiles/tpch_q1 for part_brand_stats, source_vocab/
+    # bigram_top50 for inverted_index) --
+    "click_buyers": q_click_buyers,
+    "epoch_shuffle": q_epoch_shuffle,
+    "lang_source_rollup": q_lang_source_rollup,
+    "inverted_index": q_inverted_index,
+    "length_cdf": q_length_cdf,
+    "jaccard_pairs": q_jaccard_pairs,
+    "orders_by_segment": q_orders_by_segment,
+    "events_window": q_events_window,
+    "asof_join": q_asof_join,
+    "part_brand_stats": q_part_brand_stats,
+    "knn_classify": q_knn_classify,
 }
 
 ORACLE_SQL = {

@@ -108,14 +108,25 @@ class TestProperties:
 
 class TestHostLikeSchemes:
     """Review regressions: hosts are valid under RFC 3986's open
-    scheme charset (dots allowed), so only the crawl's closed scheme
-    set may be stripped — and credentials must neither distinguish
-    nor leak into keys."""
+    scheme charset because of the DOT, so the stripped scheme
+    charset is RFC 3986 minus '.' — arbitrary dot-free schemes
+    canonicalize, host-lookalikes do not — and credentials must
+    neither distinguish nor leak into keys."""
 
     def test_host_followed_by_scheme_sep_not_collapsed(self):
         keys = canonicalize_urls(pa.array(
             ["https://a.com://x", "https://b.org://x"])).to_pylist()
         assert keys == ["a.com://x", "b.org://x"]  # distinct hosts
+
+    def test_open_dotfree_schemes_canonicalize(self):
+        # git://a.com/r and s3://a.com/r are the same resource key as
+        # https://a.com/r — scheme-insensitive like the closed list was
+        assert canon("git://a.com/r") == "a.com/r"
+        assert canon("s3://Www.a.com/r") == "a.com/r"
+        assert canon("rtmp://a.com/r/") == "a.com/r"
+        assert canon("svn+ssh://a.com/r") == "a.com/r"
+        # dotted scheme = host-lookalike, stays a host by design
+        assert canon("z39.50r://a.com/r") == "z39.50r://a.com/r"
 
     def test_repeated_real_scheme_junk_still_collapses(self):
         assert canon("http://http://a.com") == "a.com"
