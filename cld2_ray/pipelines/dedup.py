@@ -201,21 +201,36 @@ _SEG_ENC = 1 << 20  # doc_id * _SEG_ENC + seg encodes (doc_id, seg) ordering
 
 
 def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  seg_words: int = 10, min_count: int = 2):
+                  seg_words: int = 10, min_count: int = 2,
+                  mode: str = "auto",
+                  broadcast_budget_bytes: int = 64 << 20,
+                  doc_buckets: int = 64,
+                  shuffle_blocks: int | None = None):
     """C4-style corpus-wide duplicate-segment removal: split every
     document into consecutive ``seg_words``-word segments; any segment
     text appearing >= ``min_count`` times in the corpus survives only
     at its first occurrence (smallest (doc_id, seg)), everywhere else
     it is dropped from the rebuilt text.
 
-    Scale shape: the shuffle carries only per-batch pre-aggregated
-    (segment_md5, count, min_position) partials — never segment text;
-    the frequent-segment set is the heavy-hitter tail (small by the
-    usual dup-rate assumption), broadcast once via ray.put; documents
-    then rewrite locally in one map_batches pass. Nothing materializes
-    the corpus on the driver.
+    Scale shape, pass 1: the shuffle carries only per-batch
+    pre-aggregated (segment_md5, count, min_position) partials —
+    never segment text. Pass 2 needs the (seg_md5 -> keeper) map for
+    every frequent segment; like substring_dedup (same family, ~10x
+    fewer keys because segments are aligned) its size scales with
+    duplicated-segment volume, so the same three modes apply:
+    ``"broadcast"`` ships it once via ray.put, ``"join"`` keeps it a
+    Dataset and routes marked (doc_id, seg) drops back by doc-id
+    bucket (see substring_dedup's docstring for the join shape and
+    the ``doc_buckets`` / ``shuffle_blocks`` sizing rules),
+    ``"auto"`` (default) picks by the estimated broadcast size vs
+    ``broadcast_budget_bytes``. Nothing materializes the corpus on
+    the driver in either mode.
     """
+    import pyarrow as _pa
     import ray
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"mode must be auto|broadcast|join, got {mode!r}")
 
     def _segments(doc_id: int, text: str):
         words = (text or "").split(" ")
@@ -260,45 +275,197 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     def seg_merge(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.groupby("seg_md5", as_index=False).agg(
             cnt=("n_", "sum"), keeper=("enc_", "min"))
-        return gg[gg["cnt"] >= min_count][["seg_md5", "keeper"]]
+        gg = gg[gg["cnt"] >= min_count][["seg_md5", "keeper"]]
+        gg["part"] = np.array([int(k[:2], 16) % 64
+                               for k in gg["seg_md5"]], dtype=np.int64)
+        return gg
 
-    hot = ds.map_batches(seg_partial, batch_format="pandas", batch_size=None) \
+    parts_mat = ds.map_batches(seg_partial, batch_format="pandas",
+                               batch_size=None).materialize()
+    pvol = max(parts_mat.size_bytes() or 1, 1)
+    hot_ds = parts_mat.repartition(shuffle_blocks
+                                   or _exchange_blocks(pvol)) \
         .groupby("part").map_groups(seg_merge, batch_format="pandas") \
-        .to_pandas()
-    keeper_of = ray.put(dict(zip(hot["seg_md5"], hot["keeper"].astype(int))))
+        .materialize()
+    n_hot = hot_ds.count()
+    # driver dict of 32-char-hex -> int: ~150 B/entry incl. slots
+    if mode == "auto":
+        mode = "broadcast" if n_hot * 150 <= broadcast_budget_bytes \
+            else "join"
 
-    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
-        kp = ray.get(keeper_of)
-        ids, texts, dropped = [], [], []
+    if mode == "broadcast":
+        hot = hot_ds.to_pandas()
+        keeper_of = ray.put(
+            dict(zip(hot["seg_md5"], hot["keeper"].astype(int)))
+            if "seg_md5" in hot.columns else {})
+
+        def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            kp = ray.get(keeper_of)
+            ids, texts, dropped = [], [], []
+            for doc_id, text in zip(df[id_col], df[text_col]):
+                kept, n_drop = [], 0
+                for _, seg_text, enc in _segments(int(doc_id), text):
+                    k = hashlib.md5(seg_text.encode()).hexdigest()
+                    if k in kp and enc != kp[k]:
+                        n_drop += 1
+                    else:
+                        kept.append(seg_text)
+                ids.append(doc_id)
+                texts.append(" ".join(kept))
+                dropped.append(n_drop)
+            return pd.DataFrame({id_col: ids, "clean_text": texts,
+                                 "n_dropped": np.array(dropped, np.int64)})
+
+        # stays a Dataset: the rewritten corpus is corpus-sized —
+        # callers write_parquet it or aggregate it; tests sort a
+        # collected copy
+        return ds.map_batches(rewrite, batch_format="pandas",
+                              batch_size=None)
+
+    # -- mode == "join": fully distributed pass 2 (the keeper map
+    # never leaves the cluster; doc ids must be >= 0) -----------------
+    nb = np.int64(doc_buckets)
+
+    def seg_postings(df: pd.DataFrame):
+        ids, encs, keys = [], [], []
         for doc_id, text in zip(df[id_col], df[text_col]):
-            kept, n_drop = [], 0
             for _, seg_text, enc in _segments(int(doc_id), text):
-                k = hashlib.md5(seg_text.encode()).hexdigest()
-                if k in kp and enc != kp[k]:
-                    n_drop += 1
-                else:
-                    kept.append(seg_text)
-            ids.append(doc_id)
+                ids.append(int(doc_id))
+                encs.append(enc)
+                keys.append(hashlib.md5(seg_text.encode()).hexdigest())
+        return _pa.table({
+            id_col: _pa.array(ids, _pa.int64()),
+            "enc_": _pa.array(encs, _pa.int64()),
+            "seg_md5": _pa.array(keys, _pa.string()),
+            "part": _pa.array(np.array(
+                [int(k[:2], 16) % 64 for k in keys], dtype=np.int64))})
+
+    def hot_as_postings(df: pd.DataFrame):
+        return _pa.table({
+            id_col: _pa.array(np.full(len(df), -1, np.int64)),
+            "enc_": _pa.array(df["keeper"].to_numpy(np.int64)),
+            "seg_md5": _pa.array(df["seg_md5"].tolist(), _pa.string()),
+            "part": _pa.array(df["part"].to_numpy(np.int64))})
+
+    def mark_drops(g: pd.DataFrame):
+        is_hot = g[id_col].to_numpy() < 0
+        hotk = g.loc[is_hot, ["seg_md5", "enc_"]] \
+            .rename(columns={"enc_": "keeper"})
+        post = g.loc[~is_hot, [id_col, "enc_", "seg_md5"]]
+        m = post.merge(hotk, on="seg_md5", how="inner")
+        m = m[m["enc_"].to_numpy() != m["keeper"].to_numpy()]
+        ids = m[id_col].to_numpy(np.int64)
+        return _pa.table({
+            id_col: _pa.array(ids),
+            "seg": _pa.array(m["enc_"].to_numpy(np.int64) % _SEG_ENC),
+            "bucket_": _pa.array(ids % nb)})
+
+    drops = ds.map_batches(seg_postings, batch_format="pandas",
+                           batch_size=None) \
+        .union(hot_ds.map_batches(hot_as_postings,
+                                  batch_format="pandas",
+                                  batch_size=None)) \
+        .repartition(shuffle_blocks or _exchange_blocks(2.5 * pvol)) \
+        .groupby("part").map_groups(mark_drops, batch_format="pandas")
+
+    def doc_rows(df: pd.DataFrame):
+        ids = df[id_col].to_numpy(np.int64)
+        return _pa.table({
+            id_col: _pa.array(ids),
+            "seg": _pa.array(np.full(len(df), -1, np.int64)),
+            "text_": _pa.array(df[text_col].fillna("").tolist(),
+                               _pa.large_string()),
+            "bucket_": _pa.array(ids % nb)})
+
+    def drop_rows(df: pd.DataFrame):
+        return _pa.table({
+            id_col: _pa.array(df[id_col].to_numpy(np.int64)),
+            "seg": _pa.array(df["seg"].to_numpy(np.int64)),
+            "text_": _pa.array([None] * len(df), _pa.large_string()),
+            "bucket_": _pa.array(df["bucket_"].to_numpy(np.int64))})
+
+    def rewrite_group(g: pd.DataFrame) -> pd.DataFrame:
+        sg = g["seg"].to_numpy()
+        docs = g[sg < 0]
+        dr = g[sg >= 0].sort_values(id_col, kind="stable")
+        d_ids = dr[id_col].to_numpy(np.int64)
+        d_segs = dr["seg"].to_numpy(np.int64)
+        ids, texts, dropped = [], [], []
+        for doc_id, text in zip(docs[id_col], docs["text_"]):
+            lo = np.searchsorted(d_ids, int(doc_id), side="left")
+            hi = np.searchsorted(d_ids, int(doc_id), side="right")
+            gone = set(d_segs[lo:hi].tolist())
+            kept = [seg_text for seg, seg_text, _
+                    in _segments(int(doc_id), text)
+                    if seg not in gone]
+            ids.append(int(doc_id))
             texts.append(" ".join(kept))
-            dropped.append(n_drop)
+            dropped.append(hi - lo)
         return pd.DataFrame({id_col: ids, "clean_text": texts,
                              "n_dropped": np.array(dropped, np.int64)})
 
-    # stays a Dataset: the rewritten corpus is corpus-sized — callers
-    # write_parquet it or aggregate it; tests sort a collected copy
-    return ds.map_batches(rewrite, batch_format="pandas", batch_size=None)
+    return ds.map_batches(doc_rows, batch_format="pandas",
+                          batch_size=None) \
+        .union(drops.map_batches(drop_rows, batch_format="pandas",
+                                 batch_size=None)) \
+        .repartition(shuffle_blocks or _exchange_blocks(4 * pvol)) \
+        .groupby("bucket_").map_groups(rewrite_group,
+                                       batch_format="pandas")
+
+
+# 128-bit fast window key: two independent 64-bit polynomial mixes
+# over the two halves of a blake2b-128 token hash. A single 64-bit
+# key silently false-merges ~N^2/2^65 unrelated windows (at the
+# 100-TB target's ~1e12 windows that is ~1e4-1e5 cut-by-collision
+# sites, found by review); the pair pushes that to ~2^-128-scale.
+_WPAIR = np.dtype([("a", "<u8"), ("b", "<u8")])
+_WP1 = np.uint64(0x100000001B3)        # FNV-1a prime, lane a
+_WP2 = np.uint64(0xC6A4A7935BD1E995)   # Murmur2 constant, lane b
+
+
+def _win_fast_pair(words: list[str], window: int,
+                   memo: dict) -> np.ndarray:
+    """Structured (a, b) uint64 pair per stride-1 window: one blake2b
+    per DISTINCT token (memoized across a batch), then two vectorized
+    positional polynomial mixes — O(n) numpy per doc."""
+    if len(words) < window:
+        return np.empty(0, dtype=_WPAIR)
+    tl = np.empty(len(words), dtype=np.uint64)
+    th = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = memo.get(w)
+        if v is None:
+            d = hashlib.blake2b(w.encode(), digest_size=16).digest()
+            v = (int.from_bytes(d[:8], "little"),
+                 int.from_bytes(d[8:], "little"))
+            memo[w] = v
+        tl[i], th[i] = v
+    n = len(words) - window + 1
+    out = np.empty(n, dtype=_WPAIR)
+    with np.errstate(over="ignore"):
+        a = np.zeros(n, dtype=np.uint64)
+        b = np.zeros(n, dtype=np.uint64)
+        for j in range(window):
+            a = a * _WP1 + tl[j:n + j]
+            b = b * _WP2 + th[j:n + j]
+    out["a"] = a
+    out["b"] = b
+    return out
 
 
 def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                     window: int = 8, min_count: int = 2,
-                    hash_fn: str = "md5"):
+                    hash_fn: str = "md5", mode: str = "auto",
+                    broadcast_budget_bytes: int = 64 << 20,
+                    doc_buckets: int = 64,
+                    shuffle_blocks: int | None = None):
     """Substring-level exact dedup — the granularity below
     segment_dedup (fixed aligned segments) and exact_dedup (whole
     docs): the suffix-array family of Lee et al., "Deduplicating
     Training Data Makes Language Models Better" (2022), approximated
     with stride-1 ``window``-token rolling windows so it distributes
-    as two map passes + one hash-bucket shuffle instead of a global
-    suffix array.
+    as map passes + hash-bucket shuffles instead of a global suffix
+    array.
 
     A window text occurring >= ``min_count`` times corpus-wide (any
     doc, any offset, self-repeats included) marks ALL its occurrences;
@@ -308,22 +475,40 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     (the paper's "remove all copies" policy — deterministic, and what
     the DuckDB oracle mirrors).
 
-    Scale shape: pass 1 ships per-batch (window_hash -> count)
+    Scale shape, pass 1 (both modes): per-batch (window_hash -> count)
     partials into 64 hash buckets — never window text, and
     pre-aggregated so a block's repeated windows collapse before the
-    exchange; the duplicated-hash set is the heavy-hitter tail (small
-    by the usual dup-rate assumption), broadcast once via ray.put;
-    pass 2 rewrites locally in one map_batches.
+    exchange. Pass 2 depends on the duplicated-window set's size,
+    which at stride-1 scales with duplicated-TOKEN volume, not with a
+    heavy-hitter tail — at 100 TB a few %% dup rate is 1e10-1e11
+    hashes, far beyond any driver/plasma broadcast:
+
+    * ``mode="broadcast"``: collect the set to the driver, ``ray.put``
+      once, membership-test per batch — fastest when the set fits.
+    * ``mode="join"``: never materializes the set anywhere. The dup
+      hashes stay a Dataset; every doc emits (doc_id, start, win_h)
+      postings that inner-join the dup hashes per hash bucket
+      (hashes only, never window text); marked (doc_id, start) rows
+      route back by doc-id bucket and co-group with the doc texts for
+      the rewrite. Three all-to-all exchanges, each bounded by
+      postings/corpus size per bucket — set ``doc_buckets`` so a
+      bucket's documents fit one worker (~corpus_bytes/1GB at scale).
+      Each exchange's map side is coalesced first (see
+      _exchange_blocks: Ray inlines sub-100KB sort pieces into the
+      DRIVER, so a fragmented shuffle quietly re-centralizes its
+      volume); the count auto-sizes from the measured pass-1
+      partials volume, or pass ``shuffle_blocks`` to pin it.
+    * ``mode="auto"`` (default): counts the dup set after the pass-1
+      merge and broadcasts only when its estimated in-memory size is
+      <= ``broadcast_budget_bytes``, else takes the join path.
 
     hash_fn: "md5" hashes each window string (keeps the DuckDB oracle
     bit-comparable but is O(n*window) string work per doc); "fast" is
     the 100-TB production path — one blake2b per DISTINCT token
-    (memoized per batch) + a vectorized positional polynomial mix per
-    window, O(n) numpy per doc — measured 1.7x end-to-end at stress
-    scale (200k docs 88 -> 50 s; the residual is the rewrite's
-    per-doc string rebuild, which both variants share). Both variants
-    select the same duplicate windows (tested) — only the key
-    representation differs.
+    (memoized per batch) + two vectorized positional polynomial mixes
+    per window (a 128-bit structured key; see _WPAIR), O(n) numpy per
+    doc. Both variants select the same duplicate windows (tested) —
+    only the key representation differs.
     """
     import pyarrow as _pa
     import ray
@@ -331,6 +516,10 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     fast = hash_fn == "fast"
     if hash_fn not in ("md5", "fast"):
         raise ValueError(f"hash_fn must be 'md5' or 'fast', got {hash_fn!r}")
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"mode must be auto|broadcast|join, got {mode!r}")
+
+    key_cols = ["win_h", "win_h2"] if fast else ["win_h"]
 
     def _win_md5(words: list[str]) -> list[str]:
         if len(words) < window:
@@ -338,35 +527,18 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return [hashlib.md5(" ".join(words[i:i + window]).encode())
                 .hexdigest() for i in range(len(words) - window + 1)]
 
-    def _win_fast(words: list[str], memo: dict) -> np.ndarray:
-        if len(words) < window:
-            return np.empty(0, dtype=np.uint64)
-        th = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            h = memo.get(w)
-            if h is None:
-                h = int.from_bytes(hashlib.blake2b(
-                    w.encode(), digest_size=8).digest(), "little")
-                memo[w] = h
-            th[i] = h
-        n = len(words) - window + 1
-        with np.errstate(over="ignore"):
-            out = np.zeros(n, dtype=np.uint64)
-            for j in range(window):
-                out = out * np.uint64(0x100000001B3) + th[j:n + j]
-        return out
-
     def win_partial(df: pd.DataFrame):
         if fast:
-            memo: dict[str, int] = {}
-            parts = [_win_fast((t or "").split(" "), memo)
+            memo: dict = {}
+            parts = [_win_fast_pair((t or "").split(" "), window, memo)
                      for t in df[text_col]]
             allh = np.concatenate(parts) if parts \
-                else np.empty(0, np.uint64)
+                else np.empty(0, _WPAIR)
             keys, cnts = np.unique(allh, return_counts=True)
             return _pa.table({
-                "win_h": _pa.array(keys, _pa.uint64()),
-                "part": _pa.array((keys & np.uint64(63))
+                "win_h": _pa.array(keys["a"], _pa.uint64()),
+                "win_h2": _pa.array(keys["b"], _pa.uint64()),
+                "part": _pa.array((keys["a"] & np.uint64(63))
                                   .astype(np.int64)),
                 "n_": _pa.array(cnts.astype(np.int64))})
         counts: dict[str, int] = {}
@@ -382,51 +554,49 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "n_": _pa.array([counts[k] for k in keys], _pa.int64())})
 
     def win_merge(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby("win_h", as_index=False).agg(cnt=("n_", "sum"))
-        return gg[gg["cnt"] >= min_count][["win_h"]]
+        gg = g.groupby(key_cols, as_index=False).agg(cnt=("n_", "sum"))
+        gg = gg[gg["cnt"] >= min_count][key_cols]
+        gg["part"] = (gg["win_h"].to_numpy(dtype=np.uint64)
+                      & np.uint64(63)).astype(np.int64) if fast else \
+            np.array([int(k[:2], 16) % 64 for k in gg["win_h"]],
+                     dtype=np.int64)
+        return gg
 
-    hot = ds.map_batches(win_partial, batch_format="pandas",
-                         batch_size=None) \
+    parts_mat = ds.map_batches(win_partial, batch_format="pandas",
+                               batch_size=None).materialize()
+    pvol = max(parts_mat.size_bytes() or 1, 1)
+    xb = shuffle_blocks or _exchange_blocks(pvol)
+    hot_ds = parts_mat.repartition(xb) \
         .groupby("part").map_groups(win_merge, batch_format="pandas") \
-        .to_pandas()
-    # a window-less corpus (every doc < `window` tokens) comes back as
-    # an empty, schema-less frame
-    if "win_h" not in hot.columns:
-        dup_obj = np.empty(0, np.uint64) if fast else set()
-    elif fast:
-        dup_obj = np.sort(hot["win_h"].to_numpy(dtype=np.uint64))
-    else:
-        dup_obj = set(hot["win_h"])
-    dup_ref = ray.put(dup_obj)
+        .materialize()
+    n_hot = hot_ds.count()
+    # estimated driver+plasma bytes if broadcast: md5 = python set of
+    # 32-char str (~120 B/key incl. set slot); fast = 16 B/key numpy
+    est_bytes = n_hot * (16 if fast else 120)
+    if mode == "auto":
+        mode = "broadcast" if est_bytes <= broadcast_budget_bytes \
+            else "join"
 
-    def rewrite(df: pd.DataFrame):
-        dup = ray.get(dup_ref)
-        memo: dict[str, int] = {}
-        ids, ntok, nwin, ndup, clean = [], [], [], [], []
-        for doc_id, text in zip(df[id_col], df[text_col]):
-            words = (text or "").split(" ")
-            if fast:
-                wins = _win_fast(words, memo)
-                idx = np.searchsorted(dup, wins)
-                idx[idx == len(dup)] = max(len(dup) - 1, 0)
-                hit = dup[idx] == wins if len(dup) else \
-                    np.zeros(len(wins), dtype=bool)
-                starts = np.flatnonzero(hit)
-            else:
-                starts = np.array([i for i, h in
-                                   enumerate(_win_md5(words))
-                                   if h in dup], dtype=np.int64)
-            # merged coverage via a diff array (windows overlap)
-            diff = np.zeros(len(words) + 1, dtype=np.int32)
-            np.add.at(diff, starts, 1)
-            np.add.at(diff, starts + window, -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            ids.append(int(doc_id))
-            ntok.append(len(words))
-            nwin.append(len(starts))
-            ndup.append(int(covered.sum()))
-            clean.append(" ".join(
-                w for w, c in zip(words, covered) if not c))
+    def _doc_windows(words, memo):
+        if fast:
+            return _win_fast_pair(words, window, memo)
+        return _win_md5(words)
+
+    def _emit_row(ids, ntok, nwin, ndup, clean,
+                  doc_id, words, starts):
+        # merged coverage via a diff array (windows overlap)
+        diff = np.zeros(len(words) + 1, dtype=np.int32)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + window, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        ids.append(int(doc_id))
+        ntok.append(len(words))
+        nwin.append(len(starts))
+        ndup.append(int(covered.sum()))
+        clean.append(" ".join(
+            w for w, c in zip(words, covered) if not c))
+
+    def _out_table(ids, ntok, nwin, ndup, clean):
         return _pa.table({
             id_col: _pa.array(ids, _pa.int64()),
             "n_tokens": _pa.array(ntok, _pa.int64()),
@@ -434,8 +604,171 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "dup_tokens": _pa.array(ndup, _pa.int64()),
             "clean_text": _pa.array(clean, _pa.string())})
 
-    # stays a Dataset — the rewritten corpus is corpus-sized
-    return ds.map_batches(rewrite, batch_format="pandas", batch_size=None)
+    if mode == "broadcast":
+        hot = hot_ds.to_pandas()
+        # a window-less corpus (every doc < `window` tokens) comes
+        # back as an empty, schema-less frame
+        if "win_h" not in hot.columns:
+            dup_obj = np.empty(0, _WPAIR) if fast else set()
+        elif fast:
+            pairs = np.empty(len(hot), dtype=_WPAIR)
+            pairs["a"] = hot["win_h"].to_numpy(dtype=np.uint64)
+            pairs["b"] = hot["win_h2"].to_numpy(dtype=np.uint64)
+            dup_obj = np.sort(pairs)
+        else:
+            dup_obj = set(hot["win_h"])
+        dup_ref = ray.put(dup_obj)
+
+        def rewrite(df: pd.DataFrame):
+            dup = ray.get(dup_ref)
+            memo: dict = {}
+            ids, ntok, nwin, ndup, clean = [], [], [], [], []
+            for doc_id, text in zip(df[id_col], df[text_col]):
+                words = (text or "").split(" ")
+                if fast:
+                    wins = _win_fast_pair(words, window, memo)
+                    idx = np.searchsorted(dup, wins)
+                    idx[idx == len(dup)] = max(len(dup) - 1, 0)
+                    hit = dup[idx] == wins if len(dup) else \
+                        np.zeros(len(wins), dtype=bool)
+                    starts = np.flatnonzero(hit)
+                else:
+                    starts = np.array([i for i, h in
+                                       enumerate(_win_md5(words))
+                                       if h in dup], dtype=np.int64)
+                _emit_row(ids, ntok, nwin, ndup, clean,
+                          doc_id, words, starts)
+            return _out_table(ids, ntok, nwin, ndup, clean)
+
+        # stays a Dataset — the rewritten corpus is corpus-sized
+        return ds.map_batches(rewrite, batch_format="pandas",
+                              batch_size=None)
+
+    # -- mode == "join": fully distributed pass 2 -------------------------
+    nb = np.int64(doc_buckets)
+
+    def postings(df: pd.DataFrame):
+        memo: dict = {}
+        id_parts, st_parts, win_parts = [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            words = (text or "").split(" ")
+            w = _doc_windows(words, memo)
+            if len(w) == 0:
+                continue
+            id_parts.append(np.full(len(w), int(doc_id), np.int64))
+            st_parts.append(np.arange(len(w), dtype=np.int64))
+            win_parts.append(w if fast else np.asarray(w, dtype=object))
+        if not id_parts:
+            idc = np.empty(0, np.int64)
+            stc = np.empty(0, np.int64)
+            wc = np.empty(0, _WPAIR) if fast else \
+                np.empty(0, dtype=object)
+        else:
+            idc = np.concatenate(id_parts)
+            stc = np.concatenate(st_parts)
+            wc = np.concatenate(win_parts)
+        cols = {id_col: _pa.array(idc, _pa.int64()),
+                "start": _pa.array(stc, _pa.int64())}
+        if fast:
+            cols["win_h"] = _pa.array(wc["a"], _pa.uint64())
+            cols["win_h2"] = _pa.array(wc["b"], _pa.uint64())
+            cols["part"] = _pa.array(
+                (wc["a"] & np.uint64(63)).astype(np.int64))
+        else:
+            cols["win_h"] = _pa.array(wc.tolist(), _pa.string())
+            cols["part"] = _pa.array(np.array(
+                [int(k[:2], 16) % 64 for k in wc], dtype=np.int64))
+        return _pa.table(cols)
+
+    def hot_as_postings(df: pd.DataFrame):
+        cols = {id_col: _pa.array(
+                    np.full(len(df), -1, np.int64), _pa.int64()),
+                "start": _pa.array(
+                    np.full(len(df), -1, np.int64), _pa.int64()),
+                "win_h": _pa.array(
+                    df["win_h"].to_numpy(dtype=np.uint64), _pa.uint64())
+                if fast else _pa.array(df["win_h"].tolist(),
+                                       _pa.string())}
+        if fast:
+            cols["win_h2"] = _pa.array(
+                df["win_h2"].to_numpy(dtype=np.uint64), _pa.uint64())
+        cols["part"] = _pa.array(df["part"].to_numpy(np.int64))
+        return _pa.table(cols)
+
+    def mark(g: pd.DataFrame):
+        is_hot = g[id_col].to_numpy() < 0
+        hotk = g.loc[is_hot, key_cols]
+        post = g.loc[~is_hot, [id_col, "start"] + key_cols]
+        m = post.merge(hotk, on=key_cols, how="inner")
+        return _pa.table({
+            id_col: _pa.array(m[id_col].to_numpy(np.int64)),
+            "start": _pa.array(m["start"].to_numpy(np.int64)),
+            "bucket_": _pa.array(
+                m[id_col].to_numpy(np.int64) % nb)})
+
+    # postings carry (id, start, key, part) per window occurrence:
+    # ~2.5x the distinct-window partials volume on dup-heavy corpora
+    marked = ds.map_batches(postings, batch_format="pandas",
+                            batch_size=None) \
+        .union(hot_ds.map_batches(hot_as_postings,
+                                  batch_format="pandas",
+                                  batch_size=None)) \
+        .repartition(shuffle_blocks or _exchange_blocks(2.5 * pvol)) \
+        .groupby("part").map_groups(mark, batch_format="pandas")
+
+    def doc_rows(df: pd.DataFrame):
+        ids = df[id_col].to_numpy(np.int64)
+        return _pa.table({
+            id_col: _pa.array(ids),
+            "start": _pa.array(np.full(len(df), -1, np.int64)),
+            "text_": _pa.array(df[text_col].fillna("").tolist(),
+                               _pa.large_string()),
+            "bucket_": _pa.array(ids % nb)})
+
+    def marked_rows(df: pd.DataFrame):
+        return _pa.table({
+            id_col: _pa.array(df[id_col].to_numpy(np.int64)),
+            "start": _pa.array(df["start"].to_numpy(np.int64)),
+            "text_": _pa.array([None] * len(df), _pa.large_string()),
+            "bucket_": _pa.array(df["bucket_"].to_numpy(np.int64))})
+
+    def rewrite_group(g: pd.DataFrame):
+        st = g["start"].to_numpy()
+        docs = g[st < 0]
+        marks = g[st >= 0].sort_values(id_col, kind="stable")
+        m_ids = marks[id_col].to_numpy(np.int64)
+        m_starts = marks["start"].to_numpy(np.int64)
+        ids, ntok, nwin, ndup, clean = [], [], [], [], []
+        for doc_id, text in zip(docs[id_col], docs["text_"]):
+            words = (text or "").split(" ")
+            lo = np.searchsorted(m_ids, int(doc_id), side="left")
+            hi = np.searchsorted(m_ids, int(doc_id), side="right")
+            _emit_row(ids, ntok, nwin, ndup, clean,
+                      doc_id, words, m_starts[lo:hi])
+        return _out_table(ids, ntok, nwin, ndup, clean)
+
+    # stays a Dataset — the rewritten corpus is corpus-sized; the dup
+    # set never touches the driver (marked routes by doc-id bucket)
+    return ds.map_batches(doc_rows, batch_format="pandas",
+                          batch_size=None) \
+        .union(marked.map_batches(marked_rows, batch_format="pandas",
+                                  batch_size=None)) \
+        .repartition(shuffle_blocks or _exchange_blocks(pvol)) \
+        .groupby("bucket_").map_groups(rewrite_group,
+                                       batch_format="pandas")
+
+
+def _exchange_blocks(vol_bytes: float) -> int:
+    """Map-side block count for a ~64-way bucket exchange of
+    ``vol_bytes`` so every sort piece (map block x reduce partition)
+    stays >= ~0.5 MB. Ray stores task returns under ~100 KB inline in
+    the OWNER (the driver) instead of plasma, so a shuffle fragmented
+    into sub-100KB pieces quietly re-centralizes its whole volume
+    onto the driver heap (measured: 1.1 GiB driver growth for a
+    294 MB partials exchange split 135x135 at the 120k-doc
+    dup-stress; 35 MiB once coalesced). Fewer-but-bigger map blocks
+    only cost exchange-map parallelism, never correctness."""
+    return int(min(512, max(8, vol_bytes / (32 << 20))))
 
 
 _CLIQUE_CUTOFF = 64

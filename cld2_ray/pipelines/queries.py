@@ -119,9 +119,14 @@ FROM documents GROUP BY md5(text)
 def q_substring_dedup(sf_dir):
     """Substring-level (stride-1 rolling-window) exact dedup — the
     Lee-et-al-2022 suffix-array family, windowed so it distributes
-    (pipelines/dedup.substring_dedup)."""
+    (pipelines/dedup.substring_dedup). Runs mode="join" — the 100-TB
+    pass-2 path where the duplicate-window set never touches the
+    driver — so the driver gate hash-verifies the distributed
+    membership join (broadcast == join is additionally pinned in
+    tests/test_dedup_ann.py::TestDistributedPass2)."""
     from cld2_ray.pipelines.dedup import substring_dedup
-    return substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           mode="join")
 
 
 SQL_SUBSTRING_DEDUP = """
@@ -168,9 +173,12 @@ LEFT JOIN clean c USING (doc_id)
 def q_segment_dedup(sf_dir):
     """C4-style corpus-wide duplicate-segment removal (reference
     analogue: the corpus-level line dedup of the C4/Gopher recipes;
-    the keep-first rule mirrors exact_dedup's min-id survivor)."""
+    the keep-first rule mirrors exact_dedup's min-id survivor).
+    mode="join" so the driver gate hash-verifies the distributed
+    pass-2 (see q_substring_dedup)."""
     from cld2_ray.pipelines.dedup import segment_dedup
-    return segment_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return segment_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         mode="join")
 
 
 SQL_SEGMENT_DEDUP = """

@@ -4,6 +4,9 @@ timed runs of every heavy pipeline over them.
   python scripts/stress.py gen            # build /tmp/stress (~1 GB)
   python scripts/stress.py run            # time the heavy queries
   python scripts/stress.py run --only exact_dedup,minhash_dedup
+  python scripts/stress.py dupstress      # ~50%-dup corpus through
+                                          # mode='join' pass 2, asserts
+                                          # bounded driver RSS
 
 The corpus is deliberately adversarial for dedup: a tiny Zipf
 vocabulary (boilerplate-heavy web text) makes LSH band buckets LARGE
@@ -209,6 +212,90 @@ def cmd_gen():
           f"{time.time() - t0:.0f}s")
 
 
+DUP_OUT = "/tmp/stress_dup"
+
+
+def cmd_dupstress():
+    """Forced ~50%-duplicated corpus through substring/segment dedup's
+    mode='join' pass 2, asserting the driver's peak-RSS growth stays
+    bounded. This is the regime where the old broadcast pass 2 dies:
+    every doc's second half is a passage shared with exactly one other
+    doc, so the duplicated-window set scales with duplicated-TOKEN
+    volume (~4.4M DISTINCT window keys here; ~530 MB as a driver md5
+    set, 1e10-1e11 keys at the 100-TB target) — not a heavy-hitter
+    tail. The join path never materializes it anywhere.
+    """
+    import resource
+
+    import ray
+
+    n, own, shared = 120_000, 40, 80
+    shutil.rmtree(DUP_OUT, ignore_errors=True)
+    os.makedirs(DUP_OUT)
+    writer = None
+    for start in range(0, n, 20_000):
+        texts = []
+        for i in range(start, start + 20_000):
+            pid = i // 2                       # each passage in 2 docs
+            texts.append(
+                " ".join(f"d{i}_{j}" for j in range(own)) + " "
+                + " ".join(f"p{pid}_{j}" for j in range(shared)))
+        t = pa.table({
+            "doc_id": pa.array(np.arange(start, start + 20_000,
+                                         dtype=np.int64)),
+            "text": pa.array(texts, pa.string())})
+        if writer is None:
+            writer = pq.ParquetWriter(f"{DUP_OUT}/documents.parquet",
+                                      t.schema)
+        writer.write_table(t)
+    writer.close()
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    from ray.data.aggregate import Count, Sum
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cld2_ray.pipelines.dedup import segment_dedup, substring_dedup
+
+    def read():
+        import ray.data as rd
+        return rd.read_parquet(f"{DUP_OUT}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    failures = 0
+    for name, fn in [
+        ("substring_dedup[join,fast]",
+         lambda: substring_dedup(read(), hash_fn="fast", mode="join")),
+        ("segment_dedup[join]",
+         lambda: segment_dedup(read(), mode="join")),
+    ]:
+        t0 = time.time()
+        out = fn()
+        agg_col = "dup_tokens" if "substring" in name else "n_dropped"
+        stats = out.aggregate(Count(), Sum(agg_col))
+        dt = time.time() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        grew = (rss1 - rss0) / 1024  # MiB
+        ok = stats["count()"] == n and stats[f"sum({agg_col})"] > 0 \
+            and grew < 300
+        # the duplicated half must actually be detected: every doc
+        # shares its `shared`-token tail with exactly one other doc
+        if "substring" in name and stats[f"sum({agg_col})"] != n * shared:
+            ok = False
+        failures += 0 if ok else 1
+        print(f"[{'RSS-OK' if ok else ' FAIL '}] {name}: "
+              f"rows={stats['count()']} sum_{agg_col}="
+              f"{stats[f'sum({agg_col})']} driver_rss_growth="
+              f"{grew:.0f}MiB (bound 300) in {dt:.1f}s", flush=True)
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
 def cmd_run(only=None):
     import ray
     if not ray.is_initialized():
@@ -241,11 +328,13 @@ def cmd_run(only=None):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "run"])
+    ap.add_argument("cmd", choices=["gen", "run", "dupstress"])
     ap.add_argument("--only", default=None,
                     help="comma-separated query subset")
     args = ap.parse_args()
     if args.cmd == "gen":
         cmd_gen()
+    elif args.cmd == "dupstress":
+        cmd_dupstress()
     else:
         cmd_run(args.only.split(",") if args.only else None)
