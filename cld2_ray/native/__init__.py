@@ -55,6 +55,9 @@ _QS = None
 _SS = None
 _SSM = None
 _EX = None
+_MD5 = None
+_MDW = None
+_B2B = None
 
 
 def _compile() -> str | None:
@@ -193,6 +196,22 @@ def _load() -> None:
     ex.restype = ctypes.c_int64
     global _EX
     _EX = ex
+    m5 = lib.md5_batch
+    m5.argtypes = [u8p, i64p, ctypes.c_int64, u8wp]
+    m5.restype = ctypes.c_int
+    global _MD5
+    _MD5 = m5
+    mw = lib.md5_windows
+    mw.argtypes = [u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                   u8wp]
+    mw.restype = ctypes.c_int64
+    global _MDW
+    _MDW = mw
+    b2 = lib.blake2b_batch
+    b2.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8wp]
+    b2.restype = ctypes.c_int
+    global _B2B
+    _B2B = b2
     global _LK, _ACC, _PM, _PP, _CS
     _LK = lk
     _ACC = acc
@@ -576,3 +595,100 @@ def fastlangid_score(cat: bytes, bounds: np.ndarray, idx: np.ndarray,
     _ACC(buf, bounds, n_docs, idx, w, w.shape[1],
          _fl_scratch["cnt"], _fl_scratch["touched"], scores, nfeats, nrows)
     return scores, nfeats, nrows
+
+
+# ---- batched hash kernels (dedup / sampling pipelines) -----------------
+
+_HEXLUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def utf8_cat(strings):
+    """(data uint8[], offsets int64[n+1]) for a sequence of strings —
+    the concatenated-buffer form every hash kernel takes. Accepts a
+    list/ndarray/Series of str (None -> empty) or a pyarrow
+    String/LargeString array (zero-copy when offsets are int64)."""
+    import pyarrow as _pa
+    if isinstance(strings, _pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, _pa.Array):
+        strings = _pa.array(
+            [s if isinstance(s, str) else "" for s in strings],
+            type=_pa.large_string())
+    elif strings.null_count:
+        strings = strings.fill_null("")
+    if _pa.types.is_string(strings.type):
+        strings = strings.cast(_pa.large_string())
+    bufs = strings.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64,
+                        count=len(strings) + 1 + strings.offset)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else \
+        np.empty(0, dtype=np.uint8)
+    if strings.offset:
+        off = off[strings.offset:]
+    if off[0]:
+        # sliced array: rebase offsets onto a compact copy
+        data = np.ascontiguousarray(data[off[0]:off[-1]])
+        off = off - off[0]
+    return data, np.ascontiguousarray(off)
+
+
+def md5_batch(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 MD5 digests of data[offsets[i]:offsets[i+1]]."""
+    n = len(offsets) - 1
+    out = np.empty((n, 16), dtype=np.uint8)
+    if n:
+        _MD5(np.ascontiguousarray(data, dtype=np.uint8),
+             np.ascontiguousarray(offsets, dtype=np.int64), n, out)
+    return out
+
+
+def md5_windows(word_data: np.ndarray, word_offsets: np.ndarray,
+                doc_bounds: np.ndarray, window: int) -> np.ndarray:
+    """(n_windows, 16) uint8 MD5 digests of every stride-1
+    ``window``-token space-joined window, doc-major (docs shorter
+    than ``window`` emit nothing) — the substring_dedup md5 keys."""
+    doc_bounds = np.ascontiguousarray(doc_bounds, dtype=np.int64)
+    nw_doc = np.diff(np.concatenate([[0], doc_bounds]))
+    total = int(np.maximum(nw_doc - window + 1, 0).sum())
+    out = np.empty((total, 16), dtype=np.uint8)
+    if total:
+        n = _MDW(np.ascontiguousarray(word_data, dtype=np.uint8),
+                 np.ascontiguousarray(word_offsets, dtype=np.int64),
+                 doc_bounds, len(doc_bounds), window, out)
+        assert n == total
+    return out
+
+
+def blake2b_batch(data: np.ndarray, offsets: np.ndarray,
+                  digest_size: int = 16) -> np.ndarray:
+    """(n, digest_size) uint8 keyless BLAKE2b digests."""
+    n = len(offsets) - 1
+    out = np.empty((n, digest_size), dtype=np.uint8)
+    if n:
+        _B2B(np.ascontiguousarray(data, dtype=np.uint8),
+             np.ascontiguousarray(offsets, dtype=np.int64), n,
+             digest_size, out)
+    return out
+
+
+def hex_digest(dig: np.ndarray) -> np.ndarray:
+    """(n, k) uint8 digests -> numpy 'S2k' lowercase-hex bytes rows
+    (hashlib.hexdigest parity; decode/astype(object) for str)."""
+    n, k = dig.shape
+    out = np.empty((n, 2 * k), dtype=np.uint8)
+    out[:, 0::2] = _HEXLUT[dig >> 4]
+    out[:, 1::2] = _HEXLUT[dig & 15]
+    return out.reshape(-1).view(f"S{2 * k}")
+
+
+def hex_digest_arrow(dig: np.ndarray):
+    """(n, k) uint8 digests -> pyarrow string array of lowercase hex
+    (zero Python-object churn: offsets + data buffers built directly)."""
+    import pyarrow as _pa
+    n, k = dig.shape
+    hx = np.asarray(hex_digest(dig)).view(np.uint8).reshape(n, 2 * k)
+    offs = np.arange(0, 2 * k * (n + 1), 2 * k, dtype=np.int32)
+    return _pa.Array.from_buffers(
+        _pa.utf8(), n,
+        [None, _pa.py_buffer(offs.tobytes()),
+         _pa.py_buffer(np.ascontiguousarray(hx).tobytes())])

@@ -1672,3 +1672,226 @@ int64_t script_spans_scan_multi(
     }
     return meta_total;
 }
+
+/* ====================================================================
+ * Batched cryptographic hash kernels for the dedup/sampling pipelines
+ * (pipelines/dedup.py, pipelines/queries.py). Python's hashlib costs
+ * ~1us of call/object overhead per digest, which dominates when the
+ * inputs are millions of short tokens/segments per batch; these
+ * kernels hash a whole concatenated batch in one GIL-released call.
+ * MD5 implemented from RFC 1321, BLAKE2b from RFC 7693 (both public
+ * specifications); outputs are cross-checked bit-equal to hashlib in
+ * tests/test_native.py.
+ * ================================================================ */
+
+static const uint32_t MD5_S[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21};
+
+static uint32_t MD5_K[64];
+static int md5_k_ready = 0;
+
+static void md5_init_k(void) {
+    if (md5_k_ready) return;
+    for (int i = 0; i < 64; i++)
+        MD5_K[i] = (uint32_t)(fabs(sin((double)(i + 1)))
+                              * 4294967296.0);
+    md5_k_ready = 1;
+}
+
+static inline uint32_t rotl32(uint32_t x, uint32_t c) {
+    return (x << c) | (x >> (32 - c));
+}
+
+static void md5_block(uint32_t st[4], const uint8_t *p) {
+    uint32_t m[16];
+    for (int j = 0; j < 16; j++)
+        m[j] = (uint32_t)p[4 * j] | ((uint32_t)p[4 * j + 1] << 8)
+             | ((uint32_t)p[4 * j + 2] << 16)
+             | ((uint32_t)p[4 * j + 3] << 24);
+    uint32_t a = st[0], b = st[1], c = st[2], d = st[3];
+    for (int i = 0; i < 64; i++) {
+        uint32_t f, g;
+        if (i < 16)      { f = (b & c) | (~b & d);  g = i; }
+        else if (i < 32) { f = (d & b) | (~d & c);  g = (5 * i + 1) & 15; }
+        else if (i < 48) { f = b ^ c ^ d;           g = (3 * i + 5) & 15; }
+        else             { f = c ^ (b | ~d);        g = (7 * i) & 15; }
+        uint32_t tmp = d;
+        d = c;
+        c = b;
+        b = b + rotl32(a + f + MD5_K[i] + m[g], MD5_S[i]);
+        a = tmp;
+    }
+    st[0] += a; st[1] += b; st[2] += c; st[3] += d;
+}
+
+static void md5_one(const uint8_t *msg, int64_t len, uint8_t out[16]) {
+    uint32_t st[4] = {0x67452301u, 0xefcdab89u, 0x98badcfeu,
+                      0x10325476u};
+    int64_t i = 0;
+    for (; i + 64 <= len; i += 64) md5_block(st, msg + i);
+    uint8_t tail[128];
+    int64_t r = len - i;
+    for (int64_t j = 0; j < r; j++) tail[j] = msg[i + j];
+    tail[r] = 0x80;
+    int64_t pad_end = (r < 56) ? 56 : 120;
+    for (int64_t j = r + 1; j < pad_end; j++) tail[j] = 0;
+    uint64_t bits = (uint64_t)len << 3;
+    for (int j = 0; j < 8; j++)
+        tail[pad_end + j] = (uint8_t)(bits >> (8 * j));
+    md5_block(st, tail);
+    if (pad_end == 120) md5_block(st, tail + 64);
+    for (int j = 0; j < 4; j++)
+        for (int k = 0; k < 4; k++)
+            out[4 * j + k] = (uint8_t)(st[j] >> (8 * k));
+}
+
+/* digests of data[offsets[i]:offsets[i+1]] -> out + 16*i */
+int md5_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
+              uint8_t *out) {
+    md5_init_k();
+    for (int64_t i = 0; i < n; i++)
+        md5_one(data + offsets[i], offsets[i + 1] - offsets[i],
+                out + 16 * i);
+    return 0;
+}
+
+/* Stride-1 rolling token windows, md5 of each window's
+ * space-joined text (pipelines/dedup.substring_dedup's md5 variant):
+ * word_data/word_offsets hold each doc's tokens back to back
+ * (doc d's tokens are word index doc_bounds[d-1]..doc_bounds[d]);
+ * every doc with >= `window` tokens emits (n_tokens - window + 1)
+ * digests at out (16 B each, doc-major, window-ascending). Returns
+ * the digest count. The window text is rebuilt in a local buffer by
+ * memcpy — the Python equivalent (" ".join + hashlib) spends most of
+ * its time constructing the window strings. */
+int64_t md5_windows(const uint8_t *word_data, const int64_t *word_offsets,
+                    const int64_t *doc_bounds, int64_t n_docs,
+                    int64_t window, uint8_t *out) {
+    md5_init_k();
+    int64_t n_out = 0;
+    int64_t buf_cap = 4096;
+    uint8_t *buf = (uint8_t *)malloc(buf_cap);
+    if (!buf) return -1;
+    int64_t w0 = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t w1 = doc_bounds[d];
+        int64_t nw = w1 - w0;
+        for (int64_t s = 0; s + window <= nw; s++) {
+            int64_t a = word_offsets[w0 + s];
+            int64_t need = word_offsets[w0 + s + window] - a
+                           + window;   /* + separators, 1 spare */
+            if (need > buf_cap) {
+                while (buf_cap < need) buf_cap *= 2;
+                uint8_t *nb = (uint8_t *)realloc(buf, buf_cap);
+                if (!nb) { free(buf); return -1; }
+                buf = nb;
+            }
+            int64_t len = 0;
+            for (int64_t k = 0; k < window; k++) {
+                int64_t b0 = word_offsets[w0 + s + k];
+                int64_t b1 = word_offsets[w0 + s + k + 1];
+                if (k) buf[len++] = ' ';
+                for (int64_t j = b0; j < b1; j++)
+                    buf[len++] = word_data[j];
+            }
+            md5_one(buf, len, out + 16 * n_out);
+            n_out++;
+        }
+        w0 = w1;
+    }
+    free(buf);
+    return n_out;
+}
+
+/* ---- BLAKE2b (RFC 7693), keyless, nn-byte digests --------------- */
+
+static const uint64_t B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL,
+    0x3c6ef372fe94f82bULL, 0xa54ff53a5f1d36f1ULL,
+    0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+static const uint8_t B2B_SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+static inline uint64_t rotr64(uint64_t x, uint64_t c) {
+    return (x >> c) | (x << (64 - c));
+}
+
+#define B2B_G(v, a, b, c, d, x, y)                      \
+    do {                                                \
+        v[a] += v[b] + (x); v[d] = rotr64(v[d] ^ v[a], 32); \
+        v[c] += v[d];       v[b] = rotr64(v[b] ^ v[c], 24); \
+        v[a] += v[b] + (y); v[d] = rotr64(v[d] ^ v[a], 16); \
+        v[c] += v[d];       v[b] = rotr64(v[b] ^ v[c], 63); \
+    } while (0)
+
+static void b2b_compress(uint64_t h[8], const uint8_t *p, uint64_t t,
+                         int last) {
+    uint64_t v[16], m[16];
+    for (int i = 0; i < 8; i++) { v[i] = h[i]; v[i + 8] = B2B_IV[i]; }
+    v[12] ^= t;                     /* t0 (inputs < 2^64 bytes) */
+    if (last) v[14] = ~v[14];
+    for (int i = 0; i < 16; i++) {
+        m[i] = 0;
+        for (int j = 7; j >= 0; j--)
+            m[i] = (m[i] << 8) | p[8 * i + j];
+    }
+    for (int r = 0; r < 12; r++) {
+        const uint8_t *s = B2B_SIGMA[r];
+        B2B_G(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+        B2B_G(v, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+        B2B_G(v, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+        B2B_G(v, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+        B2B_G(v, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+        B2B_G(v, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+        B2B_G(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+        B2B_G(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[i + 8];
+}
+
+static void b2b_one(const uint8_t *msg, int64_t len, int64_t nn,
+                    uint8_t *out) {
+    uint64_t h[8];
+    for (int i = 0; i < 8; i++) h[i] = B2B_IV[i];
+    h[0] ^= 0x01010000ULL ^ (uint64_t)nn;   /* kk=0, fanout=depth=1 */
+    int64_t i = 0;
+    /* all full blocks except the last one (last block is special
+     * even when full; empty input still compresses one zero block) */
+    while (len - i > 128) {
+        b2b_compress(h, msg + i, (uint64_t)(i + 128), 0);
+        i += 128;
+    }
+    uint8_t tail[128];
+    int64_t r = len - i;
+    for (int64_t j = 0; j < r; j++) tail[j] = msg[i + j];
+    for (int64_t j = r; j < 128; j++) tail[j] = 0;
+    b2b_compress(h, tail, (uint64_t)len, 1);
+    for (int64_t j = 0; j < nn; j++)
+        out[j] = (uint8_t)(h[j >> 3] >> (8 * (j & 7)));
+}
+
+/* nn-byte digests of data[offsets[i]:offsets[i+1]] -> out + nn*i */
+int blake2b_batch(const uint8_t *data, const int64_t *offsets,
+                  int64_t n, int64_t nn, uint8_t *out) {
+    if (nn < 1 || nn > 64) return -1;
+    for (int64_t i = 0; i < n; i++)
+        b2b_one(data + offsets[i], offsets[i + 1] - offsets[i], nn,
+                out + nn * i);
+    return 0;
+}

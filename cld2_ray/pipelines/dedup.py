@@ -42,19 +42,24 @@ def _shingle_hashes(text: str, k: int = 3,
     O(distinct tokens) strong hashes instead of O(shingles), with the
     windowing itself numpy. Pass a shared ``memo`` dict to amortize
     token hashing across a whole batch (corpus vocabularies repeat)."""
+    from cld2_ray import native
     words = text.split()
     if len(words) < k:
         words = words + ["<pad>"] * (k - len(words))
-    uniq: dict[str, int] = memo if memo is not None else {}
-    th = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        h = uniq.get(w)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                "little")
-            uniq[w] = h
-        th[i] = h
+    if native.AVAILABLE:
+        data, offs = native.utf8_cat(words)
+        th = native.blake2b_batch(data, offs, 8).view(np.uint64).ravel()
+    else:
+        uniq: dict[str, int] = memo if memo is not None else {}
+        th = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = uniq.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    "little")
+                uniq[w] = h
+            th[i] = h
     n_sh = len(words) - k + 1
     with np.errstate(over="ignore"):
         out = np.zeros(n_sh, dtype=np.uint64)
@@ -176,15 +181,26 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def add_hash(df: pd.DataFrame):
         # Arrow block out: the part-keyed shuffle is ~14x slower on
-        # pandas blocks
+        # pandas blocks. One GIL-released C md5 pass per batch
+        # (native.md5_batch) with the bit-identical hashlib fallback.
         import pyarrow as _pa
-        md5s = df[text_col].fillna("").map(
-            lambda t: hashlib.md5(t.encode()).hexdigest()) \
-            .to_numpy(dtype=object)
-        part = np.array([int(m[:2], 16) % 64 for m in md5s],
-                        dtype=np.int64)
+
+        from cld2_ray import native
+        if native.AVAILABLE:
+            data, offs = native.utf8_cat(
+                df[text_col].fillna("").tolist())
+            dig = native.md5_batch(data, offs)
+            md5_col = native.hex_digest_arrow(dig)
+            part = (dig[:, 0] % 64).astype(np.int64)
+        else:
+            md5s = df[text_col].fillna("").map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()) \
+                .to_numpy(dtype=object)
+            md5_col = _pa.array(md5s, _pa.string())
+            part = np.array([int(m[:2], 16) % 64 for m in md5s],
+                            dtype=np.int64)
         return _pa.table({id_col: df[id_col].to_numpy(),
-                          "content_md5": _pa.array(md5s, _pa.string()),
+                          "content_md5": md5_col,
                           "part": _pa.array(part)})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -193,11 +209,29 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         out["n_copies"] = out["n_copies"].astype(np.int64)
         return out[["content_md5", "keep_id", "n_copies"]]
 
-    return ds.map_batches(add_hash, batch_format="pandas", batch_size=None) \
+    hashes = ds.map_batches(add_hash, batch_format="pandas",
+                            batch_size=None).materialize()
+    # coalesce the exchange's map side so sort pieces stay above
+    # Ray's ~100KB owner-inline threshold (see _exchange_blocks)
+    return hashes.repartition(_exchange_blocks(hashes.size_bytes() or 1)) \
         .groupby("part").map_groups(merge, batch_format="pandas")
 
 
 _SEG_ENC = 1 << 20  # doc_id * _SEG_ENC + seg encodes (doc_id, seg) ordering
+
+
+def _md5_digests(strings: list[str]) -> np.ndarray:
+    """(n, 16) uint8 md5 digests — one GIL-released C pass
+    (native.md5_batch) with the bit-identical hashlib fallback."""
+    from cld2_ray import native
+    if native.AVAILABLE:
+        data, offs = native.utf8_cat(strings)
+        return native.md5_batch(data, offs)
+    if not strings:
+        return np.empty((0, 16), dtype=np.uint8)
+    return np.frombuffer(
+        b"".join(hashlib.md5(s.encode()).digest() for s in strings),
+        dtype=np.uint8).reshape(-1, 16).copy()
 
 
 def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -248,24 +282,37 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                       (seg + 1) * seg_words])
             yield seg, seg_text, doc_id * _SEG_ENC + seg
 
-    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[str, int] = {}
-        mins: dict[str, int] = {}
+    def _seg_batch(df: pd.DataFrame):
+        """All segments of a batch: (texts, encs, per-doc counts,
+        (n,16) md5 digests) — the digests in one C pass."""
+        seg_texts: list[str] = []
+        encs: list[int] = []
+        counts: list[int] = []
         for doc_id, text in zip(df[id_col], df[text_col]):
+            n0 = len(seg_texts)
             for _, seg_text, enc in _segments(int(doc_id), text):
-                k = hashlib.md5(seg_text.encode()).hexdigest()
-                counts[k] = counts.get(k, 0) + 1
-                if enc < mins.get(k, enc + 1):
-                    mins[k] = enc
-        import pyarrow as _pa
-        keys = list(counts)
-        part = np.array([int(k[:2], 16) % 64 for k in keys],
-                        dtype=np.int64)
+                seg_texts.append(seg_text)
+                encs.append(enc)
+            counts.append(len(seg_texts) - n0)
+        return (seg_texts, np.array(encs, dtype=np.int64),
+                np.array(counts, dtype=np.int64),
+                _md5_digests(seg_texts))
+
+    def seg_partial(df: pd.DataFrame):
+        from cld2_ray.native import hex_digest
+        _, encs, _, dig = _seg_batch(df)
+        hx = np.asarray(hex_digest(dig))
+        uniq, first, inv = np.unique(hx, return_index=True,
+                                     return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, encs)
+        part = (dig[first, 0] % 64).astype(np.int64)
         return _pa.table({
-            "seg_md5": _pa.array(keys, _pa.string()),
+            "seg_md5": _pa.array(uniq.astype("U32"), _pa.string()),
             "part": _pa.array(part),
-            "n_": _pa.array([counts[k] for k in keys], _pa.int64()),
-            "enc_": _pa.array([mins[k] for k in keys], _pa.int64())})
+            "n_": _pa.array(cnt),
+            "enc_": _pa.array(mins)})
 
     # 64 hash buckets + vectorized per-bucket merge, NOT a sort
     # aggregate over the (near-corpus-cardinality) segment-md5 key —
@@ -300,16 +347,20 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             if "seg_md5" in hot.columns else {})
 
         def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            from cld2_ray.native import hex_digest
             kp = ray.get(keeper_of)
+            seg_texts, encs, counts, dig = _seg_batch(df)
+            keys = np.asarray(hex_digest(dig)).astype("U32").tolist()
+            bounds = np.concatenate([[0], np.cumsum(counts)])
             ids, texts, dropped = [], [], []
-            for doc_id, text in zip(df[id_col], df[text_col]):
+            for j, doc_id in enumerate(df[id_col]):
                 kept, n_drop = [], 0
-                for _, seg_text, enc in _segments(int(doc_id), text):
-                    k = hashlib.md5(seg_text.encode()).hexdigest()
-                    if k in kp and enc != kp[k]:
+                for p in range(bounds[j], bounds[j + 1]):
+                    k = keys[p]
+                    if k in kp and encs[p] != kp[k]:
                         n_drop += 1
                     else:
-                        kept.append(seg_text)
+                        kept.append(seg_texts[p])
                 ids.append(doc_id)
                 texts.append(" ".join(kept))
                 dropped.append(n_drop)
@@ -327,18 +378,16 @@ def segment_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     nb = np.int64(doc_buckets)
 
     def seg_postings(df: pd.DataFrame):
-        ids, encs, keys = [], [], []
-        for doc_id, text in zip(df[id_col], df[text_col]):
-            for _, seg_text, enc in _segments(int(doc_id), text):
-                ids.append(int(doc_id))
-                encs.append(enc)
-                keys.append(hashlib.md5(seg_text.encode()).hexdigest())
+        from cld2_ray.native import hex_digest
+        _, encs, counts, dig = _seg_batch(df)
+        ids = np.repeat(df[id_col].to_numpy(np.int64), counts)
         return _pa.table({
             id_col: _pa.array(ids, _pa.int64()),
             "enc_": _pa.array(encs, _pa.int64()),
-            "seg_md5": _pa.array(keys, _pa.string()),
-            "part": _pa.array(np.array(
-                [int(k[:2], 16) % 64 for k in keys], dtype=np.int64))})
+            "seg_md5": _pa.array(
+                np.asarray(hex_digest(dig)).astype("U32"),
+                _pa.string()),
+            "part": _pa.array((dig[:, 0] % 64).astype(np.int64))})
 
     def hot_as_postings(df: pd.DataFrame):
         return _pa.table({
@@ -423,11 +472,29 @@ _WP1 = np.uint64(0x100000001B3)        # FNV-1a prime, lane a
 _WP2 = np.uint64(0xC6A4A7935BD1E995)   # Murmur2 constant, lane b
 
 
+def _mix_pair(tl: np.ndarray, th: np.ndarray, window: int) -> np.ndarray:
+    """Two positional polynomial mixes over per-token hash halves ->
+    one _WPAIR per stride-1 window."""
+    n = len(tl) - window + 1
+    out = np.empty(n, dtype=_WPAIR)
+    with np.errstate(over="ignore"):
+        a = np.zeros(n, dtype=np.uint64)
+        b = np.zeros(n, dtype=np.uint64)
+        for j in range(window):
+            a = a * _WP1 + tl[j:n + j]
+            b = b * _WP2 + th[j:n + j]
+    out["a"] = a
+    out["b"] = b
+    return out
+
+
 def _win_fast_pair(words: list[str], window: int,
                    memo: dict) -> np.ndarray:
     """Structured (a, b) uint64 pair per stride-1 window: one blake2b
     per DISTINCT token (memoized across a batch), then two vectorized
-    positional polynomial mixes — O(n) numpy per doc."""
+    positional polynomial mixes — O(n) numpy per doc. (The batched
+    paths use _win_pairs_batch's C kernel instead; this stays as the
+    no-compiler fallback and parity anchor.)"""
     if len(words) < window:
         return np.empty(0, dtype=_WPAIR)
     tl = np.empty(len(words), dtype=np.uint64)
@@ -440,16 +507,65 @@ def _win_fast_pair(words: list[str], window: int,
                  int.from_bytes(d[8:], "little"))
             memo[w] = v
         tl[i], th[i] = v
-    n = len(words) - window + 1
-    out = np.empty(n, dtype=_WPAIR)
-    with np.errstate(over="ignore"):
-        a = np.zeros(n, dtype=np.uint64)
-        b = np.zeros(n, dtype=np.uint64)
-        for j in range(window):
-            a = a * _WP1 + tl[j:n + j]
-            b = b * _WP2 + th[j:n + j]
-    out["a"] = a
-    out["b"] = b
+    return _mix_pair(tl, th, window)
+
+
+def _win_pairs_batch(texts, window: int, fast: bool) -> list[np.ndarray]:
+    """Per-text _WPAIR window keys for a whole batch in (at most) one
+    GIL-released C hash pass (native.blake2b_batch / md5_windows;
+    hashlib fallbacks are bit-identical — tested).
+
+    fast=True: keys are two independent polynomial mixes over the two
+    halves of blake2b-128 token hashes (O(tokens) hashing).
+    fast=False: keys are the two LE halves of md5(space-joined window
+    text) — the exact md5 identity the DuckDB oracle computes, so
+    window selection is bit-comparable (O(tokens x window) bytes
+    hashed)."""
+    from cld2_ray import native
+    docs_words = [(t or "").split(" ") for t in texts]
+    if not docs_words:
+        return []
+    if fast:
+        if native.AVAILABLE:
+            flat = [w for ws in docs_words for w in ws]
+            data, offs = native.utf8_cat(flat)
+            dig = native.blake2b_batch(data, offs, 16)
+            tl = dig[:, :8].copy().view(np.uint64).ravel()
+            th = dig[:, 8:].copy().view(np.uint64).ravel()
+            # ONE mix over the whole concatenation (8 numpy ops per
+            # BATCH, not per doc); windows crossing a doc boundary
+            # are computed but sliced away below
+            allp = _mix_pair(tl, th, window) if len(tl) >= window \
+                else np.empty(0, _WPAIR)
+            out, pos = [], 0
+            for ws in docs_words:
+                n = len(ws)
+                cnt = max(n - window + 1, 0)
+                out.append(allp[pos:pos + cnt] if cnt
+                           else np.empty(0, _WPAIR))
+                pos += n
+            return out
+        memo: dict = {}
+        return [_win_fast_pair(ws, window, memo) for ws in docs_words]
+    if native.AVAILABLE:
+        flat = [w for ws in docs_words for w in ws]
+        data, offs = native.utf8_cat(flat)
+        bounds = np.cumsum([len(ws) for ws in docs_words])
+        dig = native.md5_windows(data, offs, bounds, window)
+        pairs = np.ascontiguousarray(dig).view(_WPAIR).ravel()
+        counts = [max(len(ws) - window + 1, 0) for ws in docs_words]
+        splits = np.cumsum(counts[:-1])
+        return [np.ascontiguousarray(p)
+                for p in np.split(pairs, splits)]
+    out = []
+    for ws in docs_words:
+        if len(ws) < window:
+            out.append(np.empty(0, _WPAIR))
+            continue
+        digs = b"".join(
+            hashlib.md5(" ".join(ws[i:i + window]).encode()).digest()
+            for i in range(len(ws) - window + 1))
+        out.append(np.frombuffer(digs, dtype=_WPAIR))
     return out
 
 
@@ -502,13 +618,16 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
       merge and broadcasts only when its estimated in-memory size is
       <= ``broadcast_budget_bytes``, else takes the join path.
 
-    hash_fn: "md5" hashes each window string (keeps the DuckDB oracle
-    bit-comparable but is O(n*window) string work per doc); "fast" is
-    the 100-TB production path — one blake2b per DISTINCT token
-    (memoized per batch) + two vectorized positional polynomial mixes
-    per window (a 128-bit structured key; see _WPAIR), O(n) numpy per
-    doc. Both variants select the same duplicate windows (tested) —
-    only the key representation differs.
+    hash_fn: both variants carry the SAME 128-bit structured key
+    (_WPAIR, two uint64 lanes) through identical partial/merge/join
+    machinery — only the key function differs. "md5" keys are the LE
+    halves of md5(space-joined window text), the exact identity the
+    DuckDB oracle computes (O(tokens x window) bytes hashed); "fast"
+    is the 100-TB production path: two independent polynomial mixes
+    over blake2b-128 token-hash halves, O(tokens) hashing. Both
+    select the same duplicate windows (tested). Hashing is one
+    GIL-released C pass per batch (native.md5_windows /
+    blake2b_batch) with bit-identical hashlib fallbacks.
     """
     import pyarrow as _pa
     import ray
@@ -519,47 +638,25 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     if mode not in ("auto", "broadcast", "join"):
         raise ValueError(f"mode must be auto|broadcast|join, got {mode!r}")
 
-    key_cols = ["win_h", "win_h2"] if fast else ["win_h"]
-
-    def _win_md5(words: list[str]) -> list[str]:
-        if len(words) < window:
-            return []
-        return [hashlib.md5(" ".join(words[i:i + window]).encode())
-                .hexdigest() for i in range(len(words) - window + 1)]
+    key_cols = ["win_h", "win_h2"]
 
     def win_partial(df: pd.DataFrame):
-        if fast:
-            memo: dict = {}
-            parts = [_win_fast_pair((t or "").split(" "), window, memo)
-                     for t in df[text_col]]
-            allh = np.concatenate(parts) if parts \
-                else np.empty(0, _WPAIR)
-            keys, cnts = np.unique(allh, return_counts=True)
-            return _pa.table({
-                "win_h": _pa.array(keys["a"], _pa.uint64()),
-                "win_h2": _pa.array(keys["b"], _pa.uint64()),
-                "part": _pa.array((keys["a"] & np.uint64(63))
-                                  .astype(np.int64)),
-                "n_": _pa.array(cnts.astype(np.int64))})
-        counts: dict[str, int] = {}
-        for text in df[text_col]:
-            for h in _win_md5((text or "").split(" ")):
-                counts[h] = counts.get(h, 0) + 1
-        keys = list(counts)
-        part = np.array([int(k[:2], 16) % 64 for k in keys],
-                        dtype=np.int64)
+        parts = _win_pairs_batch(df[text_col], window, fast)
+        allh = np.concatenate(parts) if parts \
+            else np.empty(0, _WPAIR)
+        keys, cnts = np.unique(allh, return_counts=True)
         return _pa.table({
-            "win_h": _pa.array(keys, _pa.string()),
-            "part": _pa.array(part),
-            "n_": _pa.array([counts[k] for k in keys], _pa.int64())})
+            "win_h": _pa.array(keys["a"], _pa.uint64()),
+            "win_h2": _pa.array(keys["b"], _pa.uint64()),
+            "part": _pa.array((keys["a"] & np.uint64(63))
+                              .astype(np.int64)),
+            "n_": _pa.array(cnts.astype(np.int64))})
 
     def win_merge(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.groupby(key_cols, as_index=False).agg(cnt=("n_", "sum"))
         gg = gg[gg["cnt"] >= min_count][key_cols]
         gg["part"] = (gg["win_h"].to_numpy(dtype=np.uint64)
-                      & np.uint64(63)).astype(np.int64) if fast else \
-            np.array([int(k[:2], 16) % 64 for k in gg["win_h"]],
-                     dtype=np.int64)
+                      & np.uint64(63)).astype(np.int64)
         return gg
 
     parts_mat = ds.map_batches(win_partial, batch_format="pandas",
@@ -570,17 +667,11 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("part").map_groups(win_merge, batch_format="pandas") \
         .materialize()
     n_hot = hot_ds.count()
-    # estimated driver+plasma bytes if broadcast: md5 = python set of
-    # 32-char str (~120 B/key incl. set slot); fast = 16 B/key numpy
-    est_bytes = n_hot * (16 if fast else 120)
+    # estimated driver+plasma bytes if broadcast: 16 B/key numpy pairs
+    est_bytes = n_hot * 16
     if mode == "auto":
         mode = "broadcast" if est_bytes <= broadcast_budget_bytes \
             else "join"
-
-    def _doc_windows(words, memo):
-        if fast:
-            return _win_fast_pair(words, window, memo)
-        return _win_md5(words)
 
     def _emit_row(ids, ntok, nwin, ndup, clean,
                   doc_id, words, starts):
@@ -609,33 +700,26 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         # a window-less corpus (every doc < `window` tokens) comes
         # back as an empty, schema-less frame
         if "win_h" not in hot.columns:
-            dup_obj = np.empty(0, _WPAIR) if fast else set()
-        elif fast:
+            dup_obj = np.empty(0, _WPAIR)
+        else:
             pairs = np.empty(len(hot), dtype=_WPAIR)
             pairs["a"] = hot["win_h"].to_numpy(dtype=np.uint64)
             pairs["b"] = hot["win_h2"].to_numpy(dtype=np.uint64)
             dup_obj = np.sort(pairs)
-        else:
-            dup_obj = set(hot["win_h"])
         dup_ref = ray.put(dup_obj)
 
         def rewrite(df: pd.DataFrame):
             dup = ray.get(dup_ref)
-            memo: dict = {}
+            texts = df[text_col].tolist()
+            all_wins = _win_pairs_batch(texts, window, fast)
             ids, ntok, nwin, ndup, clean = [], [], [], [], []
-            for doc_id, text in zip(df[id_col], df[text_col]):
+            for doc_id, text, wins in zip(df[id_col], texts, all_wins):
                 words = (text or "").split(" ")
-                if fast:
-                    wins = _win_fast_pair(words, window, memo)
-                    idx = np.searchsorted(dup, wins)
-                    idx[idx == len(dup)] = max(len(dup) - 1, 0)
-                    hit = dup[idx] == wins if len(dup) else \
-                        np.zeros(len(wins), dtype=bool)
-                    starts = np.flatnonzero(hit)
-                else:
-                    starts = np.array([i for i, h in
-                                       enumerate(_win_md5(words))
-                                       if h in dup], dtype=np.int64)
+                idx = np.searchsorted(dup, wins)
+                idx[idx == len(dup)] = max(len(dup) - 1, 0)
+                hit = dup[idx] == wins if len(dup) else \
+                    np.zeros(len(wins), dtype=bool)
+                starts = np.flatnonzero(hit)
                 _emit_row(ids, ntok, nwin, ndup, clean,
                           doc_id, words, starts)
             return _out_table(ids, ntok, nwin, ndup, clean)
@@ -648,52 +732,39 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     nb = np.int64(doc_buckets)
 
     def postings(df: pd.DataFrame):
-        memo: dict = {}
+        all_wins = _win_pairs_batch(df[text_col].tolist(), window, fast)
         id_parts, st_parts, win_parts = [], [], []
-        for doc_id, text in zip(df[id_col], df[text_col]):
-            words = (text or "").split(" ")
-            w = _doc_windows(words, memo)
+        for doc_id, w in zip(df[id_col], all_wins):
             if len(w) == 0:
                 continue
             id_parts.append(np.full(len(w), int(doc_id), np.int64))
             st_parts.append(np.arange(len(w), dtype=np.int64))
-            win_parts.append(w if fast else np.asarray(w, dtype=object))
+            win_parts.append(w)
         if not id_parts:
             idc = np.empty(0, np.int64)
             stc = np.empty(0, np.int64)
-            wc = np.empty(0, _WPAIR) if fast else \
-                np.empty(0, dtype=object)
+            wc = np.empty(0, _WPAIR)
         else:
             idc = np.concatenate(id_parts)
             stc = np.concatenate(st_parts)
             wc = np.concatenate(win_parts)
-        cols = {id_col: _pa.array(idc, _pa.int64()),
-                "start": _pa.array(stc, _pa.int64())}
-        if fast:
-            cols["win_h"] = _pa.array(wc["a"], _pa.uint64())
-            cols["win_h2"] = _pa.array(wc["b"], _pa.uint64())
-            cols["part"] = _pa.array(
-                (wc["a"] & np.uint64(63)).astype(np.int64))
-        else:
-            cols["win_h"] = _pa.array(wc.tolist(), _pa.string())
-            cols["part"] = _pa.array(np.array(
-                [int(k[:2], 16) % 64 for k in wc], dtype=np.int64))
-        return _pa.table(cols)
+        return _pa.table({
+            id_col: _pa.array(idc, _pa.int64()),
+            "start": _pa.array(stc, _pa.int64()),
+            "win_h": _pa.array(wc["a"], _pa.uint64()),
+            "win_h2": _pa.array(wc["b"], _pa.uint64()),
+            "part": _pa.array(
+                (wc["a"] & np.uint64(63)).astype(np.int64))})
 
     def hot_as_postings(df: pd.DataFrame):
-        cols = {id_col: _pa.array(
-                    np.full(len(df), -1, np.int64), _pa.int64()),
-                "start": _pa.array(
-                    np.full(len(df), -1, np.int64), _pa.int64()),
-                "win_h": _pa.array(
-                    df["win_h"].to_numpy(dtype=np.uint64), _pa.uint64())
-                if fast else _pa.array(df["win_h"].tolist(),
-                                       _pa.string())}
-        if fast:
-            cols["win_h2"] = _pa.array(
-                df["win_h2"].to_numpy(dtype=np.uint64), _pa.uint64())
-        cols["part"] = _pa.array(df["part"].to_numpy(np.int64))
-        return _pa.table(cols)
+        return _pa.table({
+            id_col: _pa.array(np.full(len(df), -1, np.int64)),
+            "start": _pa.array(np.full(len(df), -1, np.int64)),
+            "win_h": _pa.array(df["win_h"].to_numpy(dtype=np.uint64),
+                               _pa.uint64()),
+            "win_h2": _pa.array(df["win_h2"].to_numpy(dtype=np.uint64),
+                                _pa.uint64()),
+            "part": _pa.array(df["part"].to_numpy(np.int64))})
 
     def mark(g: pd.DataFrame):
         is_hot = g[id_col].to_numpy() < 0
@@ -1009,13 +1080,11 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def _token_hashes(text: str) -> np.ndarray:
     """Sorted uint64 hashes of the distinct whitespace tokens."""
+    from cld2_ray.functions.textstats import token_hashes
     toks = set(text.split())
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "little") for t in toks),
-        dtype=np.uint64, count=len(toks))
+    out = token_hashes(list(toks))
     out.sort()
     return out
 

@@ -867,17 +867,31 @@ def q_kmv_distinct(sf_dir, k: int = _KMV_K):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        import hashlib
-        import heapq
-
         import pyarrow.compute as pc
+
+        from cld2_ray import native
         toks = pc.split_pattern(
             pc.coalesce(t["text"].combine_chunks(), pa.scalar("")), " ")
-        words = pc.unique(pc.list_flatten(toks)).to_pylist()
-        # words is already distinct (pc.unique); bottom-k in
-        # O(V log k), not a full O(V log V) sort
-        hs = heapq.nsmallest(
-            k, (hashlib.md5(w.encode()).hexdigest() for w in words))
+        words = pc.unique(pc.list_flatten(toks))
+        if native.AVAILABLE:
+            # one C md5 pass over the distinct tokens, bottom-k via
+            # np.partition on the fixed-width hex (lexicographic ==
+            # numeric for fixed-width hex)
+            data, offs = native.utf8_cat(words)
+            hx = np.asarray(native.hex_digest(
+                native.md5_batch(data, offs)))
+            if len(hx) > k:
+                hx = np.partition(hx, k - 1)[:k]
+            hs = [h.decode() for h in np.sort(hx)]
+        else:
+            import hashlib
+            import heapq
+
+            # words is already distinct (pc.unique); bottom-k in
+            # O(V log k), not a full O(V log V) sort
+            hs = heapq.nsmallest(
+                k, (hashlib.md5(w.encode()).hexdigest()
+                    for w in words.to_pylist()))
         return pa.table({"h": pa.array(hs, pa.string())})
 
     small = ds.map_batches(partial, batch_format="pyarrow",
@@ -1073,10 +1087,19 @@ def q_stratified_sample(sf_dir):
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        u = np.fromiter(
-            (int(hashlib.md5(f"{int(d)}:strat".encode())
-                 .hexdigest()[:8], 16) for d in df["doc_id"]),
-            dtype=np.float64, count=len(df)) / 4294967296.0
+        from cld2_ray import native
+        keys = [f"{int(d)}:strat" for d in df["doc_id"]]
+        if native.AVAILABLE:
+            data, offs = native.utf8_cat(keys)
+            dig = native.md5_batch(data, offs)
+            # hexdigest[:8] == first 4 digest bytes big-endian
+            u = dig[:, :4].copy().view(">u4").ravel() \
+                .astype(np.float64) / 4294967296.0
+        else:
+            u = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                 for s in keys),
+                dtype=np.float64, count=len(df)) / 4294967296.0
         rate = np.where(df["lang"].to_numpy() == "en", RATE_EN,
                         RATE_OTHER)
         return df[u < rate]

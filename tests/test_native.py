@@ -461,3 +461,91 @@ class TestExtractScan:
     def test_fuzz_htmlish(self, t):
         h = t.encode("utf-8").replace(b"\r", b"\n")
         self._eq(h)
+
+
+class TestHashKernels:
+    """md5_batch / md5_windows / blake2b_batch must be bit-equal to
+    hashlib (RFC 1321 / RFC 7693 reimplementations)."""
+
+    @given(st.lists(st.text(max_size=300), max_size=60))
+    @settings(max_examples=40, deadline=None)
+    def test_md5_batch_matches_hashlib(self, strs):
+        import hashlib
+        data, offs = native.utf8_cat(strs)
+        dig = native.md5_batch(data, offs)
+        assert [bytes(r) for r in dig] \
+            == [hashlib.md5(s.encode()).digest() for s in strs]
+        hx = [h.decode() for h in np.asarray(native.hex_digest(dig))]
+        assert hx == [hashlib.md5(s.encode()).hexdigest() for s in strs]
+
+    @given(st.lists(st.text(max_size=400), max_size=40),
+           st.sampled_from([8, 16, 32, 64]))
+    @settings(max_examples=40, deadline=None)
+    def test_blake2b_batch_matches_hashlib(self, strs, nn):
+        import hashlib
+        data, offs = native.utf8_cat(strs)
+        dig = native.blake2b_batch(data, offs, nn)
+        assert [bytes(r) for r in dig] \
+            == [hashlib.blake2b(s.encode(), digest_size=nn).digest()
+                for s in strs]
+
+    def test_block_boundaries(self):
+        import hashlib
+        # md5: 55/56/63/64/119/120 pad-path edges; blake2b: 127/128/129
+        strs = ["x" * n for n in (0, 1, 55, 56, 63, 64, 119, 120,
+                                  127, 128, 129, 255, 256, 1000)]
+        data, offs = native.utf8_cat(strs)
+        assert [bytes(r) for r in native.md5_batch(data, offs)] \
+            == [hashlib.md5(s.encode()).digest() for s in strs]
+        assert [bytes(r) for r in native.blake2b_batch(data, offs, 16)] \
+            == [hashlib.blake2b(s.encode(), digest_size=16).digest()
+                for s in strs]
+
+    @given(st.lists(st.lists(st.text(
+        alphabet=st.characters(blacklist_characters=" ",
+                               blacklist_categories=("Cs",)),
+        max_size=12), max_size=30), max_size=8),
+        st.integers(min_value=1, max_value=5))
+    @settings(max_examples=30, deadline=None)
+    def test_md5_windows_matches_hashlib(self, docs, window):
+        import hashlib
+        flat = [w for d in docs for w in d]
+        data, offs = native.utf8_cat(flat)
+        bounds = np.cumsum([len(d) for d in docs]).astype(np.int64)
+        got = [bytes(r) for r in
+               native.md5_windows(data, offs, bounds, window)]
+        exp = [hashlib.md5(" ".join(d[i:i + window]).encode()).digest()
+               for d in docs for i in range(len(d) - window + 1)]
+        assert got == exp
+
+    def test_utf8_cat_arrow_zero_copy_and_sliced(self):
+        import pyarrow as pa
+        arr = pa.array(["aa", "bb", "ccc", None, "d"],
+                       type=pa.large_string())
+        data, offs = native.utf8_cat(arr)
+        assert list(np.diff(offs)) == [2, 2, 3, 0, 1]
+        sl = arr.slice(2, 2)   # ["ccc", None]
+        data2, offs2 = native.utf8_cat(sl)
+        assert bytes(data2[offs2[0]:offs2[1]]) == b"ccc"
+        assert offs2[1] == offs2[2]
+
+
+class TestWinPairsBatchFallback:
+    """_win_pairs_batch's hashlib fallbacks must equal the C paths for
+    both key functions (the pinned identity behind substring_dedup)."""
+
+    @given(st.lists(st.text(alphabet="ab cd", max_size=80),
+                    max_size=12),
+           st.booleans())
+    @settings(max_examples=25, deadline=None)
+    def test_fallback_equals_native(self, texts, fast):
+        from cld2_ray.pipelines import dedup as dd
+        a = dd._win_pairs_batch(texts, 4, fast)
+        try:
+            native.AVAILABLE = False
+            b = dd._win_pairs_batch(texts, 4, fast)
+        finally:
+            native.AVAILABLE = True
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
