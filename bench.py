@@ -95,6 +95,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings["flagship_pipeline"] = round(headline, 3)
     kept = int(m[m.keep].n_docs.sum())
 
+    # with_chunks cost control: the chunks column now rides on the
+    # SAME scoring pass (detect_batch(with_ranges=True)); this times
+    # the full fused flagship with it on the same input so the ratio
+    # vs the headline is on the record (single-proc measured 1.35x;
+    # the r1-r4 second-detection path measured ~7x)
+    chunks_wall = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        pages = rd.read_parquet(cache, override_num_blocks=num_cpus * 6)
+        _ = flagship.metrics(flagship.build_fused(pages,
+                                                  with_chunks=True))
+        chunks_wall = min(chunks_wall, time.time() - t0)
+    timings["flagship_chunks"] = round(chunks_wall, 3)
+
     for name in ("langid_documents", "exact_dedup", "minhash_dedup",
                  "token_freq_top50", "tpch_q1", "events_hourly",
                  "ann_top1", "embedding_near_pairs", "decontaminate",
@@ -107,6 +121,22 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             res.to_pandas()
         timings[name] = round(time.time() - t0, 3)
 
+    # same-session control on the r3-era input (default sf0.01) so
+    # round-over-round per-query deltas are never confounded by input
+    # shape + host window at once (BENCH_r04 lesson)
+    control_sf = os.environ.get("GRAFT_CONTROL_SF",
+                                "/root/testdata/sf0.01")
+    control: dict[str, float] = {}
+    if control_sf != sf_dir and os.path.exists(
+            os.path.join(control_sf, "documents.parquet")):
+        for name in ("langid_documents", "exact_dedup",
+                     "decontaminate", "substring_dedup"):
+            t0 = time.time()
+            res = QUERIES[name](control_sf)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            control[name] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "flagship_pipeline_sec",
@@ -118,6 +148,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "n_pages": n_pages,
         "kept_docs": kept,
         "docs_per_sec": round(n_pages / headline, 1),
+        "chunks_ratio": round(chunks_wall / headline, 3),
+        "control": {"sf": control_sf, "queries": control},
     }
 
 

@@ -91,6 +91,14 @@ def _bulk_tote_add(totes: list, doc_of_chunk: np.ndarray,
         t.rel[li] = t.rel.get(li, 0) + int(r_sum[j])
 
 
+def _one_range(sp, lid: int):
+    """Whole-span (start_char, end_char, lid) numpy triple — the
+    single-range form non-MANY spans and hitless MANY spans emit."""
+    return (np.array([sp.offset], dtype=np.int64),
+            np.array([sp.end_offset], dtype=np.int64),
+            np.array([lid], dtype=np.int64))
+
+
 class Detector:
     """Holds the immutable LangModel; one instance per Ray actor
     (stateful-stage pattern, SURVEY.md §2.3)."""
@@ -355,6 +363,182 @@ class Detector:
             _bulk_tote_add(totes, doc_of_chunk, lang1, cbytes, s1, rel)
         return totes
 
+    def _fill_totes_ranges(self, doc_spans: list[list[spans.ScriptSpan]],
+                           hints_list: list[list[int] | None]):
+        """_fill_totes PLUS per-doc raw char ranges from the SAME hit
+        scan — the single-pass ResultChunkVector path (the reference
+        emits the vector in the same scoring pass it totes,
+        scoreonescriptspan.cc:1099-1111, instead of re-detecting).
+        Returns (totes, raw_ranges) where raw_ranges[di] is the doc's
+        unmerged [(start_char, end_char, code)] list in span order —
+        feed through _merge_ranges. Totes are bit-identical to
+        _fill_totes (native: same kernel family, first-five outputs
+        pinned equal in tests; numpy: the documented span-aware
+        score_chunks identity).
+
+        Documented deviation from the standalone detect_ranges API:
+        chunk scoring here sees the same per-span hint priors the
+        document scoring uses (detect_ranges scores hint-free), so a
+        page's chunk vector is consistent with its summary — the
+        reference's vector comes from the same hinted pass too."""
+        n_docs = len(doc_spans)
+        totes = [score.DocTote() for _ in range(n_docs)]
+        ranges: list[list] = [[None] * len(sl) for sl in doc_spans]
+
+        many: list[tuple[int, int, spans.ScriptSpan, object]] = []
+        cjk: list[tuple[int, int, spans.ScriptSpan, object]] = []
+        hints_list = [self._norm_hints(h) for h in hints_list]
+        for di, sl in enumerate(doc_spans):
+            hl = hints_list[di]
+            for pos, sp in enumerate(sl):
+                rt = self._rtype(sp.script)
+                if rt == us.RTYPE_MANY:
+                    many.append((di, pos, sp, hl))
+                elif rt == us.RTYPE_CJK:
+                    cjk.append((di, pos, sp, hl))
+                elif rt == us.RTYPE_ONE:
+                    lid = int(langs.SCRIPT_DEFAULT_LANG[sp.script])
+                    totes[di].add(lid, sp.text_bytes, sp.text_bytes,
+                                  100)
+                    ranges[di][pos] = _one_range(sp, lid)
+                else:
+                    ranges[di][pos] = _one_range(sp, langs.UNKNOWN)
+
+        if many:
+            bufs = [sp.text_utf8 for _, _, sp, _ in many]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            bounds = np.cumsum(lens)
+            cat = b"".join(bufs)
+            script_of_span = np.array([sp.script
+                                       for _, _, sp, _ in many],
+                                      dtype=np.int64)
+            hl_list = [hl[0 if sc == us.LATIN else 1] if hl else None
+                       for (_, _, sp, hl), sc
+                       in zip(many, script_of_span)]
+            latin_of_span = script_of_span == us.LATIN
+            script4_of_span = us.LSCRIPT4[script_of_span]
+            if native.AVAILABLE:
+                hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+                flat: list[int] = []
+                for k, hl in enumerate(hl_list):
+                    if hl:
+                        flat.extend(hl)
+                    hint_csr[k + 1] = len(flat)
+                (lang1, cbytes, s1, rel, span_of_chunk, rel_delta,
+                 cstart) = native.quad_octa_chunk_score_ranges(
+                    cat, bounds, self.model.quad, self.model.socta,
+                    self.model.docta, self.model.xocta, latin_of_span,
+                    score.CHUNKSIZE_QUADS, self.model.expected_quad,
+                    langs.CLOSE_SET, hint_csr,
+                    np.asarray(flat, dtype=np.int64),
+                    script4_of_span)
+                docs_of_span = np.array([di for di, _, _, _ in many])
+                _bulk_tote_add(totes, docs_of_span[span_of_chunk],
+                               lang1, cbytes, s1, rel)
+                for k, (di, pos, sp, _) in enumerate(many):
+                    lo, hi = np.searchsorted(span_of_chunk, [k, k + 1])
+                    if lo == hi:
+                        ranges[di][pos] = _one_range(sp, langs.UNKNOWN)
+                    else:
+                        ranges[di][pos] = self._many_span_ranges(
+                            sp, lang1[lo:hi], rel_delta[lo:hi],
+                            cstart[lo:hi])
+            else:
+                zeros_exp = np.zeros_like(self.model.expected_quad)
+                for k, (di, pos, sp, hl) in enumerate(many):
+                    sb = sp.text_utf8
+                    hp = hl_list[k]
+                    vals, offs, rdist = self._many_hits(
+                        sb, np.array([len(sb)], dtype=np.int64),
+                        np.array([latin_of_span[k]]))
+                    if len(vals) == 0:
+                        ranges[di][pos] = _one_range(sp, langs.UNKNOWN)
+                        continue
+                    l3, q3 = unpack_langprobs(vals)
+                    s4 = int(script4_of_span[k])
+                    c = score.score_chunks(
+                        l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
+                        self.model.expected_quad, hp,
+                        distinct_mask=rdist, script4=s4)
+                    totes[di].add_chunks(*c)
+                    lang1, _cb, _s1, rel_d = score.score_chunks(
+                        l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
+                        zeros_exp, hp, distinct_mask=rdist,
+                        script4=s4)
+                    bidx = self._sharpen_boundaries(
+                        lang1, l3, q3, score.CHUNKSIZE_QUADS,
+                        len(offs))
+                    ranges[di][pos] = self._many_span_ranges(
+                        sp, lang1, rel_d, offs[bidx])
+
+        if cjk:
+            hl_list = [hl[1] if hl else None for _, _, _, hl in cjk]
+            lens = np.array([sp.text_bytes for _, _, sp, _ in cjk],
+                            dtype=np.int64)
+            if native.AVAILABLE:
+                bufs = [sp.text_utf8 for _, _, sp, _ in cjk]
+                blens = np.array([len(b) for b in bufs],
+                                 dtype=np.int64)
+                bounds = np.cumsum(blens)
+                cat = b"".join(bufs)
+                hint_csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+                flat2: list[int] = []
+                for k, hl in enumerate(hl_list):
+                    if hl:
+                        flat2.extend(hl)
+                    hint_csr[k + 1] = len(flat2)
+                c = native.cjk_chunk_score(
+                    cat, bounds, lens, self.model.uni,
+                    self.model.cjkbi, score.CHUNKSIZE_UNIS,
+                    self.model.expected_uni, langs.CLOSE_SET,
+                    hint_csr, np.asarray(flat2, dtype=np.int64))
+            else:
+                keys_parts, pos_parts, span_idx_parts = [], [], []
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                for k, (_, _, sp, _) in enumerate(cjk):
+                    uni, upos, bi, bpos = hits.cjk_candidates(sp.text)
+                    uvals = self.model.uni.lookup(uni)
+                    bvals = self.model.cjkbi.lookup(bi, False)
+                    um, bm = uvals != 0, bvals != 0
+                    av = np.concatenate([uvals[um], bvals[bm]])
+                    ap = np.concatenate([upos[um], bpos[bm]])
+                    o = np.argsort(ap, kind="stable")
+                    keys_parts.append(av[o])
+                    pos_parts.append(ap[o] * 3 + starts[k])
+                    span_idx_parts.append(np.full(len(o), k,
+                                                  dtype=np.int64))
+                all_vals = np.concatenate(keys_parts)
+                all_off = np.concatenate(pos_parts)
+                span_of = np.concatenate(span_idx_parts)
+                l3, q3 = unpack_langprobs(all_vals)
+                c = score.score_chunks_multi(
+                    l3, q3, all_off, span_of, starts, lens,
+                    np.full(len(cjk), score.CHUNKSIZE_UNIS,
+                            dtype=np.int64),
+                    self.model.expected_uni, hl_list)
+            lang1, cbytes, s1, rel, span_of_chunk = c
+            docs_of_span = np.array([di for di, _, _, _ in cjk])
+            _bulk_tote_add(totes, docs_of_span[span_of_chunk],
+                           lang1, cbytes, s1, rel)
+            # per-span majority language for the range (detect_ranges'
+            # fresh-tote-per-span semantics, exact incl. the 24-slot
+            # eviction rule)
+            for k, (di, pos, sp, _) in enumerate(cjk):
+                lo, hi = np.searchsorted(span_of_chunk, [k, k + 1])
+                t = score.DocTote()
+                t.add_chunks(lang1[lo:hi], cbytes[lo:hi], s1[lo:hi],
+                             rel[lo:hi])
+                if t.bytes_:
+                    lid = max(t.bytes_,
+                              key=lambda x: (t.bytes_[x], -x))
+                    rp = t.rel[lid] // max(t.bytes_[lid], 1)
+                    lid = lid if rp >= 41 else langs.UNKNOWN
+                else:
+                    lid = langs.UNKNOWN
+                ranges[di][pos] = _one_range(sp, lid)
+
+        return totes, ranges
+
     def _finalize(self, tote: score.DocTote, total_letter_bytes: int,
                   best_effort: bool,
                   declared=None) -> score.DetectResult:
@@ -391,12 +575,21 @@ class Detector:
                      hints_list: list[list[int] | None] | None = None,
                      best_effort: bool = False,
                      default_to_english: bool = False,
-                     declared_list=None) -> list[score.DetectResult]:
+                     declared_list=None, with_ranges: bool = False):
         """Batch detection: one concatenated scoring pass for the whole
         batch (same results as per-document detect()).
 
         declared_list: per-doc sets of page-declared lang ids (see
-        calc_summary_lang); None = reference-exact summaries."""
+        calc_summary_lang); None = reference-exact summaries.
+
+        with_ranges=True additionally returns per-doc language ranges
+        [(byte_offset, byte_len, code), ...] computed from the SAME
+        scoring pass (results, ranges) — the single-pass
+        ResultChunkVector path; results are bit-identical to
+        with_ranges=False. Squeeze-triggered docs (rare junk pages)
+        fall back to the standalone detect_ranges on the raw text,
+        since the main pass scores their squeezed rewrite whose
+        offsets don't map back."""
         n = len(texts)
         if hints_list is None:
             hints_list = [None] * n
@@ -407,12 +600,18 @@ class Detector:
             for t in texts:
                 print(f"[cld2_ray echo] {(t or '')[:80]!r}",
                       file=sys.stderr)
-        texts = [squeeze(t) if (t and len(t) > SQUEEZE_TEST_THRESH
-                                and squeeze_trigger(t)) else (t or "")
-                 for t in texts]
+        orig_texts = texts
+        squeezed = [bool(t and len(t) > SQUEEZE_TEST_THRESH
+                         and squeeze_trigger(t)) for t in texts]
+        texts = [squeeze(t) if sq else (t or "")
+                 for t, sq in zip(texts, squeezed)]
         doc_spans = spans.script_spans_batch(texts)
         totals = [sum(sp.text_bytes for sp in sl) for sl in doc_spans]
-        totes = self._fill_totes(doc_spans, hints_list)
+        if with_ranges:
+            totes, raw_ranges = self._fill_totes_ranges(doc_spans,
+                                                        hints_list)
+        else:
+            totes = self._fill_totes(doc_spans, hints_list)
         out: list[score.DetectResult] = []
         retry: list[int] = []
         for i in range(n):
@@ -464,6 +663,12 @@ class Detector:
                             res.summary_lang == langs.UNKNOWN:
                         res.summary_lang = langs.ENGLISH
                     out[i] = res
+        if with_ranges:
+            rng = [self.detect_ranges(orig_texts[i] or "")
+                   if squeezed[i]
+                   else self._merge_ranges(texts[i], raw_ranges[i])
+                   for i in range(n)]
+            return out, rng
         return out
 
     def detect(self, text: str, best_effort: bool = False,
@@ -572,6 +777,80 @@ class Detector:
             prior_linear = this_linear
         return bidx
 
+    @staticmethod
+    def _many_span_ranges(sp, lang1, rel, starts_b):
+        """Per-chunk arrays -> (start_char, end_char, lid) numpy
+        triple for one MANY span: back boundaries up to the start of
+        their word (ItemToVector semantics,
+        scoreonescriptspan.cc:323-360) and gate unreliable chunks to
+        UNKNOWN. Shared by detect_ranges and the single-pass batch
+        ranges path. ``starts_b`` are span-local byte offsets of each
+        chunk's (sharpened) first hit; the triples stay numpy until
+        _merge_ranges converts the few MERGED ranges to tuples."""
+        nch = len(lang1)
+        lids = np.where(np.asarray(rel) >= 41,
+                        np.asarray(lang1, dtype=np.int64),
+                        langs.UNKNOWN)
+        if nch == 1:
+            # single-chunk span (common): the range is the whole span
+            # — k=0 uses sp.offset and the last chunk ends at
+            # sp.end_offset, so the word-backup math is moot
+            return (np.array([sp.offset], dtype=np.int64),
+                    np.array([sp.end_offset], dtype=np.int64), lids)
+        sb = sp.text_utf8
+        arr = np.frombuffer(sb, dtype=np.uint8)
+        cstart = np.flatnonzero((arr & 0xC0) != 0x80)
+        letter_byte_starts = cstart[arr[cstart] != 0x20]
+        lpos = np.asarray(sp.letter_pos)
+        li = np.searchsorted(letter_byte_starts, starts_b,
+                             side="right") - 1
+        li = np.clip(li, 0, len(lpos) - 1)
+        # back boundaries up to the start of their word — dense
+        # sampling can land a chunk start mid-word
+        gapmask = np.concatenate([[True],
+                                  lpos[1:] != lpos[:-1] + 1])
+        word_start_of = np.maximum.accumulate(
+            np.where(gapmask, np.arange(len(lpos)), 0))
+        chunk_char = lpos[word_start_of[li]].astype(np.int64)
+        starts = chunk_char.copy()
+        starts[0] = sp.offset
+        ends = np.concatenate([chunk_char[1:], [sp.end_offset]])
+        return starts, ends, lids
+
+    @staticmethod
+    def _merge_ranges(text: str, parts) -> list[tuple[int, int, str]]:
+        """Concatenate per-span (start_char, end_char, lid) triples,
+        merge adjacent same-language ranges, and convert to
+        original-text BYTE offsets (detect_ranges' tail)."""
+        parts = [p for p in parts if len(p[0])]
+        if not parts or not text:
+            return []
+        starts = np.concatenate([p[0] for p in parts])
+        ends = np.concatenate([p[1] for p in parts])
+        lids = np.concatenate([p[2] for p in parts])
+        keep = np.concatenate([[True], lids[1:] != lids[:-1]])
+        ki = np.flatnonzero(keep)
+        ms = starts[ki]
+        me = np.concatenate([ends[ki[1:] - 1], [ends[-1]]])
+        # char -> byte offsets: the merged ranges are FEW, so one
+        # incremental prefix encode over the sorted positions (total
+        # work = one pass over the text) beats a full per-codepoint
+        # utf-8-length cumsum
+        pos = np.concatenate([ms, me])
+        order = np.argsort(pos, kind="stable")
+        out_b = np.empty(len(pos), dtype=np.int64)
+        b = 0
+        last = 0
+        for idx in order:
+            p = int(pos[idx])
+            if p > last:
+                b += len(text[last:p].encode("utf-8"))
+                last = p
+            out_b[idx] = b
+        k = len(ms)
+        return [(int(a), int(e - a), langs.lang_code(int(li)))
+                for a, e, li in zip(out_b[:k], out_b[k:], lids[ki])]
+
     def detect_ranges(self, text: str) -> list[tuple[int, int, str]]:
         """Per-document language ranges in ORIGINAL text BYTE offsets —
         the ResultChunkVector analogue (reference: SummaryBufferToVector,
@@ -586,11 +865,10 @@ class Detector:
 
         Returns [(byte_offset, byte_len, lang_code), ...].
         """
-        cps = us.codepoints(text)
-        if cps.size == 0:
+        if us.codepoints(text).size == 0:
             return []
-        cum = np.concatenate([[0], np.cumsum(us.utf8_len_of(cps))])
-        raw: list[tuple[int, int, str]] = []  # (start_char, end_char, code)
+
+        raw: list = []   # per-span (start_char, end_char, lid) triples
         for sp in spans.script_spans(text):
             rt = self._rtype(sp.script)
             if rt == us.RTYPE_MANY:
@@ -599,7 +877,7 @@ class Detector:
                     sb, np.array([len(sb)], dtype=np.int64),
                     np.array([sp.script == us.LATIN]))
                 if len(vals) == 0:
-                    raw.append((sp.offset, sp.end_offset, "un"))
+                    raw.append(_one_range(sp, langs.UNKNOWN))
                     continue
                 l3, q3 = unpack_langprobs(vals)
                 # delta-reliability only for the per-chunk "un" gate:
@@ -614,36 +892,10 @@ class Detector:
                     np.zeros_like(self.model.expected_quad),
                     distinct_mask=rdist,
                     script4=int(us.LSCRIPT4[sp.script]))
-                nch = len(lang1)
                 bidx = self._sharpen_boundaries(
                     lang1, l3, q3, score.CHUNKSIZE_QUADS, len(offs))
-                starts_b = offs[bidx]
-                # span-byte position -> original char, via the span's
-                # letter positions (the in-span offset map)
-                arr = np.frombuffer(sb, dtype=np.uint8)
-                cstart = np.flatnonzero((arr & 0xC0) != 0x80)
-                letter_byte_starts = cstart[arr[cstart] != 0x20]
-                lpos = np.asarray(sp.letter_pos)
-                li = np.searchsorted(letter_byte_starts, starts_b,
-                                     side="right") - 1
-                li = np.clip(li, 0, len(lpos) - 1)
-                # back boundaries up to the start of their word
-                # (ItemToVector's back-up-to-word, :323-360) — dense
-                # sampling can land a chunk start mid-word
-                gapmask = np.concatenate([[True],
-                                          lpos[1:] != lpos[:-1] + 1])
-                word_start_of = np.maximum.accumulate(
-                    np.where(gapmask, np.arange(len(lpos)), 0))
-                chunk_char = lpos[word_start_of[li]]
-                for k in range(nch):
-                    lid = int(lang1[k])
-                    code = (langs.lang_code(lid)
-                            if lid != langs.UNKNOWN and int(rel[k]) >= 41
-                            else "un")
-                    sc_char = sp.offset if k == 0 else int(chunk_char[k])
-                    ec_char = (sp.end_offset if k + 1 == nch
-                               else int(chunk_char[k + 1]))
-                    raw.append((sc_char, ec_char, code))
+                raw.append(self._many_span_ranges(sp, lang1, rel,
+                                                  offs[bidx]))
             else:
                 tote = score.DocTote()
                 self._score_span(sp, tote)
@@ -651,18 +903,11 @@ class Detector:
                     lid = max(tote.bytes_,
                               key=lambda k: (tote.bytes_[k], -k))
                     rp = tote.rel[lid] // max(tote.bytes_[lid], 1)
-                    code = langs.lang_code(lid) if rp >= 41 else "un"
+                    lid = lid if rp >= 41 else langs.UNKNOWN
                 else:
-                    code = "un"
-                raw.append((sp.offset, sp.end_offset, code))
-        merged: list[list] = []
-        for s, e, c in raw:
-            if merged and merged[-1][2] == c:
-                merged[-1][1] = e
-            else:
-                merged.append([s, e, c])
-        return [(int(cum[s]), int(cum[e] - cum[s]), c)
-                for s, e, c in merged]
+                    lid = langs.UNKNOWN
+                raw.append(_one_range(sp, lid))
+        return self._merge_ranges(text, raw)
 
     def detect_ranges_html(self, html: bytes) -> list[tuple[int, int, str]]:
         """Language ranges in RAW PAGE byte offsets: extraction builds

@@ -58,6 +58,8 @@ _EX = None
 _MD5 = None
 _MDW = None
 _B2B = None
+_CSR = None
+_EXM = None
 
 
 def _compile() -> str | None:
@@ -143,6 +145,22 @@ def _load() -> None:
         i16p, i64p, i64p, i64p, i64p,
     ]
     cs.restype = ctypes.c_int64
+    csr_ = lib.quad_octa_chunk_score_ranges
+    csr_.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+        u64p, u64p, ctypes.c_uint64,
+        u64p, u64p, ctypes.c_uint64,
+        *_bt, *_bt, u8p, u8p,
+        ctypes.c_int64, i32p, i8p, ctypes.c_int64,
+        i64p, i64p,
+        u64p, i64p, u64p, i64p, u8wp0,
+        u64p, i64p, u8wp0, i64p,
+        i16p, i64p, i64p, i64p, i64p,
+        i64p, i64p,
+    ]
+    csr_.restype = ctypes.c_int64
+    global _CSR
+    _CSR = csr_
     cj = lib.cjk_chunk_score
     cj.argtypes = [
         u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
@@ -196,6 +214,12 @@ def _load() -> None:
     ex.restype = ctypes.c_int64
     global _EX
     _EX = ex
+    exm = lib.extract_scan_map
+    exm.argtypes = [vp, ctypes.c_int64,
+                    vp, vp, ctypes.c_int64, vp, vp, vp]
+    exm.restype = ctypes.c_int64
+    global _EXM
+    _EXM = exm
     m5 = lib.md5_batch
     m5.argtypes = [u8p, i64p, ctypes.c_int64, u8wp]
     m5.restype = ctypes.c_int
@@ -373,6 +397,73 @@ def quad_octa_chunk_score(cat: bytes, bounds: np.ndarray, quad_table,
             sc["span"][:nch].copy())
 
 
+def quad_octa_chunk_score_ranges(cat: bytes, bounds: np.ndarray,
+                                 quad_table, socta, docta, xocta,
+                                 latin_of_span: np.ndarray,
+                                 chunk_size: int,
+                                 expected_1kb: np.ndarray,
+                                 close_set: np.ndarray,
+                                 hint_csr: np.ndarray,
+                                 hint_flat: np.ndarray,
+                                 script4_of_span: np.ndarray
+                                 | None = None):
+    """quad_octa_chunk_score PLUS the per-chunk ranges outputs:
+    (lang1, cbytes, s1, rel, span_of_chunk, rel_delta, cstart) where
+    rel_delta is the zeros-expected reliability (the detect_ranges
+    un-gate) and cstart the BetterBoundary-sharpened chunk start in
+    span-LOCAL bytes. The first five outputs are bit-equal to
+    quad_octa_chunk_score (same scan, same chunk scorer)."""
+    n = len(cat)
+    buf = np.frombuffer(cat, dtype=np.uint8)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    lat = np.ascontiguousarray(latin_of_span, dtype=np.uint8)
+    nb = len(bounds)
+    max_span = int(np.diff(np.concatenate([[0], bounds])).max(initial=0))
+    sc = _cs_scratch
+    num_langs = expected_1kb.shape[0]
+    _cs_grow(sc, max_span, n, nb, chunk_size, num_langs)
+    if sc.get("m_cap", 0) < sc["span_cap"]:
+        mcap = sc["span_cap"]
+        sc["mvals"] = np.empty(mcap, dtype=np.uint64)
+        sc["moffs"] = np.empty(mcap, dtype=np.int64)
+        sc["mdist"] = np.empty(mcap, dtype=np.uint8)
+        _prefault(sc["mvals"], sc["moffs"], sc["mdist"])
+        sc["m_cap"] = mcap
+    if sc.get("r_cap", 0) < sc["out_cap"]:
+        rcap = sc["out_cap"]
+        sc["rel_delta"] = np.empty(rcap, dtype=np.int64)
+        sc["cstart"] = np.empty(rcap, dtype=np.int64)
+        _prefault(sc["rel_delta"], sc["cstart"])
+        sc["r_cap"] = rcap
+    if expected_1kb.ndim == 1:
+        expected_1kb = np.repeat(expected_1kb[:, None], 4, axis=1)
+    exp = np.ascontiguousarray(expected_1kb, dtype=np.int32)
+    s4 = (np.ascontiguousarray(script4_of_span, dtype=np.uint8)
+          if script4_of_span is not None
+          else np.full(nb, 3, dtype=np.uint8))
+    cset = np.ascontiguousarray(close_set, dtype=np.int8)
+    csr = np.ascontiguousarray(hint_csr, dtype=np.int64)
+    flat = np.ascontiguousarray(hint_flat, dtype=np.int64)
+    if len(flat) == 0:
+        flat = np.zeros(1, dtype=np.int64)
+    nch = _CSR(buf, n, bounds, nb,
+               quad_table.keys, quad_table.vals, int(quad_table.mask),
+               socta.keys, socta.vals, int(socta.mask),
+               *_bt_args(docta), *_bt_args(xocta), lat, s4,
+               chunk_size, exp, cset, num_langs,
+               csr, flat,
+               sc["qvals"], sc["qoffs"], sc["ovals"], sc["ooffs"],
+               sc["odist"],
+               sc["mvals"], sc["moffs"], sc["mdist"],
+               sc["scores"],
+               sc["lang1"], sc["cbytes"], sc["s1"], sc["rel"],
+               sc["span"], sc["rel_delta"], sc["cstart"])
+    return (sc["lang1"][:nch].copy(), sc["cbytes"][:nch].copy(),
+            sc["s1"][:nch].copy(), sc["rel"][:nch].copy(),
+            sc["span"][:nch].copy(), sc["rel_delta"][:nch].copy(),
+            sc["cstart"][:nch].copy())
+
+
 def cjk_chunk_score(cat: bytes, bounds: np.ndarray,
                     pseudo_lens: np.ndarray, uni_table, cjkbi,
                     chunk_size: int, expected_1kb: np.ndarray,
@@ -432,6 +523,29 @@ def extract_scan(html: bytes, ent_keys: np.ndarray, ent_vals: np.ndarray,
     m = _EX(html, n, ent_keys.ctypes.data, ent_vals.ctypes.data,
             len(ent_keys), low_map.ctypes.data, sc["out_ptr"])
     return sc["out"][:m].tobytes()
+
+
+def extract_scan_map(html: bytes, ent_keys: np.ndarray,
+                     ent_vals: np.ndarray,
+                     low_map: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """extract_scan on RAW (un-normalized) page bytes, additionally
+    returning src_of[k] = raw position that produced output byte k —
+    the chunks path's offset map (one array index per mapped
+    position). Text is byte-identical to extract_text (tested)."""
+    n = len(html)
+    sc = _ex_scratch
+    if sc.get("mcap", 0) < n + 8:
+        mcap = max(2 * (n + 8), 1 << 16)
+        sc["mout"] = np.empty(mcap, dtype=np.uint8)
+        sc["msrc"] = np.empty(mcap, dtype=np.int64)
+        _prefault(sc["mout"], sc["msrc"])
+        sc["mout_ptr"] = sc["mout"].ctypes.data
+        sc["msrc_ptr"] = sc["msrc"].ctypes.data
+        sc["mcap"] = mcap
+    m = _EXM(html, n, ent_keys.ctypes.data, ent_vals.ctypes.data,
+             len(ent_keys), low_map.ctypes.data, sc["mout_ptr"],
+             sc["msrc_ptr"])
+    return sc["mout"][:m].tobytes(), sc["msrc"][:m].copy()
 
 
 _ss_scratch: dict[str, np.ndarray] = {}

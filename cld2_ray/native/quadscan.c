@@ -902,7 +902,10 @@ static int64_t chunk_score_merged(
         const int64_t *hints, int64_t nhints,
         int64_t *sc_scores, int64_t span_i,
         int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
-        int64_t *out_rel, int64_t *out_span, int64_t *nchunks_io) {
+        int64_t *out_rel, int64_t *out_span, int64_t *nchunks_io,
+        int64_t *out_rel_delta /* nullable: rel BEFORE the expected
+                                  fold (= the zeros-expected rel the
+                                  ranges path scores with) */) {
     int64_t nchunks_total = *nchunks_io;
     int32_t touched[4 * 4096 + 64];   /* lanes touched per chunk */
     int64_t nh = na + nb_;
@@ -1007,6 +1010,7 @@ static int64_t chunk_score_merged(
         out_lang1[nchunks_total] = (int16_t)t1;
         out_s1[nchunks_total] = s1;
         out_rel[nchunks_total] = rel_d;   /* rel_e folded in below */
+        if (out_rel_delta) out_rel_delta[nchunks_total] = rel_d;
         out_span[nchunks_total] = span_i;
         out_cbytes[nchunks_total] = -1;
         nchunks_total++;
@@ -1095,7 +1099,7 @@ int64_t quad_octa_chunk_score(
                            hint_csr[span_i + 1] - hint_csr[span_i],
                            sc_scores, span_i,
                            out_lang1, out_cbytes, out_s1, out_rel,
-                           out_span, &nchunks_total);
+                           out_span, &nchunks_total, NULL);
     }
     return nchunks_total;
 }
@@ -1193,7 +1197,7 @@ int64_t cjk_chunk_score(
                            hint_csr[span_i + 1] - hint_csr[span_i],
                            sc_scores, span_i,
                            out_lang1, out_cbytes, out_s1, out_rel,
-                           out_span, &nchunks_total);
+                           out_span, &nchunks_total, NULL);
     }
     return nchunks_total;
 }
@@ -1894,4 +1898,231 @@ int blake2b_batch(const uint8_t *data, const int64_t *offsets,
         b2b_one(data + offsets[i], offsets[i + 1] - offsets[i], nn,
                 out + nn * i);
     return 0;
+}
+
+/* ====================================================================
+ * Ranges variant of the fused kernel: same scan + chunk scoring as
+ * quad_octa_chunk_score (bit-equal totes feed), PLUS the per-chunk
+ * outputs the ResultChunkVector path needs (functions/langid.py
+ * detect_ranges; reference scoreonescriptspan.cc:389-509 +
+ * SharpenBoundaries :671-774): the zeros-expected reliability
+ * (out_rel_delta) and the BetterBoundary-sharpened chunk start
+ * offset (out_cstart, span-local bytes). The hit stream is merged
+ * once into caller scratch so sharpening has random access; chunk
+ * scoring consumes the SAME merged stream (a empty, b = merged with
+ * distinct flags), which reproduces the two-stream merge order
+ * exactly (a-before-b at equal offsets == the merged array order).
+ * ================================================================ */
+
+static int64_t merge_hits(
+        const uint64_t *av, const int64_t *ao, int64_t na,
+        const uint64_t *bv, const int64_t *bo, const uint8_t *bd,
+        int64_t nb_, uint64_t *mv, int64_t *mo, uint8_t *md) {
+    int64_t ai = 0, bi = 0, k = 0;
+    while (ai < na || bi < nb_) {
+        if (ai < na && (bi >= nb_ || ao[ai] <= bo[bi])) {
+            mv[k] = av[ai]; mo[k] = ao[ai]; md[k] = 0; ai++;
+        } else {
+            mv[k] = bv[bi]; mo[k] = bo[bi];
+            md[k] = bd ? bd[bi] : 0; bi++;
+        }
+        k++;
+    }
+    return k;
+}
+
+static inline int64_t lang_score(uint64_t v, int64_t lang) {
+    int64_t s = 0;
+    for (int lane = 0; lane < 4; lane++) {
+        int64_t l = (int64_t)((v >> (16 * lane)) & 0xFF);
+        if (l == lang) s += (int64_t)((v >> (16 * lane + 8)) & 0xFF);
+    }
+    return s;
+}
+
+/* BetterBoundary port (= langid._sharpen_boundaries, bit-equal): per
+ * chunk k the sharpened boundary HIT index mapped to its span-local
+ * byte offset. lang1 points at this span's nch chunk langs. */
+static void sharpen_starts(
+        const uint64_t *mv, const int64_t *mo, int64_t nh,
+        const int16_t *lang1, int64_t nch, int64_t chunk_size,
+        const int8_t *close_set, int64_t *out_start) {
+    int64_t bidx0 = 0 < nh - 1 ? 0 : nh - 1;
+    out_start[0] = mo[bidx0 < 0 ? 0 : bidx0];
+    int64_t prior_linear = 0;
+    for (int64_t k = 1; k < nch; k++) {
+        int64_t this_linear = k * chunk_size;
+        int64_t bidx = this_linear < nh - 1 ? this_linear : nh - 1;
+        int64_t next_linear = (k + 1 < nch) ? (k + 1) * chunk_size : nh;
+        int64_t lang0 = lang1[k - 1], langk = lang1[k];
+        int skip = (langk == lang0);
+        if (!skip) {
+            int8_t cs0 = close_set[lang0];
+            if (cs0 > 0 && cs0 == close_set[langk]) skip = 1;
+        }
+        if (skip) {
+            out_start[k] = mo[bidx];
+            prior_linear = this_linear;
+            continue;
+        }
+        int64_t linear0 = prior_linear, linear2 = next_linear;
+        if (linear2 - linear0 > 8) {
+            /* first strictly-better max ("<" update rule) of the
+             * 8-hit sliding window (first-4 diffs) - (last-4 diffs),
+             * requiring both positive and negative diffs present.
+             * Windows are 8 hits over <= 2*chunk_size hits — the
+             * direct O(8n) recompute is fine. */
+            int64_t n = linear2 - linear0;
+            int64_t best_val = INT64_MIN;
+            int64_t best = -1;
+            for (int64_t s = 0; s < n - 8; s++) {
+                int64_t run = 0, pm_p = 0, pm_n = 0;
+                for (int64_t j = 0; j < 8; j++) {
+                    int64_t d = lang_score(mv[linear0 + s + j], lang0)
+                              - lang_score(mv[linear0 + s + j], langk);
+                    run += (j < 4) ? d : -d;
+                    if (d > 0) pm_p = 1;
+                    if (d < 0) pm_n = 1;
+                }
+                int64_t cand = (pm_p && pm_n) ? run : INT64_MIN;
+                if (cand > best_val) { best_val = cand; best = s; }
+            }
+            if (best >= 0 && best_val > 0)
+                this_linear = linear0 + best + 4;
+        }
+        out_start[k] = mo[this_linear < nh - 1 ? this_linear : nh - 1];
+        prior_linear = this_linear;
+    }
+}
+
+int64_t quad_octa_chunk_score_ranges(
+        const uint8_t *buf, int64_t n,
+        const int64_t *bounds, int64_t nb,
+        const uint64_t *qkeys, const uint64_t *qvals, uint64_t qmask,
+        const uint64_t *skeys, const uint64_t *svals, uint64_t smask,
+        const uint32_t *db, int64_t dnb, uint32_t dkeymask,
+        const uint64_t *dpl, const uint64_t *dpo,
+        const uint32_t *xb, int64_t xnb, uint32_t xkeymask,
+        const uint64_t *xpl, const uint64_t *xpo,
+        const uint8_t *span_latin, const uint8_t *span_script4,
+        int64_t chunk_size,
+        const int32_t *expected_1kb, const int8_t *close_set,
+        int64_t num_langs,
+        const int64_t *hint_csr, const int64_t *hint_flat,
+        uint64_t *sc_qvals, int64_t *sc_qoffs,
+        uint64_t *sc_ovals, int64_t *sc_ooffs, uint8_t *sc_odist,
+        uint64_t *sc_mvals, int64_t *sc_moffs, uint8_t *sc_mdist,
+        int64_t *sc_scores,
+        int16_t *out_lang1, int64_t *out_cbytes, int64_t *out_s1,
+        int64_t *out_rel, int64_t *out_span,
+        int64_t *out_rel_delta, int64_t *out_cstart) {
+    int64_t nchunks_total = 0;
+    int64_t span_start = 0;
+    uint64_t dbmask = (uint64_t)(dnb - 1);
+    uint64_t xbmask = (uint64_t)(xnb - 1);
+    (void)n;
+    for (int64_t span_i = 0; span_i < nb; span_i++) {
+        int64_t span_end = bounds[span_i];
+        int64_t len = span_end - span_start;
+        const uint8_t *sp = buf + span_start;
+        int64_t nq = 0, no = 0;
+        const uint64_t *dpacked = span_latin[span_i] ? dpl : dpo;
+        const uint64_t *xpacked = span_latin[span_i] ? xpl : xpo;
+        scan_one_span(sp, len, 0, qkeys, qvals, qmask,
+                      skeys, svals, smask,
+                      db, dbmask, dkeymask, dpacked,
+                      xb, xbmask, xkeymask, xpacked,
+                      sc_qvals, sc_qoffs, &nq, sc_ovals, sc_ooffs,
+                      sc_odist, &no);
+        span_start = span_end;
+        int64_t nh = merge_hits(sc_qvals, sc_qoffs, nq,
+                                sc_ovals, sc_ooffs, sc_odist, no,
+                                sc_mvals, sc_moffs, sc_mdist);
+        int64_t base = nchunks_total;
+        int64_t nch = chunk_score_merged(
+            NULL, NULL, 0, sc_mvals, sc_moffs, sc_mdist, nh,
+            len, chunk_size, expected_1kb,
+            (int32_t)span_script4[span_i], close_set, num_langs,
+            hint_flat + hint_csr[span_i],
+            hint_csr[span_i + 1] - hint_csr[span_i],
+            sc_scores, span_i,
+            out_lang1, out_cbytes, out_s1, out_rel,
+            out_span, &nchunks_total, out_rel_delta);
+        if (nch > 0)
+            sharpen_starts(sc_mvals, sc_moffs, nh,
+                           out_lang1 + base, nch, chunk_size,
+                           close_set, out_cstart + base);
+    }
+    return nchunks_total;
+}
+
+/* extract_scan with (a) inline CRLF canonicalization (so it runs on
+ * the RAW page bytes — extract_text pre-replaces \r\n/\r with \n
+ * before calling extract_scan, which would shift offsets) and (b) a
+ * per-OUTPUT-byte source-offset array: src_of[k] = raw-page position
+ * that produced out[k] (tag separators -> the '<', entity bytes ->
+ * the '&', lone-\r newlines -> the '\r'). This replaces the Python
+ * OffsetMap in the chunks path (functions/offsetmap.py stays for the
+ * standalone detect_ranges_html API): mapping a text range back to
+ * raw offsets is one array index. Output text is byte-identical to
+ * extract_text (leftmost \r\n pairing == Python's two-pass replace).
+ */
+int64_t extract_scan_map(const uint8_t *b, int64_t n,
+                         const uint64_t *ekeys, const int32_t *evals,
+                         int64_t ecap, const uint32_t *low_map,
+                         uint8_t *out, int64_t *src_of) {
+    int64_t op = 0;
+    int last_ws = 0;
+    int64_t pos = 0;
+    while (pos < n) {
+        uint8_t c = b[pos];
+        if (c == '\r') {
+            if (pos + 1 < n && b[pos + 1] == '\n') { pos++; continue; }
+            c = 0x0A;   /* lone \r -> \n, falls into the ws branch */
+        }
+        if (c == '<') {
+            uint8_t rep = ext_newline_tag(b, n, pos) ? 0x0A : 0x20;
+            if (!last_ws) { src_of[op] = pos; out[op++] = rep;
+                            last_ws = 1; }
+            pos = ext_scan_tag_end(b, n, pos);
+        } else if (c == '>') {
+            src_of[op] = pos;
+            out[op++] = '>';   /* stray '>': last_ws untouched */
+            pos++;
+        } else if (c == '&') {
+            int64_t consumed;
+            int64_t v = ext_read_entity(b, n, pos, ekeys, evals, ecap,
+                                        low_map, &consumed);
+            if (v >= 0) {
+                uint32_t cp = (uint32_t)v;
+                int64_t e0 = op;
+                if (cp < 0x80) out[op++] = (uint8_t)cp;
+                else if (cp < 0x800) {
+                    out[op++] = 0xC0 | (cp >> 6);
+                    out[op++] = 0x80 | (cp & 0x3F);
+                } else if (cp < 0x10000) {
+                    out[op++] = 0xE0 | (cp >> 12);
+                    out[op++] = 0x80 | ((cp >> 6) & 0x3F);
+                    out[op++] = 0x80 | (cp & 0x3F);
+                } else {
+                    out[op++] = 0xF0 | (cp >> 18);
+                    out[op++] = 0x80 | ((cp >> 12) & 0x3F);
+                    out[op++] = 0x80 | ((cp >> 6) & 0x3F);
+                    out[op++] = 0x80 | (cp & 0x3F);
+                }
+                for (int64_t k = e0; k < op; k++) src_of[k] = pos;
+            }
+            pos += consumed;
+        } else if (c == 0x20 || c == 0x0A) {
+            if (!last_ws) { src_of[op] = pos; out[op++] = c;
+                            last_ws = 1; }
+            pos++;
+        } else {
+            src_of[op] = pos;
+            out[op++] = c;
+            last_ws = 0;
+            pos++;
+        }
+    }
+    return op;
 }

@@ -30,12 +30,42 @@ CHUNKS_TYPE = pa.large_list(pa.struct([
     ("offset", pa.int64()), ("bytes", pa.int64()), ("lang", pa.string())]))
 
 
-def _chunks_array(det, htmls, ok) -> pa.Array:
-    """list<struct{offset,bytes,lang}> per page via detect_ranges_html
-    (invalid-UTF-8 pages get an empty list, like the UNKNOWN result)."""
-    rows = [[{"offset": o, "bytes": b, "lang": c}
-             for o, b, c in det.detect_ranges_html(h or b"")]
-            if k else [] for h, k in zip(htmls, ok)]
+def _compose_chunks(htmls, valid, ok, todo, rng_list) -> pa.Array:
+    """list<struct{offset,bytes,lang}> per page from the MAIN scoring
+    pass's text-level ranges (detect_batch(with_ranges=True)) composed
+    through the extraction OffsetMap into RAW page byte offsets — the
+    reference produces the vector in the same pass
+    (scoreonescriptspan.cc:1099-1111), not by re-detecting.
+    Invalid-UTF-8 pages get an empty list, like the UNKNOWN result."""
+    from cld2_ray import native
+    from cld2_ray.functions.extract import extract_text_with_map
+    if native.AVAILABLE:
+        from cld2_ray.functions.extract import _ent_table
+        ent = _ent_table()
+    rng_of = dict(zip(todo, rng_list))
+    rows = []
+    for j, h in enumerate(htmls):
+        r = rng_of.get(j)
+        if not ok[j] or not r:
+            rows.append([])
+            continue
+        h = (h or b"")[:int(valid[j])]
+        starts = np.array([x[0] for x in r], dtype=np.int64)
+        ends = np.array([x[0] + x[1] for x in r], dtype=np.int64)
+        if native.AVAILABLE:
+            _text, src = native.extract_scan_map(h, *ent)
+            m = len(src)
+            o_s = np.where(starts < m,
+                           src[np.minimum(starts, m - 1)], len(h))
+            o_e = np.where(ends < m,
+                           src[np.minimum(ends, m - 1)], len(h))
+        else:
+            _text, om = extract_text_with_map(h)
+            o_s = om.to_original(starts)
+            o_e = om.to_original(ends)
+        rows.append([{"offset": int(a), "bytes": int(b - a),
+                      "lang": x[2]}
+                     for a, b, x in zip(o_s, o_e, r)])
     return pa.array(rows, type=CHUNKS_TYPE)
 
 
@@ -106,8 +136,15 @@ class LangidStage:
         batch_hints = [[lid for lid, w in ph[j][0] if w > 0]
                        for j in todo]
         batch_declared = [frozenset(ph[j][1]) or None for j in todo]
-        results = self.det.detect_batch(batch_texts, batch_hints,
-                                        declared_list=batch_declared)
+        if self.with_chunks:
+            # ranges ride along on the SAME scoring pass (results are
+            # bit-identical to the plain call — tested)
+            results, rng_list = self.det.detect_batch(
+                batch_texts, batch_hints, declared_list=batch_declared,
+                with_ranges=True)
+        else:
+            results = self.det.detect_batch(
+                batch_texts, batch_hints, declared_list=batch_declared)
         for j, r in zip(todo, results):
             summary[j] = r.summary_code
             lang1[j] = langs.lang_code(r.language3[0])
@@ -145,7 +182,8 @@ class LangidStage:
         if self.with_chunks:
             ok = batch["utf8_valid"].to_numpy(zero_copy_only=False)
             batch = batch.append_column(
-                "chunks", _chunks_array(self.det, htmls, ok))
+                "chunks", _compose_chunks(htmls, vp, ok, todo,
+                                          rng_list))
         return batch
 
 
@@ -293,8 +331,14 @@ class FusedPipelineStage:
               for j in range(n)]
         hints = [[lid for lid, w in ph[j][0] if w > 0] for j in todo]
         declared = [frozenset(ph[j][1]) or None for j in todo]
-        results = self.det.detect_batch([texts[j] for j in todo], hints,
-                                        declared_list=declared)
+        if self.with_chunks:
+            results, rng_list = self.det.detect_batch(
+                [texts[j] for j in todo], hints,
+                declared_list=declared, with_ranges=True)
+        else:
+            results = self.det.detect_batch(
+                [texts[j] for j in todo], hints,
+                declared_list=declared)
         lang1 = ["un"] * n
         lang2 = ["un"] * n
         lang3 = ["un"] * n
@@ -364,7 +408,8 @@ class FusedPipelineStage:
             "has_toxicity": pa.array(sc["has_toxicity"].to_numpy()),
             "keep": pa.array((reason == "").to_numpy()),
             "drop_reason": pa.array(reason.tolist()),
-        } | ({"chunks": _chunks_array(self.det, htmls, ok)}
+        } | ({"chunks": _compose_chunks(htmls, valid, ok, todo,
+                                        rng_list)}
              if self.with_chunks else {}))
 
 

@@ -347,3 +347,36 @@ def test_reliability_expected_exact_reference_values():
     assert one(1000, 2100) == 76
     # ratio 1.6 -> 100*2.4/2.5 = 96
     assert one(1000, 1600) == 96
+
+
+class TestBatchWithRanges:
+    """detect_batch(with_ranges=True): results bit-identical to the
+    plain call; unhinted ranges equal the standalone detect_ranges
+    per document (hints are the documented deviation — none here)."""
+
+    def test_results_and_ranges_parity(self):
+        import cld2_ray.sources.pages as P
+        from cld2_ray.data.seeds import HELDOUT, SEEDS
+        from cld2_ray.functions.extract import extract_text, \
+            valid_utf8_prefix
+        d = Detector()
+        texts = [SEEDS["en"][:600] + " " + SEEDS["de"][:600],
+                 (HELDOUT["fr"] + " ") * 3 + (HELDOUT["ru"] + " ") * 3,
+                 "", "12345 !!!", SEEDS["ja"][:400],
+                 SEEDS["zh"][:300] + " hello world " * 10,
+                 SEEDS["ko"][:200], SEEDS["ru"][:500],
+                 SEEDS["hi"][:400], SEEDS["ar"][:400],
+                 "spam spam spam spam " * 40]   # squeeze-trigger path
+        for h in P.page_batch(0, 150, 42)["html"].to_pylist():
+            vp = valid_utf8_prefix(h or b"")
+            if vp == len(h or b""):
+                texts.append(extract_text(h or b""))
+        plain = d.detect_batch(list(texts))
+        both, rngs = d.detect_batch(list(texts), with_ranges=True)
+        for a, b in zip(plain, both):
+            assert (a.summary_lang, a.language3, a.percent3,
+                    a.normalized_score3, a.is_reliable, a.text_bytes) \
+                == (b.summary_lang, b.language3, b.percent3,
+                    b.normalized_score3, b.is_reliable, b.text_bytes)
+        for t, r in zip(texts, rngs):
+            assert r == d.detect_ranges(t or "")

@@ -549,3 +549,85 @@ class TestWinPairsBatchFallback:
         assert len(a) == len(b)
         for x, y in zip(a, b):
             assert np.array_equal(x, y)
+
+
+class TestRangesKernel:
+    """quad_octa_chunk_score_ranges: first five outputs bit-equal to
+    quad_octa_chunk_score (same totes feed), ranges outputs bit-equal
+    to the python detect_ranges chain (zeros-expected score_chunks +
+    _sharpen_boundaries)."""
+
+    def test_parity_vs_python_chain(self):
+        from cld2_ray.data.seeds import HELDOUT, SEEDS
+        from cld2_ray.functions import langs, score, spans, uscript as us
+        from cld2_ray.functions.langid import Detector, unpack_langprobs
+        det = Detector()
+        m = det.model
+        texts = [SEEDS["en"][:600] + " " + SEEDS["de"][:600],
+                 (HELDOUT["fr"] + " ") * 3 + (HELDOUT["ru"] + " ") * 3,
+                 SEEDS["en"][:300],
+                 SEEDS["it"][:900] + " " + SEEDS["es"][:400]]
+        many = [sp for t in texts for sp in spans.script_spans(t)
+                if det._rtype(sp.script) == us.RTYPE_MANY]
+        bufs = [sp.text_utf8 for sp in many]
+        bounds = np.cumsum([len(b) for b in bufs]).astype(np.int64)
+        cat = b"".join(bufs)
+        latin = np.array([sp.script == us.LATIN for sp in many])
+        s4 = us.LSCRIPT4[np.array([sp.script for sp in many])]
+        csr = np.zeros(len(bufs) + 1, dtype=np.int64)
+        flat = np.zeros(0, dtype=np.int64)
+        c = native.quad_octa_chunk_score_ranges(
+            cat, bounds, m.quad, m.socta, m.docta, m.xocta, latin,
+            score.CHUNKSIZE_QUADS, m.expected_quad, langs.CLOSE_SET,
+            csr, flat, s4)
+        b = native.quad_octa_chunk_score(
+            cat, bounds, m.quad, m.socta, m.docta, m.xocta, latin,
+            score.CHUNKSIZE_QUADS, m.expected_quad, langs.CLOSE_SET,
+            csr, flat, s4)
+        for x, y in zip(c[:5], b):
+            assert np.array_equal(x, y)
+        l1c, _, _, _, spanc, reldc, cstartc = c
+        for i, sp in enumerate(many):
+            sb = sp.text_utf8
+            vals, offs, rdist = det._many_hits(
+                sb, np.array([len(sb)], dtype=np.int64),
+                np.array([sp.script == us.LATIN]))
+            sel = spanc == i
+            if len(vals) == 0:
+                assert sel.sum() == 0
+                continue
+            l3, q3 = unpack_langprobs(vals)
+            lang1, _cb, _s1, rel = score.score_chunks(
+                l3, q3, offs, len(sb), score.CHUNKSIZE_QUADS,
+                np.zeros_like(m.expected_quad), distinct_mask=rdist,
+                script4=int(us.LSCRIPT4[sp.script]))
+            bidx = det._sharpen_boundaries(
+                lang1, l3, q3, score.CHUNKSIZE_QUADS, len(offs))
+            assert np.array_equal(lang1, l1c[sel].astype(lang1.dtype))
+            assert np.array_equal(rel, reldc[sel])
+            assert np.array_equal(offs[bidx], cstartc[sel])
+
+
+class TestExtractScanMap:
+    """extract_scan_map: text byte-identical to extract_text on raw
+    (CRLF-bearing) pages; src offsets monotone and in range."""
+
+    def test_text_and_map(self):
+        import cld2_ray.sources.pages as P
+        from cld2_ray.functions.extract import _ent_table, extract_text, \
+            valid_utf8_prefix
+        ent = _ent_table()
+        cases = [b"<p>Bonjour &eacute;t&eacute;</p><script>x</script>",
+                 b"a\r\nb\rc\r\r\nd", b"x &amp; y<br>z", b"",
+                 b"<!-- c --><p>hi</p>",
+                 b"&#233;t&#xE9; <b>bold</b>  many   spaces"]
+        tbl = P.page_batch(0, 120, 42)
+        for h in tbl["html"].to_pylist():
+            if valid_utf8_prefix(h or b"") == len(h or b""):
+                cases.append(h or b"")
+        for h in cases:
+            got, src = native.extract_scan_map(h, *ent)
+            assert got == extract_text(h).encode("utf-8")
+            if len(src):
+                assert (np.diff(src) >= 0).all()
+                assert src[0] >= 0 and src[-1] < max(len(h), 1)
