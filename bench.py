@@ -95,6 +95,22 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings["flagship_pipeline"] = round(headline, 3)
     kept = int(m[m.keep].n_docs.sum())
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # scaling legs: the efficiency ratio needs ONLY the headline
+        # wall — skip the chunks/per-query/control sections
+        ray.shutdown()
+        return {
+            "metric": "flagship_pipeline_sec",
+            "value": timings["flagship_pipeline"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "n_pages": n_pages,
+            "kept_docs": kept,
+            "docs_per_sec": round(n_pages / headline, 1),
+        }
+
     # with_chunks cost control: the chunks column now rides on the
     # SAME scoring pass (detect_batch(with_ranges=True)); this times
     # the full fused flagship with it on the same input so the ratio
@@ -198,7 +214,8 @@ def run_scaling(sf_dir: str, lo: int | None = None,
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_PAGES=scale_pages)
+                   GRAFT_BENCH_PAGES=scale_pages,
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(

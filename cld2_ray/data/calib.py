@@ -21,6 +21,40 @@ split-half measurement). Deterministic data, regenerated only by
 rerunning the script.
 """
 
+def current_fingerprint() -> str:
+    """Hash of everything CALIB_K was learned against: the seed
+    corpora, the variant-script training weights, the chunk-size
+    scoring constants, and the trained expected-score tables. Any of
+    these moving silently invalidates the learned scales, so
+    tests/test_langid.py pins CALIB_FINGERPRINT == this and fails
+    until scripts/calibrate_expected.py is rerun (then --stamp)."""
+    import hashlib
+
+    import numpy as np
+
+    from cld2_ray.data import seeds
+    from cld2_ray.functions import score
+    from cld2_ray.state.model import default_model
+    h = hashlib.blake2b(digest_size=16)
+    for code in sorted(seeds.SEEDS):
+        h.update(code.encode())
+        h.update(seeds.SEEDS[code].encode())
+    for code in sorted(seeds.HELDOUT):
+        h.update(code.encode())
+        h.update(seeds.HELDOUT[code].encode())
+    h.update(repr(sorted(seeds.SECONDARY_SCRIPTS.items())).encode())
+    h.update(str((score.CHUNKSIZE_QUADS,
+                  score.CHUNKSIZE_UNIS)).encode())
+    m = default_model()
+    h.update(np.ascontiguousarray(m.expected_quad).tobytes())
+    h.update(np.ascontiguousarray(m.expected_uni).tobytes())
+    return h.hexdigest()
+
+
+# stamped by `python scripts/calibrate_expected.py --stamp` AFTER a
+# recalibration + artifact rebuild; see current_fingerprint
+CALIB_FINGERPRINT = "161336eb810a79b57069afc97bb455d1"
+
 CALIB_K: dict[tuple[str, int | str], float] = {
     ('aa', 0): 0.625,
     ('ar', 2): 1.25,

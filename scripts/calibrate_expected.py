@@ -300,8 +300,30 @@ def main() -> None:
             f.write(f"    {cell!r}: {k},\n")
         f.write("}\n")
     print(f"wrote {len(nontrivial)} non-identity cells to {CALIB_PATH}")
-    print("now rebuild the artifact: python -m cld2_ray.state.model")
+    print("now rebuild the artifact (python -m cld2_ray.state.model), "
+          "then re-stamp the drift guard: "
+          "python scripts/calibrate_expected.py --stamp")
+
+
+def stamp() -> None:
+    """Rewrite CALIB_FINGERPRINT to the current environment's value —
+    run AFTER recalibrating + rebuilding the model artifact. The
+    fingerprint test (tests/test_langid.py) stays red until this runs,
+    which is the point: a seed/scoring edit without recalibration
+    silently invalidates CALIB_K."""
+    import re
+
+    from cld2_ray.data import calib
+    fp = calib.current_fingerprint()
+    src = open(CALIB_PATH).read()
+    src = re.sub(r'CALIB_FINGERPRINT = "[0-9a-f]*"',
+                 f'CALIB_FINGERPRINT = "{fp}"', src)
+    open(CALIB_PATH, "w").write(src)
+    print(f"stamped CALIB_FINGERPRINT = {fp}")
 
 
 if __name__ == "__main__":
-    main()
+    if "--stamp" in sys.argv:
+        stamp()
+    else:
+        main()

@@ -380,3 +380,18 @@ class TestBatchWithRanges:
                     b.normalized_score3, b.is_reliable, b.text_bytes)
         for t, r in zip(texts, rngs):
             assert r == d.detect_ranges(t or "")
+
+
+class TestCalibrationDriftGuard:
+    def test_calib_fingerprint_current(self):
+        """CALIB_K (data/calib.py) was learned against the current
+        seeds + scoring constants + expected tables; any of them
+        moving without a calibrate_expected.py rerun silently
+        invalidates the learned scales. Red here means: rerun
+        scripts/calibrate_expected.py, rebuild the artifact, then
+        `python scripts/calibrate_expected.py --stamp`."""
+        from cld2_ray.data import calib
+        assert calib.current_fingerprint() == calib.CALIB_FINGERPRINT, (
+            "seed corpora / scoring constants / expected tables moved "
+            "since CALIB_K was calibrated — rerun "
+            "scripts/calibrate_expected.py (then --stamp)")

@@ -141,6 +141,26 @@ class TestResume:
         r3 = cp.run_resumable(make_part, 2, out, flagship.build)
         assert r3 == {"done": 1, "skipped": 1, "new_rows": 30}
 
+    @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                        reason="multi-minute kill-and-resume identity "
+                        "run; set RUN_SLOW=1 (scripts/resume_scale.py "
+                        "runs the full 1.28M-page version — see "
+                        "BASELINE.md for the recorded result)")
+    def test_kill_resume_byte_identical(self, ray_session, tmp_path):
+        """Crash-window resume (data written, manifest missing) must
+        reproduce the uninterrupted run byte-for-byte."""
+        import subprocess
+        import sys as _sys
+        env = dict(os.environ, GRAFT_RESUME_PAGES="64000",
+                   RAY_GRAFT_CPUS="4")
+        out = subprocess.run(
+            [_sys.executable, os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+                "scripts", "resume_scale.py")],
+            env=env, capture_output=True, text=True, timeout=1200)
+        assert out.returncode == 0, out.stdout + out.stderr
+
 
 class TestFusedEqualsModular:
     def test_row_identical(self, ray_session):
