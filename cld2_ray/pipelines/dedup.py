@@ -32,6 +32,11 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+# map-side coalescing for keyed exchanges — see pipelines/shuffle.py
+# (measured here first: 1.1 GiB driver growth for a 294 MB partials
+# exchange split 135x135 at the 120k-doc dup-stress; 35 MiB coalesced)
+from cld2_ray.pipelines.shuffle import exchange_blocks as _exchange_blocks
+
 _M61 = (1 << 61) - 1
 
 
@@ -829,17 +834,7 @@ def substring_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                        batch_format="pandas")
 
 
-def _exchange_blocks(vol_bytes: float) -> int:
-    """Map-side block count for a ~64-way bucket exchange of
-    ``vol_bytes`` so every sort piece (map block x reduce partition)
-    stays >= ~0.5 MB. Ray stores task returns under ~100 KB inline in
-    the OWNER (the driver) instead of plasma, so a shuffle fragmented
-    into sub-100KB pieces quietly re-centralizes its whole volume
-    onto the driver heap (measured: 1.1 GiB driver growth for a
-    294 MB partials exchange split 135x135 at the 120k-doc
-    dup-stress; 35 MiB once coalesced). Fewer-but-bigger map blocks
-    only cost exchange-map parallelism, never correctness."""
-    return int(min(512, max(8, vol_bytes / (32 << 20))))
+
 
 
 _CLIQUE_CUTOFF = 64

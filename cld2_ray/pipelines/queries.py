@@ -286,11 +286,13 @@ def q_tfidf_top5(sf_dir):
                         batch_size=None).materialize()
 
     from ray.data.aggregate import Sum
-    dfq = tf.map_batches(
+
+    from cld2_ray.pipelines.shuffle import coalesced
+    dfq = coalesced(tf.map_batches(
         lambda d: pa.Table.from_pandas(
             d.groupby("token", as_index=False).size()
             .rename(columns={"size": "df_"}), preserve_index=False),
-        batch_format="pandas", batch_size=None).materialize() \
+        batch_format="pandas", batch_size=None).materialize()) \
         .groupby("token").aggregate(Sum("df_", alias_name="df")) \
         .materialize()
 
@@ -346,8 +348,9 @@ def q_tfidf_top5(sf_dir):
                 g[c] = g[c].astype("int64")
             return g[["doc_id", "token", "tf", "df", "score_u"]]
 
-        return local.map_batches(bucket, batch_format="pyarrow",
-                                 batch_size=None) \
+        return coalesced(
+            local.map_batches(bucket, batch_format="pyarrow",
+                              batch_size=None).materialize()) \
             .groupby("bucket_").map_groups(remerge, batch_format="pandas")
 
     joined = tf.join(dfq, join_type="inner", num_partitions=n_part,
@@ -495,10 +498,15 @@ def q_token_freq_top50(sf_dir):
         return pa.table({"token": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
     # bounded partials materialized before the sort aggregate (see
-    # q_events_hourly)
+    # q_events_hourly); map side coalesced so the exchange's sort
+    # pieces stay above Ray's owner-inline threshold (measured
+    # 347 MiB of driver heap at stress scale uncoalesced —
+    # pipelines/shuffle.py)
+    from cld2_ray.pipelines.shuffle import coalesced
     partial = ds.map_batches(explode, batch_format="pyarrow",
                              batch_size=None).materialize()
-    total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    total = coalesced(partial).groupby("token") \
+        .aggregate(Sum("n", alias_name="n"))
     df = total.to_pandas().sort_values(["n", "token"],
                                        ascending=[False, True]).head(50)
     return df.reset_index(drop=True)
@@ -944,9 +952,12 @@ def q_source_vocab(sf_dir):
         return pa.table({"k": pc.unique(key)})
 
     # bounded distinct-pair partials materialized before the sort
-    # aggregate (see q_events_hourly)
-    uniq = ds.map_batches(pairs, batch_format="pyarrow",
-                          batch_size=None).materialize() \
+    # aggregate (see q_events_hourly); coalesced map side (see
+    # q_token_freq_top50 / pipelines/shuffle.py)
+    from cld2_ray.pipelines.shuffle import coalesced
+    uniq = coalesced(
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       batch_size=None).materialize()) \
         .groupby("k").aggregate(Count(alias_name="c_"))
 
     def unkey(t: pa.Table) -> pa.Table:
@@ -1005,10 +1016,12 @@ def q_bigram_top50(sf_dir):
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
     # bounded partials materialized before the sort aggregate (see
-    # q_events_hourly)
+    # q_events_hourly); coalesced map side (pipelines/shuffle.py)
+    from cld2_ray.pipelines.shuffle import coalesced
     partial = ds.map_batches(bigrams, batch_format="pyarrow",
                              batch_size=None).materialize()
-    total = partial.groupby("bg").aggregate(Sum("n", alias_name="n"))
+    total = coalesced(partial).groupby("bg") \
+        .aggregate(Sum("n", alias_name="n"))
     # distributed top-k: sort + limit, never a full to_pandas of the
     # (unbounded at corpus scale) distinct-bigram table
     top = total.sort(["n", "bg"], descending=[True, False]).limit(50)
@@ -2201,7 +2214,13 @@ def q_inverted_index(sf_dir, cap: int = 10):
             "n_docs": df_tot.loc[posting.index].to_numpy(np.int64),
             "posting": posting.to_numpy(dtype=object)})
 
-    return p.map_batches(bucket, batch_format="pyarrow", batch_size=None) \
+    # coalesced map side before the bucket exchange (the postings
+    # partials are vocab x cap-scaled; measured 479 MiB of driver
+    # heap at stress scale uncoalesced — pipelines/shuffle.py)
+    from cld2_ray.pipelines.shuffle import coalesced
+    return coalesced(
+        p.map_batches(bucket, batch_format="pyarrow",
+                      batch_size=None).materialize()) \
         .groupby("bucket").map_groups(merge, batch_format="pandas") \
         .select_columns(["token", "n_docs", "posting"])
 
