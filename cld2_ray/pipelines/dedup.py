@@ -906,7 +906,15 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "shingles": _pa.array([r[4] for r in rows],
                                   _pa.list_(_pa.uint64()))})
 
-    bands = ds.map_batches(to_bands, batch_format="pandas", batch_size=None)
+    # coalesce the map side before the part exchange: the band rows
+    # carry each doc's shingle set 16x (~10x the input corpus), and a
+    # fragmented map side puts the sort pieces under Ray's ~100KB
+    # owner-inline threshold — measured 1.36 GiB of DRIVER heap for a
+    # 2.1 GB bands exchange split 330x330 at the 200k-doc stress
+    # corpus, ~0 once coalesced (see _exchange_blocks)
+    bands = ds.map_batches(to_bands, batch_format="pandas",
+                           batch_size=None).materialize()
+    bands = bands.repartition(_exchange_blocks(bands.size_bytes() or 1))
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
@@ -1066,7 +1074,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 outs.append(bucket_pairs(gg))
         return pd.concat(outs, ignore_index=True)
 
-    pairs = sims.map_batches(to_bands, batch_format="pandas", batch_size=None) \
+    # coalesced map side before the part exchange (owner-inline
+    # hazard — see _exchange_blocks; band rows are small here but a
+    # fragmented map side still quadratically shrinks sort pieces)
+    band_rows = sims.map_batches(to_bands, batch_format="pandas",
+                                 batch_size=None).materialize()
+    pairs = band_rows \
+        .repartition(_exchange_blocks(band_rows.size_bytes() or 1)) \
         .groupby("part").map_groups(
             part_pairs, batch_format="pandas").to_pandas()
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
@@ -1162,7 +1176,14 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
                               for s in sig_first], _pa.list_(_pa.uint64())),
             "members": _pa.array(list(members), _pa.list_(_pa.int64()))})
 
-    sets_ds = ds.map_batches(sigs, batch_format="pandas", batch_size=None) \
+    # coalesced map side before the set-collapse exchange: sig rows
+    # carry whole token sets, and a fragmented map side drops the
+    # sort pieces under Ray's owner-inline threshold (driver-heap
+    # hazard — see _exchange_blocks)
+    sig_rows = ds.map_batches(sigs, batch_format="pandas",
+                              batch_size=None).materialize()
+    sets_ds = sig_rows \
+        .repartition(_exchange_blocks(sig_rows.size_bytes() or 1)) \
         .groupby("skb").map_groups(collapse, batch_format="pandas") \
         .materialize()  # distinct sets only — reused by 3 passes below
 
@@ -1242,7 +1263,12 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
                     rows.append((keys[i], keys[j]))
         return pd.DataFrame(rows, columns=["sa", "sb"])
 
-    set_pairs = sets_ds.map_batches(prefix_emit, batch_format="pandas", batch_size=None) \
+    # prefix postings also carry token sets — coalesce before the
+    # prefix-bucket exchange (owner-inline hazard, see _exchange_blocks)
+    pref_rows = sets_ds.map_batches(prefix_emit, batch_format="pandas",
+                                    batch_size=None).materialize()
+    set_pairs = pref_rows \
+        .repartition(_exchange_blocks(pref_rows.size_bytes() or 1)) \
         .groupby("ptok").map_groups(verify, batch_format="pandas") \
         .to_pandas().drop_duplicates()
 
@@ -1299,7 +1325,12 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id",
     intra = sets_ds.map_batches(intra_pairs, batch_format="pandas", batch_size=None) \
         .to_pandas()
     if len(set_pairs):
-        inter = sets_ds.map_batches(route, batch_format="pandas", batch_size=None) \
+        # routed rows duplicate member lists per qualifying pair —
+        # coalesce before the pair-bucket exchange (_exchange_blocks)
+        routed = sets_ds.map_batches(route, batch_format="pandas",
+                                     batch_size=None).materialize()
+        inter = routed \
+            .repartition(_exchange_blocks(routed.size_bytes() or 1)) \
             .groupby("bucket").map_groups(cross, batch_format="pandas") \
             .to_pandas()
     else:
@@ -1455,7 +1486,13 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
         return pd.DataFrame({"a": np.concatenate(outs_a).astype(np.int64),
                              "b": np.concatenate(outs_b).astype(np.int64)})
 
-    out = assigned.map_batches(route, batch_format="pandas", batch_size=None) \
+    # routed rows carry embedding vectors per cell-pair bucket —
+    # coalesce before the bucket exchange (owner-inline hazard,
+    # see _exchange_blocks)
+    routed = assigned.map_batches(route, batch_format="pandas",
+                                  batch_size=None).materialize()
+    out = routed \
+        .repartition(_exchange_blocks(routed.size_bytes() or 1)) \
         .groupby("bucket").map_groups(compare, batch_format="pandas") \
         .to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
