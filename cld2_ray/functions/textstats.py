@@ -139,3 +139,83 @@ def stopword_counts(texts: pd.Series, stopwords: list[str]) -> pd.Series:
         .astype(np.int64)
     out.index = texts.index
     return out
+
+
+def gopher_repetition(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters), in exact
+    integer form so the DuckDB oracle hash-matches:
+
+    * ``top2_count`` / ``top2_chars`` — occurrence count of the most
+      frequent word bigram, and max over the tied-most-frequent
+      bigrams of count x character-length (the "fraction of
+      characters in the most frequent 2-gram" numerator; divide by
+      ``total_chars``).
+    * ``dup3_windows`` / ``dup3_cov_tokens`` — trigram windows whose
+      gram occurs >= 2x within the doc, and the number of token
+      positions covered by any such window (the "fraction of
+      characters in duplicated 3-grams" analogue over tokens; divide
+      by ``n_tokens``).
+
+    Tokens are the shared whitespace contract
+    (string_split_regex(trim(text), '\\s+')); ``total_chars`` is the
+    character length of the single-space-joined tokens. All outputs
+    int64 — consumers form the published fractions, the driver gate
+    compares exact integers.
+    """
+    t = texts.fillna("").str.strip(TRIM_CHARS)
+    out = np.zeros((len(t), 6), dtype=np.int64)
+    # batch-vectorized tokenization: one explode + one factorize
+    # assigns every token its batch-wide id (< 2^32) with no
+    # per-token Python; docs are then slices of the flat arrays
+    tl = [_WS.split(s) if s else [] for s in t]
+    counts_per_doc = np.fromiter((len(x) for x in tl), np.int64, len(tl))
+    flat = pd.Series(
+        [w for ws in tl for w in ws], dtype=object)
+    ids_flat, _ = pd.factorize(flat)
+    ids_flat = ids_flat.astype(np.int64)
+    L_flat = flat.str.len().to_numpy(np.int64) if len(flat) \
+        else np.empty(0, np.int64)
+    bounds = np.concatenate([[0], np.cumsum(counts_per_doc)])
+    for r in range(len(t)):
+        lo, hi = bounds[r], bounds[r + 1]
+        n = int(hi - lo)
+        L = L_flat[lo:hi]
+        total_chars = int(L.sum()) + max(n - 1, 0)
+        top2_count = top2_chars = dup3_w = dup3_cov = 0
+        if n >= 2:
+            ids = ids_flat[lo:hi]
+            # exact bigram identity: two 32-bit ids packed in one
+            # int64 (no hashing — the gate needs zero collisions)
+            p2 = (ids[:-1] << np.int64(32)) | ids[1:]
+            u2, inv2, c2 = np.unique(p2, return_inverse=True,
+                                     return_counts=True)
+            cw = c2[inv2]
+            top2_count = int(c2.max())
+            wchars = L[:-1] + L[1:] + 1
+            sel = cw == top2_count
+            top2_chars = int((cw[sel] * wchars[sel]).max())
+            if n >= 3:
+                # trigram = (bigram id of the first pair, third token
+                # id) — packed exactly the same way (inv2 < n < 2^32)
+                p3 = (inv2[:-1].astype(np.int64) << np.int64(32)) \
+                    | ids[2:]
+                u3, inv3, c3 = np.unique(p3, return_inverse=True,
+                                         return_counts=True)
+                m = c3[inv3] >= 2
+                dup3_w = int(m.sum())
+                if dup3_w:
+                    # union of [i, i+3) over marked windows via a
+                    # difference array — O(n), no per-window sets
+                    delta = np.zeros(n + 3, np.int64)
+                    starts = np.nonzero(m)[0]
+                    np.add.at(delta, starts, 1)
+                    np.add.at(delta, starts + 3, -1)
+                    dup3_cov = int((np.cumsum(delta[:n]) > 0).sum())
+        out[r] = (n, total_chars, top2_count, top2_chars,
+                  dup3_w, dup3_cov)
+    return pd.DataFrame(
+        {"n_tokens": out[:, 0], "total_chars": out[:, 1],
+         "top2_count": out[:, 2], "top2_chars": out[:, 3],
+         "dup3_windows": out[:, 4], "dup3_cov_tokens": out[:, 5]},
+        index=texts.index)

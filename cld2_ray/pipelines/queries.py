@@ -79,6 +79,75 @@ def q_token_stats(sf_dir):
     return ds.map_batches(stats, batch_format="pandas", batch_size=None)
 
 
+def q_gopher_repetition(sf_dir):
+    """Gopher/MassiveText n-gram repetition filters (Rae et al. 2021
+    §A1.1): most-frequent-bigram mass and duplicated-trigram token
+    coverage per document, in exact-integer form (functions/
+    textstats.gopher_repetition). Map-only — no shuffle; the
+    fractions the paper thresholds are top2_chars/total_chars and
+    dup3_cov_tokens/n_tokens."""
+    from cld2_ray.functions.textstats import gopher_repetition
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        out = gopher_repetition(df["text"])
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+    return ds.map_batches(rep, batch_format="pandas", batch_size=None)
+
+
+SQL_GOPHER_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         -- array_to_string([], ' ') is NULL, not '' (empty docs)
+         length(coalesce(array_to_string(t, ' '), '')) AS total_chars, t
+  FROM toks
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), bgt AS (
+  SELECT doc_id, c, c * length(g) AS cl FROM bgc
+  QUALIFY c = max(c) OVER (PARTITION BY doc_id)
+), top2 AS (
+  SELECT doc_id, max(c) AS top2_count, max(cl) AS top2_chars
+  FROM bgt GROUP BY doc_id
+), tg AS (
+  SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3
+), tgd AS (
+  SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING count(*) >= 2
+), marked AS (
+  SELECT tg.doc_id, tg.i FROM tg JOIN tgd USING (doc_id, g)
+), dup3 AS (
+  SELECT doc_id, count(*) AS dup3_windows FROM marked GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, count(DISTINCT p) AS dup3_cov_tokens
+  FROM marked, LATERAL (SELECT unnest(generate_series(i, i + 2)) AS p) q
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.total_chars AS BIGINT) AS total_chars,
+       CAST(coalesce(t2.top2_count, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+       CAST(coalesce(d.dup3_windows, 0) AS BIGINT) AS dup3_windows,
+       CAST(coalesce(c.dup3_cov_tokens, 0) AS BIGINT) AS dup3_cov_tokens
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup3 d USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
 SQL_TOKEN_STATS = f"""
 SELECT doc_id,
   CAST(CASE WHEN trim(text) = '' THEN 0
@@ -2599,6 +2668,8 @@ QUERIES = {
     "partitioned_sink": q_partitioned_sink,
     "source_jsonl": q_source_jsonl,
     "source_csv": q_source_csv,
+    # new in r5 (never driver-checked -> head of the window)
+    "gopher_repetition": q_gopher_repetition,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
@@ -2619,7 +2690,6 @@ QUERIES = {
     "embedding_label_stats": q_embedding_label_stats,
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
-    "media_decode": q_media_decode,
     "flagship_pages": q_flagship_pages,
     "eval_confusion": q_eval_confusion,
     "token_freq_top50": q_token_freq_top50,
@@ -2655,6 +2725,10 @@ QUERIES = {
     # length_cdf, source_lang_matrix for lang_source_rollup,
     # lang_quantiles/tpch_q1 for part_brand_stats, source_vocab/
     # bigram_top50 for inverted_index) --
+    # media_decode is r4-green and its three siblings (media_resize/
+    # audio/video) sit in the r5 window — rotated out to make room
+    # for gopher_repetition at the head
+    "media_decode": q_media_decode,
     "click_buyers": q_click_buyers,
     "epoch_shuffle": q_epoch_shuffle,
     "lang_source_rollup": q_lang_source_rollup,
@@ -2698,6 +2772,7 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "length_cdf": SQL_LENGTH_CDF,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,

@@ -41,7 +41,8 @@ QUERIES = [
     "orders_by_segment", "customers_without_orders",
     "orders_per_customer", "part_brand_stats", "ann_top1", "ivf_topk",
     "knn_classify", "embedding_label_stats",
-    "url_canonical_dedup", "domain_stats",
+    "url_canonical_dedup", "domain_stats", "minhash_fast",
+    "gopher_repetition",
 ]
 
 
@@ -308,6 +309,29 @@ def cmd_run(only=None):
         os.path.abspath(__file__))))
     import __ray_entry__ as entry
     qs = entry.queries()
+
+    def _minhash_fast(sf_dir):
+        # the PRODUCTION minhash path (blake2b, clique_cutoff=64) with
+        # a driver-heap bound: the bands exchange carries shingle sets
+        # 16x, the regime where un-coalesced sort pieces fell under
+        # Ray's owner-inline threshold and put 1.58 GiB on the driver
+        # (BASELINE.md owner-inline sweep #2)
+        import ray.data as rd
+        from cld2_ray.pipelines.dedup import minhash_dedup
+
+        def anon():
+            for line in open("/proc/self/smaps_rollup"):
+                if line.startswith("Anonymous:"):
+                    return int(line.split()[1]) // 1024
+        a0 = anon()
+        out = minhash_dedup(rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+        grew = anon() - a0
+        assert grew < 300, \
+            f"minhash_fast driver anon growth {grew}MiB (bound 300)"
+        return out
+    qs = dict(qs, minhash_fast=_minhash_fast)
+
     names = only or QUERIES
     failures = 0
     for name in names:

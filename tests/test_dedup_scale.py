@@ -65,3 +65,27 @@ class TestMinhashGroupsPinned:
                      for a, b in zip(g.doc_id, g.group_id)).encode()
         ).hexdigest()
         assert digest == "8d9787cd00e87d6d63f5b7d734cb8418"
+
+
+class TestExchangeBlocks:
+    def test_piece_size_floor(self):
+        """The coalescing policy must keep every sort piece (map block
+        x reduce partition, Ray's sort shuffle makes B x B pieces)
+        above the ~100KB owner-inline threshold for any volume — the
+        hazard measured in BASELINE.md's owner-inline sweeps."""
+        from cld2_ray.pipelines.shuffle import exchange_blocks
+        for vol in (1, 10 << 20, 294 << 20, 2088 << 20, 10 << 30,
+                    17 << 30, 26 << 30, 100 << 30, 1 << 40):
+            b = exchange_blocks(vol)
+            assert 8 <= b <= 512
+            if vol >= (8 * 8) * 100_000:      # below: volume itself
+                # is inline-sized and harmless
+                assert vol / (b * b) > 100_000, (vol, b)
+
+    def test_coalesced_repartitions(self, ray_session):
+        import ray.data as rd
+        from cld2_ray.pipelines.shuffle import coalesced
+        ds = rd.range(10_000).materialize()
+        out = coalesced(ds)
+        assert out.count() == 10_000
+        assert out.materialize().num_blocks() == 8   # min clamp

@@ -87,3 +87,42 @@ class TestRunCLI:
         rc = main(["--synthetic", "60", "--output", out,
                    "--partitions", "3"])
         assert rc == 0
+
+
+class TestGopherRepetition:
+    def test_edge_cases_match_duckdb(self):
+        """The kernel must agree with the SQL oracle on adversarial
+        tokenization edges: NBSP (not split by RE2 \\s), tabs inside
+        (split, and NOT trimmed by DuckDB trim()), unicode lengths,
+        all-repeat docs, sub-n-gram docs, empties."""
+        import duckdb
+        import pandas as pd
+        from cld2_ray.functions.textstats import gopher_repetition
+        from cld2_ray.pipelines.queries import SQL_GOPHER_REPETITION
+
+        docs = ["a b a b a", "r r r r r r", "x", "", "  ",
+                "\ta b\t", "a b c a b c", "héé wörld héé wörld",
+                "one two three four", "p q p q p q p q",
+                None, "a  b   a  b"]
+        df = pd.DataFrame({"doc_id": range(len(docs)),
+                           "text": pd.Series(docs, dtype=object)})
+        got = gopher_repetition(df["text"])
+        got.insert(0, "doc_id", df["doc_id"])
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(SQL_GOPHER_REPETITION).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True) \
+            .astype({c: "int64" for c in want.columns})
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want[got.columns].astype("int64"))
+
+    def test_fraction_semantics(self):
+        """'a b a b a': top bigram mass 6/9 chars; dup-trigram token
+        coverage 5/5 (both 'a b a' windows overlap-cover everything)."""
+        import pandas as pd
+        from cld2_ray.functions.textstats import gopher_repetition
+        r = gopher_repetition(pd.Series(["a b a b a"])).iloc[0]
+        assert (r.n_tokens, r.total_chars) == (5, 9)
+        assert (r.top2_count, r.top2_chars) == (2, 6)
+        assert (r.dup3_windows, r.dup3_cov_tokens) == (2, 5)
