@@ -401,3 +401,131 @@ def apply_rules(texts: pd.Series,
     out["keep"] = reason == ""
     out["drop_reason"] = reason
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 "Exploring the Limits of
+# Transfer Learning", §2.2). The reference engine has no line-level
+# cleaner; this is the standard webtext pre-filter that runs BEFORE
+# document-level rules: drop boilerplate LINES, then judge the page on
+# what remains.
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5        # "only retained lines with >= 5 words"
+C4_MIN_SENTENCES = 3         # "discarded pages with < 3 sentences"
+# terminal punctuation a retained line must end with (period,
+# exclamation, question mark, end quotation mark)
+C4_TERMINAL = '[.!?"”]'
+# the word "javascript" (any case) drops the line
+_JS_PATTERN = r"(?i)(^|[^a-z])javascript([^a-z]|$)"
+
+
+def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
+    """C4-style line filter + page verdict, fully vectorized (Arrow
+    RE2 kernels over the exploded line table — no Python loop over
+    lines). Per document:
+
+    line rules (priority order for the drop counters; each line counts
+    under its FIRST failing rule):
+      1. ``javascript`` — line contains the word "javascript"
+      2. ``few_words``  — fewer than C4_MIN_LINE_WORDS whitespace words
+      3. ``no_punct``   — trimmed line does not end in C4_TERMINAL
+
+    page rules on the surviving text (priority order):
+      ``lorem_ipsum`` (original text, case-insensitive), ``brace``
+      ('{' anywhere in the original text), ``too_few_sentences``
+      (< C4_MIN_SENTENCES terminal marks in the kept text).
+
+    Lines are trimmed with DuckDB trim() semantics (Zs spaces) before
+    the word/punctuation rules so the SQL oracle mirrors exactly;
+    ``kept_text`` re-joins the retained (trimmed) lines with '\\n'.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from cld2_ray.functions.textstats import TRIM_CHARS
+
+    t = texts.fillna("")
+    arr = pa.Array.from_pandas(t)
+    lines = pc.split_pattern(arr, "\n")
+    flat = pc.utf8_trim(pc.list_flatten(lines), TRIM_CHARS)
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n = len(t)
+
+    is_js = pc.match_substring_regex(flat, _JS_PATTERN) \
+        .to_numpy(zero_copy_only=False)
+    n_words = pc.count_substring_regex(flat, r"\S+") \
+        .to_numpy(zero_copy_only=False)
+    ends_ok = pc.match_substring_regex(flat, C4_TERMINAL + "$") \
+        .to_numpy(zero_copy_only=False)
+
+    few = ~is_js & (n_words < C4_MIN_LINE_WORDS)
+    nopunct = ~is_js & ~few & ~ends_ok
+    keep_line = ~is_js & ~few & ~nopunct
+
+    n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+    c_js = np.bincount(parent, weights=is_js, minlength=n).astype(np.int64)
+    c_few = np.bincount(parent, weights=few, minlength=n).astype(np.int64)
+    c_np = np.bincount(parent, weights=nopunct, minlength=n).astype(np.int64)
+    n_kept = n_lines - c_js - c_few - c_np
+
+    # rebuild kept text: one groupby-join over the kept rows only
+    kept_text = np.full(n, "", dtype=object)
+    kmask = keep_line
+    if kmask.any():
+        kf = pd.Series(flat.to_numpy(zero_copy_only=False)[kmask])
+        joined = kf.groupby(parent[kmask]).agg("\n".join)
+        kept_text[joined.index.to_numpy()] = joined.to_numpy()
+    kept_arr = pa.array(kept_text, type=pa.string())
+
+    n_sent = pc.count_substring_regex(kept_arr, "[.!?]") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    has_lorem = pc.match_substring(arr, "lorem ipsum", ignore_case=True) \
+        .to_numpy(zero_copy_only=False)
+    has_brace = pc.match_substring(arr, "{").to_numpy(zero_copy_only=False)
+
+    reason = np.full(n, "", dtype=object)
+    reason[n_sent < C4_MIN_SENTENCES] = "too_few_sentences"
+    reason[has_brace] = "brace"
+    reason[has_lorem] = "lorem_ipsum"
+    kept_chars = pc.utf8_length(kept_arr) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return pd.DataFrame({
+        "n_lines": n_lines, "n_kept_lines": n_kept,
+        "drop_javascript": c_js, "drop_few_words": c_few,
+        "drop_no_punct": c_np, "n_sentences": n_sent,
+        "kept_chars": kept_chars, "keep": reason == "",
+        "drop_reason": reason, "kept_text": kept_text,
+    }, index=texts.index)
+
+
+def blocklist_filter(texts: pd.Series,
+                     words: "frozenset[str] | list[str]") -> pd.DataFrame:
+    """C4-style bad-words page filter: a page is dropped when any
+    whitespace token, lowercased, is in the blocklist (Raffel et al.
+    2020 §2.2 drop pages with any word on a blocklist). Vectorized —
+    one Arrow split + is_in over the flattened token column, no
+    Python loop. Returns n_blocked_tokens + keep per document.
+
+    At scale the blocklist is broadcast once per actor (ray.put the
+    set, pass the ObjectRef into the map_batches class __init__), not
+    re-shipped per batch; callers with a constant list can pass it
+    directly — Ray captures it in the task closure once.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from cld2_ray.functions.textstats import TRIM_CHARS
+
+    t = texts.fillna("")
+    arr = pc.utf8_trim(pa.Array.from_pandas(t), TRIM_CHARS)
+    toks = pc.split_pattern_regex(arr, r"\s+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    hit = pc.is_in(flat, value_set=pa.array(sorted(set(words)),
+                                            type=pa.string()))
+    n_blocked = np.bincount(
+        parent, weights=hit.to_numpy(zero_copy_only=False),
+        minlength=len(t)).astype(np.int64)
+    # empty page -> zero tokens -> never blocked (split('') is [''],
+    # and '' is not a blocklist word)
+    return pd.DataFrame({"n_blocked_tokens": n_blocked,
+                         "keep": n_blocked == 0}, index=texts.index)

@@ -148,6 +148,284 @@ LEFT JOIN cov c USING (doc_id)
 """
 
 
+# C4's bad-words page rule, demonstrated with a fixed small list that
+# actually fires on the synthetic corpus vocabulary. Production use:
+# ray.put the real list once, read the ObjectRef in each actor.
+BLOCKLIST_WORDS = ("slow", "stream", "vector")
+
+
+def q_blocklist_filter(sf_dir):
+    """Bad-words page filter (Raffel et al. 2020 §2.2: drop any page
+    containing a blocklisted word). One Arrow split + is_in over the
+    flattened token column per batch (functions/quality.
+    blocklist_filter); the list rides the task closure (broadcast
+    once), the corpus side never shuffles."""
+    from cld2_ray.functions.quality import blocklist_filter
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = blocklist_filter(df["text"], BLOCKLIST_WORDS)
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
+
+
+SQL_BLOCKLIST_FILTER = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(list_filter(t, w -> lower(w) IN ('slow', 'stream', 'vector')))
+           AS n_blocked
+  FROM toks
+)
+SELECT doc_id, CAST(n_blocked AS BIGINT) AS n_blocked_tokens,
+       n_blocked = 0 AS keep
+FROM m
+"""
+
+
+def _derived_lines(t: pa.Table) -> pa.Array:
+    """Deterministic multi-line webpage text per doc (documents.text is
+    single-line): tokens regrouped into lines of 5 + doc_id % 4 words,
+    with line endings, a "javascript" word, and lorem-ipsum / brace
+    page markers injected on fixed doc_id/line residues so every
+    c4_line_filter rule fires somewhere in the corpus. Mirrored
+    token-for-token in SQL_C4_LINE_FILTER's derivation CTEs (the hash
+    check proves the line FILTER ran, not the derivation formula)."""
+    from cld2_ray.functions.textstats import TRIM_CHARS, _WS
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    out = []
+    for did, s in zip(d, texts):
+        did = int(did)
+        s = (s or "").strip(TRIM_CHARS)
+        toks = _WS.split(s) if s else []
+        L = 5 + did % 4
+        lines = []
+        for j in range((len(toks) + L - 1) // L):
+            body = " ".join(toks[j * L:(j + 1) * L])
+            if (did * 3 + j) % 5 == 0:
+                body += " javascript"
+            body += ["", ".", "!", "?"][(did + j) % 4]
+            lines.append(body)
+        if did % 97 == 0:
+            lines.append("lorem ipsum dolor sit amet.")
+        if did % 89 == 0:
+            lines.append("include { some source } here")
+        out.append("\n".join(lines))
+    return pa.array(out, type=pa.string())
+
+
+def q_c4_line_filter(sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): per-line
+    javascript / word-count / terminal-punctuation rules, then the
+    page verdict (lorem-ipsum, brace, <3 sentences) on the retained
+    text (functions/quality.c4_line_filter — Arrow RE2 kernels over
+    the exploded line table). Map-only, no shuffle; kept_text is the
+    cleaned page."""
+    from cld2_ray.functions.quality import c4_line_filter
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ml = _derived_lines(t)
+        out = c4_line_filter(pd.Series(ml.to_pylist()))
+        out.insert(0, "doc_id", t["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+SQL_C4_LINE_FILTER = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n, 5 + doc_id % 4 AS L FROM toks
+), lj AS (
+  SELECT doc_id, t, n, L,
+         unnest(generate_series(0,
+             CAST(ceil(n / (1.0 * L)) AS BIGINT) - 1)) AS j
+  FROM base WHERE n > 0
+), body AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(t, j * L + 1, least((j + 1) * L, n)), ' ')
+         || CASE WHEN (doc_id * 3 + j) % 5 = 0 THEN ' javascript'
+                 ELSE '' END
+         || CASE (doc_id + j) % 4 WHEN 1 THEN '.' WHEN 2 THEN '!'
+                 WHEN 3 THEN '?' ELSE '' END AS line
+  FROM lj
+), withex AS (
+  SELECT doc_id, line, j FROM body
+  UNION ALL SELECT doc_id, 'lorem ipsum dolor sit amet.', 1000000
+    FROM base WHERE doc_id % 97 = 0
+  UNION ALL SELECT doc_id, 'include { some source } here', 1000001
+    FROM base WHERE doc_id % 89 = 0
+  UNION ALL SELECT doc_id, '', 0
+    FROM base WHERE n = 0 AND doc_id % 97 != 0 AND doc_id % 89 != 0
+), page AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS text
+  FROM withex GROUP BY doc_id
+),
+-- derivation above; the mirrored FILTER below
+lines2 AS (
+  SELECT doc_id, trim(ls[k]) AS l, k FROM (
+    SELECT doc_id, string_split(text, chr(10)) AS ls,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS k
+    FROM page)
+), flags AS (
+  SELECT doc_id, l, k,
+         regexp_matches(lower(l), '(^|[^a-z])javascript([^a-z]|$)') AS js,
+         len(regexp_extract_all(l, '\\S+')) AS w,
+         regexp_matches(l, '[.!?"”]$') AS ok
+  FROM lines2
+), cl AS (
+  SELECT doc_id, l, k, js,
+         (NOT js AND w < 5) AS few,
+         (NOT js AND w >= 5 AND NOT ok) AS np_,
+         (NOT js AND w >= 5 AND ok) AS keepl
+  FROM flags
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN keepl THEN 1 ELSE 0 END) AS n_kept_lines,
+         sum(CASE WHEN js THEN 1 ELSE 0 END) AS drop_javascript,
+         sum(CASE WHEN few THEN 1 ELSE 0 END) AS drop_few_words,
+         sum(CASE WHEN np_ THEN 1 ELSE 0 END) AS drop_no_punct,
+         coalesce(string_agg(CASE WHEN keepl THEN l END,
+                             chr(10) ORDER BY k), '') AS kept_text
+  FROM cl GROUP BY doc_id
+), verdict AS (
+  SELECT a.doc_id, a.n_lines, a.n_kept_lines, a.drop_javascript,
+         a.drop_few_words, a.drop_no_punct, a.kept_text,
+         len(regexp_extract_all(a.kept_text, '[.!?]')) AS n_sentences,
+         contains(lower(p.text), 'lorem ipsum') AS lorem,
+         contains(p.text, '{') AS brace
+  FROM agg a JOIN page p USING (doc_id)
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+  CAST(drop_javascript AS BIGINT) AS drop_javascript,
+  CAST(drop_few_words AS BIGINT) AS drop_few_words,
+  CAST(drop_no_punct AS BIGINT) AS drop_no_punct,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(length(kept_text) AS BIGINT) AS kept_chars,
+  (NOT lorem AND NOT brace AND n_sentences >= 3) AS keep,
+  CASE WHEN lorem THEN 'lorem_ipsum' WHEN brace THEN 'brace'
+       WHEN n_sentences < 3 THEN 'too_few_sentences' ELSE '' END
+    AS drop_reason,
+  kept_text
+FROM verdict
+"""
+
+
+def q_gopher_full(sf_dir):
+    """The FULL Gopher repetition set (Rae et al. 2021 Table A1):
+    most-frequent-{2,3,4}-gram mass plus duplicated-{5..10}-gram
+    character coverage per document, exact-integer form
+    (functions/textstats.gopher_repetition_full). Map-only — no
+    shuffle; the published fractions are topN_chars/total_chars and
+    dupN_cov_chars/total_chars."""
+    from cld2_ray.functions.textstats import gopher_repetition_full
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        out = gopher_repetition_full(df["text"])
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+    return ds.map_batches(rep, batch_format="pandas", batch_size=None)
+
+
+SQL_GOPHER_FULL = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         length(coalesce(array_to_string(t, ' '), '')) AS total_chars, t
+  FROM toks
+), tns AS (SELECT unnest([2, 3, 4]) AS n
+), twi AS (
+  SELECT doc_id, n, t,
+         unnest(generate_series(1, len(t) - n + 1)) AS i
+  FROM base, tns WHERE len(t) >= n
+), tw AS (
+  SELECT doc_id, n, array_to_string(list_slice(t, i, i + n - 1), ' ') AS g
+  FROM twi
+), twc AS (
+  SELECT doc_id, n, g, count(*) AS c FROM tw GROUP BY doc_id, n, g
+), twt AS (
+  SELECT doc_id, n, c, c * length(g) AS cl FROM twc
+  QUALIFY c = max(c) OVER (PARTITION BY doc_id, n)
+), tops AS (
+  SELECT doc_id, n, max(c) AS tc, max(cl) AS tch
+  FROM twt GROUP BY doc_id, n
+), dns AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n
+), dwi AS (
+  SELECT doc_id, n, t,
+         unnest(generate_series(1, len(t) - n + 1)) AS i
+  FROM base, dns WHERE len(t) >= n
+), dw AS (
+  SELECT doc_id, n, i,
+         array_to_string(list_slice(t, i, i + n - 1), ' ') AS g
+  FROM dwi
+), dg AS (
+  SELECT doc_id, n, g FROM dw GROUP BY doc_id, n, g HAVING count(*) >= 2
+), mk AS (
+  SELECT dw.doc_id, dw.n, dw.i FROM dw JOIN dg USING (doc_id, n, g)
+), cov AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT doc_id, n, unnest(generate_series(i, i + n - 1)) AS p FROM mk)
+), tok AS (
+  SELECT doc_id, p, length(t[p]) AS wl FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+    FROM base WHERE len(t) >= 1)
+), covc AS (
+  SELECT c.doc_id, c.n, sum(k.wl) AS ch
+  FROM cov c JOIN tok k ON c.doc_id = k.doc_id AND c.p = k.p
+  GROUP BY c.doc_id, c.n
+)
+SELECT b.doc_id,
+  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(b.total_chars AS BIGINT) AS total_chars,
+  CAST(coalesce(max(CASE WHEN tp.n = 2 THEN tp.tc END), 0) AS BIGINT)
+    AS top2_count,
+  CAST(coalesce(max(CASE WHEN tp.n = 2 THEN tp.tch END), 0) AS BIGINT)
+    AS top2_chars,
+  CAST(coalesce(max(CASE WHEN tp.n = 3 THEN tp.tc END), 0) AS BIGINT)
+    AS top3_count,
+  CAST(coalesce(max(CASE WHEN tp.n = 3 THEN tp.tch END), 0) AS BIGINT)
+    AS top3_chars,
+  CAST(coalesce(max(CASE WHEN tp.n = 4 THEN tp.tc END), 0) AS BIGINT)
+    AS top4_count,
+  CAST(coalesce(max(CASE WHEN tp.n = 4 THEN tp.tch END), 0) AS BIGINT)
+    AS top4_chars,
+  CAST(coalesce(max(CASE WHEN cc.n = 5 THEN cc.ch END), 0) AS BIGINT)
+    AS dup5_cov_chars,
+  CAST(coalesce(max(CASE WHEN cc.n = 6 THEN cc.ch END), 0) AS BIGINT)
+    AS dup6_cov_chars,
+  CAST(coalesce(max(CASE WHEN cc.n = 7 THEN cc.ch END), 0) AS BIGINT)
+    AS dup7_cov_chars,
+  CAST(coalesce(max(CASE WHEN cc.n = 8 THEN cc.ch END), 0) AS BIGINT)
+    AS dup8_cov_chars,
+  CAST(coalesce(max(CASE WHEN cc.n = 9 THEN cc.ch END), 0) AS BIGINT)
+    AS dup9_cov_chars,
+  CAST(coalesce(max(CASE WHEN cc.n = 10 THEN cc.ch END), 0) AS BIGINT)
+    AS dup10_cov_chars
+FROM base b
+LEFT JOIN tops tp USING (doc_id)
+LEFT JOIN covc cc USING (doc_id)
+GROUP BY b.doc_id, b.n_tokens, b.total_chars
+"""
+
+
 SQL_TOKEN_STATS = f"""
 SELECT doc_id,
   CAST(CASE WHEN trim(text) = '' THEN 0
@@ -2663,13 +2941,13 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "langid_documents": q_langid_documents,
     "top_longest": q_top_longest,
-    "stopword_counts": q_stopword_counts,
     "length_histogram": q_length_histogram,
-    "partitioned_sink": q_partitioned_sink,
     "source_jsonl": q_source_jsonl,
-    "source_csv": q_source_csv,
     # new in r5 (never driver-checked -> head of the window)
     "gopher_repetition": q_gopher_repetition,
+    "gopher_full": q_gopher_full,
+    "c4_line_filter": q_c4_line_filter,
+    "blocklist_filter": q_blocklist_filter,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
@@ -2727,7 +3005,14 @@ QUERIES = {
     # bigram_top50 for inverted_index) --
     # media_decode is r4-green and its three siblings (media_resize/
     # audio/video) sit in the r5 window — rotated out to make room
-    # for gopher_repetition at the head
+    # for gopher_repetition at the head. stopword_counts,
+    # partitioned_sink and source_csv (all r4-green) moved down for
+    # the r5 quality-filter additions (gopher_full, c4_line_filter,
+    # blocklist_filter); each keeps an in-window family sibling
+    # (token_freq_top50 / lang_counts / source_jsonl)
+    "stopword_counts": q_stopword_counts,
+    "partitioned_sink": q_partitioned_sink,
+    "source_csv": q_source_csv,
     "media_decode": q_media_decode,
     "click_buyers": q_click_buyers,
     "epoch_shuffle": q_epoch_shuffle,
@@ -2773,6 +3058,9 @@ ORACLE_SQL = {
     "length_cdf": SQL_LENGTH_CDF,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "gopher_full": SQL_GOPHER_FULL,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,

@@ -110,3 +110,106 @@ class TestRepeats:
     def test_squeeze_drops_spacey_chunks(self):
         text = "a b c d e f g h i j " * 20
         assert len(squeeze(text)) < len(text)
+
+
+class TestC4LineFilter:
+    def _run(self, docs):
+        import pandas as pd
+        from cld2_ray.functions.quality import c4_line_filter
+        return c4_line_filter(pd.Series(docs, dtype=object))
+
+    def test_line_rules_priority(self):
+        """javascript beats few_words beats no_punct; counters are
+        exclusive (each line counted under its first failing rule)."""
+        r = self._run([
+            "Good line with five words here.\n"      # kept
+            "js\n"                                    # few_words (no js word)
+            "Enable javascript now\n"                 # javascript (first)
+            "No punctuation but plenty of words here\n"  # no_punct
+            "Second good line with enough words!\n"
+            "Third good line has enough words too."]).iloc[0]
+        assert r.n_lines == 6
+        assert r.n_kept_lines == 3
+        assert (r.drop_javascript, r.drop_few_words, r.drop_no_punct) \
+            == (1, 1, 1)
+        assert r.keep and r.drop_reason == ""
+        assert r.kept_text.count("\n") == 2
+
+    def test_page_rules(self):
+        got = self._run([
+            # lorem beats brace beats sentences
+            "Lorem Ipsum dolor sit amet friend.\nAlso a brace { here.",
+            "code { x }\nA good line with five words.",
+            "Only one good sentence lives here.",
+            ""])
+        assert list(got.drop_reason) == [
+            "lorem_ipsum", "brace", "too_few_sentences",
+            "too_few_sentences"]
+        assert not got.keep.any()
+
+    def test_trim_and_terminal_quote(self):
+        """Lines are trimmed before rules; end quotation marks are
+        terminal (C4's rule includes closing quotes)."""
+        r = self._run(['  She said it was "entirely fine today."  \n'
+                       'He agreed with every word said.\n'
+                       'A third sentence settles the matter.']).iloc[0]
+        assert r.n_kept_lines == 3 and r.keep
+        assert not r.kept_text.startswith(" ")
+
+    def test_oracle_parity(self):
+        """Ray-side derived-lines + filter == SQL_C4_LINE_FILTER on a
+        corpus slice with residues that fire every injected marker."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        from cld2_ray.functions.quality import c4_line_filter
+        from cld2_ray.pipelines.queries import (
+            SQL_C4_LINE_FILTER, _derived_lines)
+        docs = ["alpha beta gamma delta epsilon zeta eta theta iota",
+                "one two", "", "x " * 30, "tab\there now you see"]
+        ids = [0, 89, 97, 3, 8633]   # 8633 = 89*97 fires both markers
+        df = pd.DataFrame({"doc_id": ids,
+                           "text": pd.Series(docs, dtype=object)})
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        ml = _derived_lines(t)
+        got = c4_line_filter(pd.Series(ml.to_pylist()))
+        got.insert(0, "doc_id", df["doc_id"])
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(SQL_C4_LINE_FILTER).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want[got.columns],
+            check_dtype=False)
+
+
+class TestBlocklistFilter:
+    def test_basic(self):
+        import pandas as pd
+        from cld2_ray.functions.quality import blocklist_filter
+        got = blocklist_filter(
+            pd.Series(["clean page here", "a SLOW page", "slow slow go",
+                       "", None, "slowly does it"]),
+            ["slow"])
+        assert list(got.n_blocked_tokens) == [0, 1, 2, 0, 0, 0]
+        assert list(got.keep) == [True, False, False, True, True, True]
+
+    def test_oracle_parity(self):
+        import duckdb
+        import pandas as pd
+        from cld2_ray.functions.quality import blocklist_filter
+        from cld2_ray.pipelines.queries import (
+            SQL_BLOCKLIST_FILTER, BLOCKLIST_WORDS)
+        docs = ["slow stream vector", "fast table scan", "Vector math",
+                "", "  stream  ", None, "streams are fine"]
+        df = pd.DataFrame({"doc_id": range(len(docs)),
+                           "text": pd.Series(docs, dtype=object)})
+        got = blocklist_filter(df["text"], BLOCKLIST_WORDS)
+        got.insert(0, "doc_id", df["doc_id"])
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(SQL_BLOCKLIST_FILTER).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want[got.columns],
+            check_dtype=False)

@@ -126,3 +126,58 @@ class TestGopherRepetition:
         assert (r.n_tokens, r.total_chars) == (5, 9)
         assert (r.top2_count, r.top2_chars) == (2, 6)
         assert (r.dup3_windows, r.dup3_cov_tokens) == (2, 5)
+
+
+class TestGopherFull:
+    def test_oracle_parity_edges(self):
+        """gopher_repetition_full == SQL_GOPHER_FULL on the same edge
+        corpus as the bigram/trigram test, plus long-repeat docs that
+        exercise every n up to 10."""
+        import duckdb
+        import pandas as pd
+        from cld2_ray.functions.textstats import gopher_repetition_full
+        from cld2_ray.pipelines.queries import SQL_GOPHER_FULL
+
+        docs = ["a b a b a", "r r r r r r", "x", "", "  ",
+                "\ta b\t", "a b c a b c", "héé wörld héé wörld",
+                "one two three four", "p q p q p q p q",
+                None, "a  b   a  b",
+                " ".join("t%d" % (i % 12) for i in range(40)),
+                " ".join(["u v w x y z q r s t"] * 3),
+                " ".join("w%d" % i for i in range(25))]
+        df = pd.DataFrame({"doc_id": range(len(docs)),
+                           "text": pd.Series(docs, dtype=object)})
+        got = gopher_repetition_full(df["text"])
+        got.insert(0, "doc_id", df["doc_id"])
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(SQL_GOPHER_FULL).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want[got.columns].astype("int64"))
+
+    def test_matches_base_gopher_columns(self):
+        """top2 columns agree with the original gopher_repetition."""
+        import pandas as pd
+        from cld2_ray.functions.textstats import (
+            gopher_repetition, gopher_repetition_full)
+        docs = pd.Series(["a b a b a", "x y x y x y z", "", "solo"])
+        a = gopher_repetition(docs)
+        b = gopher_repetition_full(docs)
+        for c in ("n_tokens", "total_chars", "top2_count", "top2_chars"):
+            assert (a[c] == b[c]).all()
+
+    def test_dup_coverage_semantics(self):
+        """A 10-token doc repeated twice: the 10-gram occurs twice, so
+        dup10 covers all 20 token positions once each (overlap-union,
+        separators excluded); dup5..dup9 cover the same tokens."""
+        import pandas as pd
+        from cld2_ray.functions.textstats import gopher_repetition_full
+        base = "u v w x y z q r s t"
+        r = gopher_repetition_full(pd.Series([base + " " + base])).iloc[0]
+        assert r.n_tokens == 20
+        for n in range(5, 11):
+            assert r[f"dup{n}_cov_chars"] == 20   # 20 1-char tokens
+        # top4: 'u v w x' etc occur 2x; chars = 2 * 7
+        assert (r.top4_count, r.top4_chars) == (2, 14)
