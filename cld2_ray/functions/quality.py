@@ -501,10 +501,12 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
 def blocklist_filter(texts: pd.Series,
                      words: "frozenset[str] | list[str]") -> pd.DataFrame:
     """C4-style bad-words page filter: a page is dropped when any
-    whitespace token, lowercased, is in the blocklist (Raffel et al.
-    2020 §2.2 drop pages with any word on a blocklist). Vectorized —
-    one Arrow split + is_in over the flattened token column, no
-    Python loop. Returns n_blocked_tokens + keep per document.
+    whitespace token — lowercased, with leading/trailing ASCII
+    punctuation stripped, so "Word." and "(word" match — is in the
+    blocklist (Raffel et al. 2020 §2.2 drop pages with any word on a
+    blocklist). Vectorized — one Arrow split + regex-strip + is_in
+    over the flattened token column, no Python loop. Returns
+    n_blocked_tokens + keep per document.
 
     At scale the blocklist is broadcast once per actor (ray.put the
     set, pass the ObjectRef into the map_batches class __init__), not
@@ -519,6 +521,10 @@ def blocklist_filter(texts: pd.Series,
     arr = pc.utf8_trim(pa.Array.from_pandas(t), TRIM_CHARS)
     toks = pc.split_pattern_regex(arr, r"\s+")
     flat = pc.utf8_lower(pc.list_flatten(toks))
+    # edge-punctuation strip (ASCII classes — mirrors the RE2 the
+    # DuckDB oracle runs): 'word.' / '(word' / '"word!"' all match
+    flat = pc.replace_substring_regex(
+        flat, r"^[^a-z0-9]+|[^a-z0-9]+$", "")
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     hit = pc.is_in(flat, value_set=pa.array(sorted(set(words)),
                                             type=pa.string()))

@@ -178,7 +178,9 @@ WITH toks AS (
   FROM documents
 ), m AS (
   SELECT doc_id,
-         len(list_filter(t, w -> lower(w) IN ('slow', 'stream', 'vector')))
+         len(list_filter(t, w ->
+             regexp_replace(lower(w), '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+             IN ('slow', 'stream', 'vector')))
            AS n_blocked
   FROM toks
 )
@@ -324,6 +326,74 @@ FROM verdict
 """
 
 
+# Gopher repetition thresholds (Rae et al. 2021 Table A1), as integer
+# percent numerators for exact cross-multiplied comparisons:
+# fraction > th/100  <=>  chars * 100 > th * total_chars
+GOPHER_TOP_THRESH = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_THRESH = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+# the composite pipeline's blocklist: a RARE corpus word, so the C4 /
+# Gopher rules carry most verdicts and the blocklist drops a visible
+# handful (q_blocklist_filter above demonstrates the high-hit case)
+WEBTEXT_BLOCKLIST = ("dup",)
+
+
+def webtext_verdict(cleaned: pd.Series,
+                    blocklist=WEBTEXT_BLOCKLIST) -> pd.DataFrame:
+    """Blocklist + Gopher-threshold verdict over already-line-cleaned
+    text (the post-C4 half of q_webtext_clean, factored out so the
+    dup-{5..10} branches are unit-testable without the derivation
+    layer). Returns n_tokens, keep, drop_reason ('' | 'blocklist' |
+    'top_{2,3,4}gram' | 'dup_{5..10}gram')."""
+    from cld2_ray.functions.quality import blocklist_filter
+    from cld2_ray.functions.textstats import gopher_repetition_full
+    bl = blocklist_filter(cleaned, blocklist)
+    gf = gopher_repetition_full(cleaned)
+    tc = gf["total_chars"].to_numpy()
+    reason = np.full(len(cleaned), "", dtype=object)
+    # assign in REVERSE priority so higher-priority rules overwrite
+    for n in (10, 9, 8, 7, 6, 5):
+        bad = gf[f"dup{n}_cov_chars"].to_numpy() * 100 \
+            > GOPHER_DUP_THRESH[n] * tc
+        reason[bad] = f"dup_{n}gram"
+    for n in (4, 3, 2):
+        bad = gf[f"top{n}_chars"].to_numpy() * 100 \
+            > GOPHER_TOP_THRESH[n] * tc
+        reason[bad] = f"top_{n}gram"
+    reason[~bl["keep"].to_numpy()] = "blocklist"
+    return pd.DataFrame({"n_tokens": gf["n_tokens"],
+                         "keep": reason == "",
+                         "drop_reason": reason})
+
+
+def q_webtext_clean(sf_dir):
+    """The quality_filter tier end-to-end: C4 line-level cleaning →
+    bad-words blocklist → full-Gopher repetition thresholds, all over
+    the CLEANED text, in ONE map-only pass per batch (zero shuffle —
+    at 100 TB this is the embarrassingly-parallel front of the
+    pipeline; every stage is the already-tested operator kernel).
+    drop_reason priority: the C4 page verdict, then blocklist, then
+    top-{2,3,4}-gram mass, then dup-{5..10}-gram coverage."""
+    from cld2_ray.functions.quality import c4_line_filter
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ml = pd.Series(_derived_lines(t).to_pylist())
+        c4 = c4_line_filter(ml)
+        v = webtext_verdict(c4["kept_text"])
+        reason = v["drop_reason"].to_numpy()
+        c4r = c4["drop_reason"].to_numpy()
+        reason = np.where(c4r != "", c4r, reason)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_kept_lines": c4["n_kept_lines"],
+            "n_tokens": v["n_tokens"],
+            "kept_chars": c4["kept_chars"],
+            "keep": reason == "",
+            "drop_reason": reason}), preserve_index=False)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def q_gopher_full(sf_dir):
     """The FULL Gopher repetition set (Rae et al. 2021 Table A1):
     most-frequent-{2,3,4}-gram mass plus duplicated-{5..10}-gram
@@ -424,6 +494,52 @@ LEFT JOIN tops tp USING (doc_id)
 LEFT JOIN covc cc USING (doc_id)
 GROUP BY b.doc_id, b.n_tokens, b.total_chars
 """
+
+
+# Composed oracle: the three operator SQL mirrors chained over the
+# CLEANED text (c4.kept_text), exactly like the Ray pass. The gopher /
+# blocklist mirrors read "FROM documents" in exactly one place each —
+# re-pointed at the cleaned CTE by replace() (kept out of f-strings:
+# the C4 SQL contains literal braces).
+SQL_WEBTEXT_CLEAN = (
+    "WITH c4 AS (" + SQL_C4_LINE_FILTER + "),\n"
+    "cleaned AS (SELECT doc_id, kept_text AS text FROM c4),\n"
+    "gop AS ("
+    + SQL_GOPHER_FULL.replace("FROM documents", "FROM cleaned") + "),\n"
+    "bl AS ("
+    + SQL_BLOCKLIST_FILTER
+        .replace("FROM documents", "FROM cleaned")
+        .replace("'slow', 'stream', 'vector'", "'dup'")
+    + "),\n"
+    """verdict AS (
+  SELECT c4.doc_id,
+    CAST(c4.n_kept_lines AS BIGINT) AS n_kept_lines,
+    CAST(gop.n_tokens AS BIGINT) AS n_tokens,
+    CAST(c4.kept_chars AS BIGINT) AS kept_chars,
+    CASE WHEN c4.drop_reason != '' THEN c4.drop_reason
+         WHEN NOT bl.keep THEN 'blocklist'
+         WHEN gop.top2_chars * 100 > 20 * gop.total_chars THEN 'top_2gram'
+         WHEN gop.top3_chars * 100 > 18 * gop.total_chars THEN 'top_3gram'
+         WHEN gop.top4_chars * 100 > 16 * gop.total_chars THEN 'top_4gram'
+         WHEN gop.dup5_cov_chars * 100 > 15 * gop.total_chars
+           THEN 'dup_5gram'
+         WHEN gop.dup6_cov_chars * 100 > 14 * gop.total_chars
+           THEN 'dup_6gram'
+         WHEN gop.dup7_cov_chars * 100 > 13 * gop.total_chars
+           THEN 'dup_7gram'
+         WHEN gop.dup8_cov_chars * 100 > 12 * gop.total_chars
+           THEN 'dup_8gram'
+         WHEN gop.dup9_cov_chars * 100 > 11 * gop.total_chars
+           THEN 'dup_9gram'
+         WHEN gop.dup10_cov_chars * 100 > 10 * gop.total_chars
+           THEN 'dup_10gram'
+         ELSE '' END AS drop_reason
+  FROM c4 JOIN gop USING (doc_id) JOIN bl USING (doc_id)
+)
+SELECT doc_id, n_kept_lines, n_tokens, kept_chars,
+       drop_reason = '' AS keep, drop_reason
+FROM verdict
+""")
 
 
 SQL_TOKEN_STATS = f"""
@@ -2941,13 +3057,13 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "langid_documents": q_langid_documents,
     "top_longest": q_top_longest,
-    "length_histogram": q_length_histogram,
     "source_jsonl": q_source_jsonl,
     # new in r5 (never driver-checked -> head of the window)
     "gopher_repetition": q_gopher_repetition,
     "gopher_full": q_gopher_full,
     "c4_line_filter": q_c4_line_filter,
     "blocklist_filter": q_blocklist_filter,
+    "webtext_clean": q_webtext_clean,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
@@ -3008,11 +3124,13 @@ QUERIES = {
     # for gopher_repetition at the head. stopword_counts,
     # partitioned_sink and source_csv (all r4-green) moved down for
     # the r5 quality-filter additions (gopher_full, c4_line_filter,
-    # blocklist_filter); each keeps an in-window family sibling
-    # (token_freq_top50 / lang_counts / source_jsonl)
+    # blocklist_filter, webtext_clean); each keeps an in-window family
+    # sibling (token_freq_top50 / lang_counts / source_jsonl /
+    # length_cdf's r4 row for length_histogram)
     "stopword_counts": q_stopword_counts,
     "partitioned_sink": q_partitioned_sink,
     "source_csv": q_source_csv,
+    "length_histogram": q_length_histogram,
     "media_decode": q_media_decode,
     "click_buyers": q_click_buyers,
     "epoch_shuffle": q_epoch_shuffle,
@@ -3061,6 +3179,7 @@ ORACLE_SQL = {
     "gopher_full": SQL_GOPHER_FULL,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "webtext_clean": SQL_WEBTEXT_CLEAN,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,

@@ -42,7 +42,8 @@ QUERIES = [
     "orders_per_customer", "part_brand_stats", "ann_top1", "ivf_topk",
     "knn_classify", "embedding_label_stats",
     "url_canonical_dedup", "domain_stats", "minhash_fast",
-    "gopher_repetition",
+    "gopher_repetition", "gopher_full", "c4_line_filter",
+    "blocklist_filter", "webtext_clean",
 ]
 
 

@@ -190,10 +190,12 @@ class TestBlocklistFilter:
         from cld2_ray.functions.quality import blocklist_filter
         got = blocklist_filter(
             pd.Series(["clean page here", "a SLOW page", "slow slow go",
-                       "", None, "slowly does it"]),
+                       "", None, "slowly does it", 'so "Slow." it ends',
+                       "(slow)"]),
             ["slow"])
-        assert list(got.n_blocked_tokens) == [0, 1, 2, 0, 0, 0]
-        assert list(got.keep) == [True, False, False, True, True, True]
+        assert list(got.n_blocked_tokens) == [0, 1, 2, 0, 0, 0, 1, 1]
+        assert list(got.keep) == [True, False, False, True, True, True,
+                                  False, False]
 
     def test_oracle_parity(self):
         import duckdb
@@ -213,3 +215,43 @@ class TestBlocklistFilter:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want[got.columns],
             check_dtype=False)
+
+
+class TestWebtextVerdict:
+    def test_dup_and_top_thresholds(self):
+        """Every Gopher threshold branch fires on a crafted doc, in the
+        documented priority. Thresholds are the Rae et al. 2021 Table
+        A1 percentages via exact integer cross-multiplication."""
+        import pandas as pd
+        from cld2_ray.pipelines.queries import webtext_verdict
+
+        # two distinct 5-grams repeated twice + 30 distinct fillers:
+        # n=50 1-char tokens, total_chars=99. dup5 = 20/99 > 15%;
+        # top4 = 14/99 <= 16%, top3 = 10/99 <= 18%, top2 = 6/99 <= 20%.
+        fill = [chr(ord('A') + i) for i in range(30)]
+        doc_dup5 = " ".join(["v w x y z"] * 2 + ["p q r s t"] * 2 + fill)
+        docs = pd.Series([
+            "the cat " * 30,                 # top2 66% -> top_2gram
+            doc_dup5,                        # -> dup_5gram
+            "a b c " * 30,                   # 'a b' 30x = 50% -> top_2gram
+            " ".join(f"w{i}" for i in range(40)),  # all distinct -> keep
+            "",                              # empty -> keep (no signal)
+            "contains the dup word here",    # blocklist beats gopher
+        ])
+        v = webtext_verdict(docs)
+        assert list(v.drop_reason) == [
+            "top_2gram", "dup_5gram", "top_2gram", "", "", "blocklist"]
+        assert list(v.keep) == [False, False, False, True, True, False]
+
+    def test_dup_priority_on_long_repeat(self):
+        """A repeated 10-gram trips every dup-{5..10} threshold (same
+        coverage, descending thresholds); dup_5gram must win by
+        priority. 20 repeat tokens + 30 1-char fillers: n=50,
+        total_chars=99 — dup cov 20/99 > 15%, top4 14/99 <= 16%."""
+        import pandas as pd
+        from cld2_ray.pipelines.queries import webtext_verdict
+        g10 = "q w e r t y u i o p"
+        fill = [chr(ord('A') + i) for i in range(30)]
+        doc = " ".join([g10, g10] + fill)
+        v = webtext_verdict(pd.Series([doc]))
+        assert v.drop_reason[0] == "dup_5gram"
