@@ -220,8 +220,12 @@ def gopher_repetition(texts: pd.Series) -> pd.DataFrame:
          "dup3_windows": out[:, 4], "dup3_cov_tokens": out[:, 5]},
         index=texts.index)
 
-def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
-    """The FULL Gopher repetition-filter signal set (Rae et al. 2021,
+def _gopher_full_perdoc(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc reference implementation of gopher_repetition_full
+    (kept as the parity oracle in tests — the production function
+    below is the batch-vectorized rewrite, pinned bit-equal).
+
+    The FULL Gopher repetition-filter signal set (Rae et al. 2021,
     "Scaling Language Models", Table A1): for n = 2, 3, 4 the mass of
     the most frequent word n-gram, and for n = 5..10 the characters
     covered by duplicated n-grams (grams occurring >= 2x in the doc),
@@ -296,3 +300,129 @@ def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
                     out[r, 8 + (ng - 5)] = int(L[covered].sum())
     return pd.DataFrame(
         {c: out[:, i] for i, c in enumerate(cols)}, index=texts.index)
+
+def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
+    """Batch-vectorized gopher_repetition_full: identical output to
+    _gopher_full_perdoc (pinned in tests), with three scale moves:
+
+    * tokenization runs on Arrow RE2 kernels (utf8_trim +
+      split_pattern_regex + list_flatten — the same engine the DuckDB
+      oracle uses), not a Python loop;
+    * n-gram identity is doc-scoped — (doc_index << 32 | token_id)
+      uniqued once — so ONE factorize per n-gram order serves the
+      whole batch; windows straddling a doc boundary chain doc-scoped
+      ids from two docs (a value no within-doc window can take) and
+      are masked from every statistic;
+    * levels 5..10 run SPARSE: a duplicated n-gram requires its
+      (n-1)-gram prefix AND suffix to be duplicated, so each dup
+      level only factorizes windows whose two sub-windows survived
+      the previous level with count >= 2 — on real webtext the
+      candidate set collapses after n=4 and the dup levels are
+      near-free.
+
+    Per-doc reductions are bincount / maximum.at scatter ops.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = texts.fillna("")
+    arr = pc.utf8_trim(pa.Array.from_pandas(t), TRIM_CHARS)
+    ndoc = len(t)
+    cols = (["n_tokens", "total_chars"]
+            + [f"top{n}_{k}" for n in (2, 3, 4)
+               for k in ("count", "chars")]
+            + [f"dup{n}_cov_chars" for n in range(5, 11)])
+    out = np.zeros((ndoc, len(cols)), dtype=np.int64)
+
+    def frame():
+        return pd.DataFrame(
+            {name: out[:, i] for i, name in enumerate(cols)},
+            index=texts.index)
+
+    toks = pc.split_pattern_regex(arr, r"\s+")
+    counts = pc.list_value_length(toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    # split('') is [''] — drop that token for fully-empty docs (the
+    # shared contract counts them as zero-token documents)
+    empty = pc.equal(arr, "").to_numpy(zero_copy_only=False)
+    if empty.any():
+        keep = ~empty[parent]
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        counts[empty] = 0
+    nf = len(flat)
+    out[:, 0] = counts
+    if nf == 0:
+        return frame()
+    ids = flat.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    L = pc.utf8_length(flat) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    didx = parent
+    out[:, 1] = np.bincount(didx, weights=L, minlength=ndoc) \
+        .astype(np.int64) + np.maximum(counts - 1, 0)
+    if nf < 2:
+        return frame()
+    inv0 = pd.factorize((didx << np.int64(32)) | ids)[0].astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(L)])
+    inv = inv0
+    c = None
+    # full levels 2..4: the top-gram stats need every window count
+    for ng in range(2, 5):
+        if nf < ng:
+            break
+        p = (inv[:-1] << np.int64(32)) | inv0[ng - 1:]
+        inv, u = pd.factorize(p)
+        inv = inv.astype(np.int64)
+        c = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        nw = nf - ng + 1
+        valid = didx[:nw] == didx[ng - 1:]
+        if not valid.any():
+            continue
+        cw = c[inv]
+        wdoc = didx[:nw]
+        top = np.zeros(ndoc, np.int64)
+        np.maximum.at(top, wdoc[valid], cw[valid])
+        wchars = cs[ng:] - cs[:-ng] + (ng - 1)
+        sel = valid & (cw == top[wdoc])
+        tch = np.zeros(ndoc, np.int64)
+        np.maximum.at(tch, wdoc[sel], cw[sel] * wchars[sel])
+        col = 2 + (ng - 2) * 2
+        out[:, col] = top
+        out[:, col + 1] = tch
+    # sparse dup levels 5..10 over surviving candidate windows
+    if nf >= 5 and c is not None:
+        nw4 = nf - 3
+        valid4 = didx[:nw4] == didx[3:]
+        code = np.where(valid4 & (c[inv] >= 2), inv, -1)
+        for ng in range(5, 11):
+            if nf < ng:
+                break
+            nw = nf - ng + 1
+            cand = np.nonzero((code[:nw] >= 0) & (code[1:nw + 1] >= 0)
+                              & (didx[:nw] == didx[ng - 1:]))[0]
+            if len(cand) == 0:
+                code = np.full(nw, -1, np.int64)
+                continue
+            p = (code[cand] << np.int64(32)) | inv0[cand + ng - 1]
+            sinv, su = pd.factorize(p)
+            sc = np.bincount(sinv, minlength=len(su)).astype(np.int64)
+            m = sc[sinv] >= 2
+            if m.any():
+                # union of [i, i+ng) over marked windows: difference
+                # array; marked intervals never cross a doc boundary
+                starts = cand[m]
+                delta = np.zeros(nf + ng, np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, starts + ng, -1)
+                covered = np.cumsum(delta[:nf]) > 0
+                out[:, 8 + (ng - 5)] = np.bincount(
+                    didx[covered], weights=L[covered],
+                    minlength=ndoc).astype(np.int64)
+            newcode = np.full(nw, -1, np.int64)
+            newcode[cand[m]] = sinv[m]
+            code = newcode
+    return frame()

@@ -181,3 +181,22 @@ class TestGopherFull:
             assert r[f"dup{n}_cov_chars"] == 20   # 20 1-char tokens
         # top4: 'u v w x' etc occur 2x; chars = 2 * 7
         assert (r.top4_count, r.top4_chars) == (2, 14)
+
+    def test_vectorized_equals_perdoc(self):
+        """The batch-vectorized production path is bit-equal to the
+        per-doc reference on a randomized small-vocab corpus (the
+        boilerplate regime where cross-doc gram collisions would
+        show) plus the unicode/whitespace edges."""
+        import numpy as np
+        import pandas as pd
+        from cld2_ray.functions.textstats import (
+            _gopher_full_perdoc, gopher_repetition_full)
+        rng = np.random.default_rng(11)
+        vocab = np.array(["w%d" % i for i in range(12)])
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 80)))
+                for _ in range(800)]
+        docs += ["", None, "x", "\ta b\t", "a  b   a  b",
+                 "héé wörld héé wörld", " ".join(["u v w x y z"] * 4)]
+        s = pd.Series(docs)
+        pd.testing.assert_frame_equal(
+            gopher_repetition_full(s), _gopher_full_perdoc(s))
