@@ -468,14 +468,14 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
     c_np = np.bincount(parent, weights=nopunct, minlength=n).astype(np.int64)
     n_kept = n_lines - c_js - c_few - c_np
 
-    # rebuild kept text: one groupby-join over the kept rows only
-    kept_text = np.full(n, "", dtype=object)
-    kmask = keep_line
-    if kmask.any():
-        kf = pd.Series(flat.to_numpy(zero_copy_only=False)[kmask])
-        joined = kf.groupby(parent[kmask]).agg("\n".join)
-        kept_text[joined.index.to_numpy()] = joined.to_numpy()
-    kept_arr = pa.array(kept_text, type=pa.string())
+    # rebuild kept text in C++: kept lines are already in (doc, line)
+    # order, so re-list them with per-doc kept counts and binary_join
+    kept_flat = flat.filter(pa.array(keep_line))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=offsets[1:])
+    kept_arr = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, kept_flat), "\n")
+    kept_text = kept_arr.to_numpy(zero_copy_only=False)
 
     n_sent = pc.count_substring_regex(kept_arr, "[.!?]") \
         .to_numpy(zero_copy_only=False).astype(np.int64)
