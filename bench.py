@@ -130,7 +130,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                  "ann_top1", "embedding_near_pairs", "decontaminate",
                  "incremental_dedup", "epoch_shuffle",
                  "url_canonical_dedup", "domain_stats",
-                 "substring_dedup"):
+                 "substring_dedup", "webtext_clean"):
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "to_pandas"):
