@@ -535,3 +535,60 @@ def blocklist_filter(texts: pd.Series,
     # and '' is not a blocklist word)
     return pd.DataFrame({"n_blocked_tokens": n_blocked,
                          "keep": n_blocked == 0}, index=texts.index)
+
+
+def dedup_lines_within_doc(texts: pd.Series) -> pd.DataFrame:
+    """Within-document duplicate-line removal (the removal form of
+    Gopher's duplicate-line filters, Rae et al. 2021 §A1.1): every
+    repeat of an earlier NON-EMPTY line in the same document is
+    dropped; first occurrences and empty lines pass through, order
+    preserved. Returns the Gopher numerators alongside the cleaned
+    text: ``dup_line_count`` / ``dup_line_chars`` are the repeats
+    beyond each first occurrence (the "fraction of characters in
+    duplicate lines" numerator; divide by the original text length).
+
+    Vectorized: Arrow split + dictionary_encode give batch-wide line
+    ids; doc-scoped first occurrences come from one np.unique over
+    (doc_index << 32 | line_id); the cleaned text is re-joined in C++
+    (ListArray + binary_join). Lines are compared exactly as split —
+    no trimming — so the SQL mirror is a plain equality group.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = texts.fillna("")
+    arr = pa.Array.from_pandas(t)
+    n = len(t)
+    lines = pc.split_pattern(arr, "\n")
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+
+    ids = flat.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    packed = (parent.astype(np.int64) << np.int64(32)) | ids
+    _, first_idx = np.unique(packed, return_index=True)
+    keep = np.zeros(len(ids), dtype=bool)
+    keep[first_idx] = True
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    keep |= ~nonempty          # empty lines always pass through
+
+    L = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    drop = ~keep
+    dup_count = np.bincount(parent[drop], minlength=n).astype(np.int64)
+    dup_chars = np.bincount(parent[drop], weights=L[drop],
+                            minlength=n).astype(np.int64)
+
+    kept_flat = flat.filter(pa.array(keep))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_lines - dup_count, out=offsets[1:])
+    cleaned = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, kept_flat), "\n") \
+        .to_numpy(zero_copy_only=False)
+    return pd.DataFrame({
+        "n_lines": n_lines,
+        "dup_line_count": dup_count,
+        "dup_line_chars": dup_chars,
+        "cleaned_text": cleaned,
+    }, index=texts.index)

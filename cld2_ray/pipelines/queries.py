@@ -394,6 +394,99 @@ def q_webtext_clean(sf_dir):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def _derived_dup_lines(t: pa.Table) -> pa.Array:
+    """Multi-line text with guaranteed duplicate lines: tokens grouped
+    into 4-word lines; every line j with (doc_id + j) % 3 == 0 is
+    emitted twice (adjacent repeat). Mirrored in
+    SQL_LINE_DEDUP's derivation CTEs."""
+    from cld2_ray.functions.textstats import TRIM_CHARS, _WS
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    out = []
+    for did, s in zip(d, texts):
+        did = int(did)
+        s = (s or "").strip(TRIM_CHARS)
+        toks = _WS.split(s) if s else []
+        lines = []
+        for j in range((len(toks) + 3) // 4):
+            body = " ".join(toks[j * 4:(j + 1) * 4])
+            lines.append(body)
+            if (did + j) % 3 == 0:
+                lines.append(body)
+        out.append("\n".join(lines))
+    return pa.array(out, type=pa.string())
+
+
+def q_line_dedup(sf_dir):
+    """Within-document duplicate-line REMOVAL (the removal form of
+    Gopher's duplicate-line filters): repeats of earlier non-empty
+    lines are dropped, first occurrences kept in order, and the
+    Gopher dup-line numerators (count + chars of the removed repeats)
+    returned beside the cleaned text (functions/quality.
+    dedup_lines_within_doc — Arrow split/dictionary-encode, one
+    np.unique, C++ re-join). Map-only, no shuffle."""
+    from cld2_ray.functions.quality import dedup_lines_within_doc
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ml = _derived_dup_lines(t)
+        out = dedup_lines_within_doc(pd.Series(ml.to_pylist()))
+        out.insert(0, "doc_id", t["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = ''
+         THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), lj AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+             CAST(ceil(n / 4.0) AS BIGINT) - 1)) AS j
+  FROM base WHERE n > 0
+), body AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(t, j * 4 + 1, least((j + 1) * 4, n)),
+                         ' ') AS line
+  FROM lj
+), withdup AS (
+  SELECT doc_id, line, j * 2 AS ord FROM body
+  UNION ALL
+  SELECT doc_id, line, j * 2 + 1 AS ord FROM body
+  WHERE (doc_id + j) % 3 = 0
+), page AS (
+  SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY ord), '')
+           AS text
+  FROM base LEFT JOIN withdup USING (doc_id) GROUP BY doc_id
+),
+-- derivation above; the mirrored line-dedup below
+lines2 AS (
+  SELECT doc_id, ls[k] AS l, k FROM (
+    SELECT doc_id, string_split(text, chr(10)) AS ls,
+           unnest(generate_series(1, len(string_split(text, chr(10))))) AS k
+    FROM page)
+), marked AS (
+  SELECT doc_id, l, k,
+         (l != '' AND k > min(k) OVER (PARTITION BY doc_id, l)) AS dropped
+  FROM lines2
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+    AS dup_line_count,
+  CAST(coalesce(sum(CASE WHEN dropped THEN length(l) END), 0) AS BIGINT)
+    AS dup_line_chars,
+  coalesce(string_agg(CASE WHEN NOT dropped THEN l END,
+                      chr(10) ORDER BY k), '') AS cleaned_text
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_gopher_full(sf_dir):
     """The FULL Gopher repetition set (Rae et al. 2021 Table A1):
     most-frequent-{2,3,4}-gram mass plus duplicated-{5..10}-gram
@@ -3056,7 +3149,6 @@ FROM documents GROUP BY 1
 QUERIES = {
     "lang_counts": q_lang_counts,
     "langid_documents": q_langid_documents,
-    "top_longest": q_top_longest,
     "source_jsonl": q_source_jsonl,
     # new in r5 (never driver-checked -> head of the window)
     "gopher_repetition": q_gopher_repetition,
@@ -3064,6 +3156,7 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "blocklist_filter": q_blocklist_filter,
     "webtext_clean": q_webtext_clean,
+    "line_dedup": q_line_dedup,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
@@ -3126,11 +3219,13 @@ QUERIES = {
     # the r5 quality-filter additions (gopher_full, c4_line_filter,
     # blocklist_filter, webtext_clean); each keeps an in-window family
     # sibling (token_freq_top50 / lang_counts / source_jsonl /
-    # length_cdf's r4 row for length_histogram)
+    # length_cdf's r4 row for length_histogram / token_freq_top50's
+    # sort+limit for top_longest)
     "stopword_counts": q_stopword_counts,
     "partitioned_sink": q_partitioned_sink,
     "source_csv": q_source_csv,
     "length_histogram": q_length_histogram,
+    "top_longest": q_top_longest,
     "media_decode": q_media_decode,
     "click_buyers": q_click_buyers,
     "epoch_shuffle": q_epoch_shuffle,
@@ -3180,6 +3275,7 @@ ORACLE_SQL = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "webtext_clean": SQL_WEBTEXT_CLEAN,
+    "line_dedup": SQL_LINE_DEDUP,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,

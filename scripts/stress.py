@@ -43,7 +43,7 @@ QUERIES = [
     "knn_classify", "embedding_label_stats",
     "url_canonical_dedup", "domain_stats", "minhash_fast",
     "gopher_repetition", "gopher_full", "c4_line_filter",
-    "blocklist_filter", "webtext_clean",
+    "blocklist_filter", "webtext_clean", "line_dedup",
 ]
 
 

@@ -255,3 +255,47 @@ class TestWebtextVerdict:
         doc = " ".join([g10, g10] + fill)
         v = webtext_verdict(pd.Series([doc]))
         assert v.drop_reason[0] == "dup_5gram"
+
+
+class TestLineDedup:
+    def test_basic(self):
+        import pandas as pd
+        from cld2_ray.functions.quality import dedup_lines_within_doc
+        r = dedup_lines_within_doc(pd.Series(
+            ["a\nb\na\n\n\nb\nc", "", None, "x\nx\nx", "one\ntwo"]))
+        assert list(r.cleaned_text) == ["a\nb\n\n\nc", "", "", "x",
+                                        "one\ntwo"]
+        assert list(r.dup_line_count) == [2, 0, 0, 2, 0]
+        assert list(r.dup_line_chars) == [2, 0, 0, 2, 0]
+
+    def test_empty_lines_pass_through(self):
+        """Blank separator lines are structural, not boilerplate —
+        repeats of '' are kept."""
+        import pandas as pd
+        from cld2_ray.functions.quality import dedup_lines_within_doc
+        r = dedup_lines_within_doc(pd.Series(["p\n\nq\n\np"]))
+        assert r.cleaned_text[0] == "p\n\nq\n"
+        assert r.dup_line_count[0] == 1
+
+    def test_oracle_parity(self):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        from cld2_ray.functions.quality import dedup_lines_within_doc
+        from cld2_ray.pipelines.queries import (
+            SQL_LINE_DEDUP, _derived_dup_lines)
+        docs = ["alpha beta gamma delta epsilon zeta eta theta",
+                "one two", "", "x " * 17, None]
+        df = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4],
+                           "text": pd.Series(docs, dtype=object)})
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        got = dedup_lines_within_doc(
+            pd.Series(_derived_dup_lines(t).to_pylist()))
+        got.insert(0, "doc_id", df["doc_id"])
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(SQL_LINE_DEDUP).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want[got.columns],
+            check_dtype=False)
