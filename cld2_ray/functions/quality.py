@@ -445,7 +445,7 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
     from cld2_ray.functions.textstats import TRIM_CHARS
 
     t = texts.fillna("")
-    arr = pa.Array.from_pandas(t)
+    arr = pa.array(t, type=pa.string(), from_pandas=True)
     lines = pc.split_pattern(arr, "\n")
     flat = pc.utf8_trim(pc.list_flatten(lines), TRIM_CHARS)
     parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
@@ -518,7 +518,7 @@ def blocklist_filter(texts: pd.Series,
     from cld2_ray.functions.textstats import TRIM_CHARS
 
     t = texts.fillna("")
-    arr = pc.utf8_trim(pa.Array.from_pandas(t), TRIM_CHARS)
+    arr = pc.utf8_trim(pa.array(t, type=pa.string(), from_pandas=True), TRIM_CHARS)
     toks = pc.split_pattern_regex(arr, r"\s+")
     flat = pc.utf8_lower(pc.list_flatten(toks))
     # edge-punctuation strip (ASCII classes — mirrors the RE2 the
@@ -557,7 +557,7 @@ def dedup_lines_within_doc(texts: pd.Series) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     t = texts.fillna("")
-    arr = pa.Array.from_pandas(t)
+    arr = pa.array(t, type=pa.string(), from_pandas=True)
     n = len(t)
     lines = pc.split_pattern(arr, "\n")
     flat = pc.list_flatten(lines)

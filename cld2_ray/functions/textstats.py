@@ -326,7 +326,7 @@ def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     t = texts.fillna("")
-    arr = pc.utf8_trim(pa.Array.from_pandas(t), TRIM_CHARS)
+    arr = pc.utf8_trim(pa.array(t, type=pa.string(), from_pandas=True), TRIM_CHARS)
     ndoc = len(t)
     cols = (["n_tokens", "total_chars"]
             + [f"top{n}_{k}" for n in (2, 3, 4)

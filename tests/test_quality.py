@@ -299,3 +299,115 @@ class TestLineDedup:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want[got.columns],
             check_dtype=False)
+
+
+class TestQualityFuzz:
+    """Hypothesis parity: the vectorized Arrow kernels vs naive
+    per-document Python references, over adversarial unicode text."""
+
+    # RE2's \S — the kernels and the DuckDB oracle share RE2, whose
+    # \s is exactly [\t\n\f\r ] (no \v, no unicode spaces)
+    _RE2_NONSPACE = r"[^\t\n\f\r ]+"
+
+    @staticmethod
+    def _c4_ref(doc):
+        import re
+        from cld2_ray.functions.textstats import TRIM_CHARS
+        js = re.compile(r"(^|[^a-z])javascript([^a-z]|$)")
+        lines = [l.strip(TRIM_CHARS) for l in (doc or "").split("\n")]
+        kept, c_js, c_few, c_np = [], 0, 0, 0
+        for l in lines:
+            if js.search(l.lower()):
+                c_js += 1
+            elif len(re.findall(TestQualityFuzz._RE2_NONSPACE, l)) < 5:
+                c_few += 1
+            elif not re.search(r'[.!?"”]$', l):
+                c_np += 1
+            else:
+                kept.append(l)
+        kt = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", kt))
+        low = (doc or "").lower()
+        if "lorem ipsum" in low:
+            reason = "lorem_ipsum"
+        elif "{" in (doc or ""):
+            reason = "brace"
+        elif n_sent < 3:
+            reason = "too_few_sentences"
+        else:
+            reason = ""
+        return (len(lines), len(kept), c_js, c_few, c_np, n_sent,
+                len(kt), reason, kt)
+
+    def _hyp_docs(self):
+        from hypothesis import strategies as st
+        word = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",),
+                                   blacklist_characters="\x00"),
+            min_size=1, max_size=8)
+        line = st.lists(word, max_size=9).map(" ".join)
+        return st.lists(
+            st.lists(line, max_size=6).map("\n".join), max_size=8)
+
+    def test_c4_matches_reference(self):
+        import pandas as pd
+        from hypothesis import given, settings
+        from cld2_ray.functions.quality import c4_line_filter
+
+        @settings(max_examples=150, deadline=None)
+        @given(self._hyp_docs())
+        def run(docs):
+            got = c4_line_filter(pd.Series(docs, dtype=object))
+            for i, d in enumerate(docs):
+                want = self._c4_ref(d)
+                r = got.iloc[i]
+                assert (r.n_lines, r.n_kept_lines, r.drop_javascript,
+                        r.drop_few_words, r.drop_no_punct, r.n_sentences,
+                        r.kept_chars, r.drop_reason, r.kept_text) == want
+        run()
+
+    def test_line_dedup_matches_reference(self):
+        import pandas as pd
+        from hypothesis import given, settings
+        from cld2_ray.functions.quality import dedup_lines_within_doc
+
+        @settings(max_examples=150, deadline=None)
+        @given(self._hyp_docs())
+        def run(docs):
+            got = dedup_lines_within_doc(pd.Series(docs, dtype=object))
+            for i, d in enumerate(docs):
+                lines = (d or "").split("\n")
+                seen, kept, dc, dch = set(), [], 0, 0
+                for l in lines:
+                    if l and l in seen:
+                        dc += 1
+                        dch += len(l)
+                    else:
+                        kept.append(l)
+                        seen.add(l)
+                r = got.iloc[i]
+                assert (r.n_lines, r.dup_line_count, r.dup_line_chars,
+                        r.cleaned_text) == (len(lines), dc, dch,
+                                            "\n".join(kept))
+        run()
+
+    def test_blocklist_matches_reference(self):
+        import re
+        import pandas as pd
+        from hypothesis import given, settings, strategies as st
+        from cld2_ray.functions.quality import blocklist_filter
+        from cld2_ray.functions.textstats import TRIM_CHARS
+        words = ("bad", "worse")
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(st.text(max_size=60), max_size=8))
+        def run(docs):
+            got = blocklist_filter(pd.Series(docs, dtype=object), words)
+            for i, d in enumerate(docs):
+                s = (d or "").strip(TRIM_CHARS)
+                toks = re.split(r"[\t\n\f\r ]+", s)
+                n = sum(1 for w in toks
+                        if re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "",
+                                  w.lower()) in words)
+                assert got.n_blocked_tokens[i] == n
+        run()
