@@ -411,13 +411,33 @@ def apply_rules(texts: pd.Series,
 # what remains.
 # ---------------------------------------------------------------------------
 
+def _rejoin_lines(flat, keep: np.ndarray, n_kept: np.ndarray):
+    """Re-join kept lines per document in C++: the exploded line
+    column is already in (doc, line) order, so filtering by the keep
+    mask and re-listing with per-doc kept counts reconstructs each
+    document; binary_join adds the separators. Shared by
+    c4_line_filter and dedup_lines_within_doc (one place owns the
+    LargeList-offset subtleties)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    kept_flat = flat.filter(pa.array(keep))
+    offsets = np.zeros(len(n_kept) + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=offsets[1:])
+    return pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, kept_flat), "\n")
+
+
 C4_MIN_LINE_WORDS = 5        # "only retained lines with >= 5 words"
 C4_MIN_SENTENCES = 3         # "discarded pages with < 3 sentences"
 # terminal punctuation a retained line must end with (period,
 # exclamation, question mark, end quotation mark)
 C4_TERMINAL = '[.!?"”]'
-# the word "javascript" (any case) drops the line
-_JS_PATTERN = r"(?i)(^|[^a-z])javascript([^a-z]|$)"
+# the word "javascript" (any case) drops the line. Matched on the
+# LOWERCASED line with a case-sensitive pattern — exactly what the SQL
+# oracle does with lower(l); RE2's (?i) would additionally simple-fold
+# U+017F/U+212A-style characters and diverge from lower() (review
+# finding, round 5)
+_JS_PATTERN = r"(^|[^a-z])javascript([^a-z]|$)"
 
 
 def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
@@ -451,7 +471,7 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
     parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
     n = len(t)
 
-    is_js = pc.match_substring_regex(flat, _JS_PATTERN) \
+    is_js = pc.match_substring_regex(pc.utf8_lower(flat), _JS_PATTERN) \
         .to_numpy(zero_copy_only=False)
     n_words = pc.count_substring_regex(flat, r"\S+") \
         .to_numpy(zero_copy_only=False)
@@ -468,13 +488,7 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
     c_np = np.bincount(parent, weights=nopunct, minlength=n).astype(np.int64)
     n_kept = n_lines - c_js - c_few - c_np
 
-    # rebuild kept text in C++: kept lines are already in (doc, line)
-    # order, so re-list them with per-doc kept counts and binary_join
-    kept_flat = flat.filter(pa.array(keep_line))
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(n_kept, out=offsets[1:])
-    kept_arr = pc.binary_join(
-        pa.LargeListArray.from_arrays(offsets, kept_flat), "\n")
+    kept_arr = _rejoin_lines(flat, keep_line, n_kept)
     kept_text = kept_arr.to_numpy(zero_copy_only=False)
 
     n_sent = pc.count_substring_regex(kept_arr, "[.!?]") \
@@ -499,7 +513,8 @@ def c4_line_filter(texts: pd.Series) -> pd.DataFrame:
 
 
 def blocklist_filter(texts: pd.Series,
-                     words: "frozenset[str] | list[str]") -> pd.DataFrame:
+                     words: "frozenset[str] | list[str]",
+                     _tok=None) -> pd.DataFrame:
     """C4-style bad-words page filter: a page is dropped when any
     whitespace token — lowercased, with leading/trailing ASCII
     punctuation stripped, so "Word." and "(word" match — is in the
@@ -515,24 +530,20 @@ def blocklist_filter(texts: pd.Series,
     """
     import pyarrow as pa
     import pyarrow.compute as pc
-    from cld2_ray.functions.textstats import TRIM_CHARS
+    from cld2_ray.functions.textstats import ws_token_table
 
-    t = texts.fillna("")
-    arr = pc.utf8_trim(pa.array(t, type=pa.string(), from_pandas=True), TRIM_CHARS)
-    toks = pc.split_pattern_regex(arr, r"\s+")
-    flat = pc.utf8_lower(pc.list_flatten(toks))
+    flat, parent, _counts = _tok if _tok is not None \
+        else ws_token_table(texts)
+    low = pc.utf8_lower(flat)
     # edge-punctuation strip (ASCII classes — mirrors the RE2 the
     # DuckDB oracle runs): 'word.' / '(word' / '"word!"' all match
-    flat = pc.replace_substring_regex(
-        flat, r"^[^a-z0-9]+|[^a-z0-9]+$", "")
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    hit = pc.is_in(flat, value_set=pa.array(sorted(set(words)),
-                                            type=pa.string()))
+    low = pc.replace_substring_regex(
+        low, r"^[^a-z0-9]+|[^a-z0-9]+$", "")
+    hit = pc.is_in(low, value_set=pa.array(sorted(set(words)),
+                                           type=pa.string()))
     n_blocked = np.bincount(
         parent, weights=hit.to_numpy(zero_copy_only=False),
-        minlength=len(t)).astype(np.int64)
-    # empty page -> zero tokens -> never blocked (split('') is [''],
-    # and '' is not a blocklist word)
+        minlength=len(texts)).astype(np.int64)
     return pd.DataFrame({"n_blocked_tokens": n_blocked,
                          "keep": n_blocked == 0}, index=texts.index)
 
@@ -580,11 +591,7 @@ def dedup_lines_within_doc(texts: pd.Series) -> pd.DataFrame:
     dup_chars = np.bincount(parent[drop], weights=L[drop],
                             minlength=n).astype(np.int64)
 
-    kept_flat = flat.filter(pa.array(keep))
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(n_lines - dup_count, out=offsets[1:])
-    cleaned = pc.binary_join(
-        pa.LargeListArray.from_arrays(offsets, kept_flat), "\n") \
+    cleaned = _rejoin_lines(flat, keep, n_lines - dup_count) \
         .to_numpy(zero_copy_only=False)
     return pd.DataFrame({
         "n_lines": n_lines,

@@ -23,9 +23,11 @@ import pandas as pd
 BPE_TOKEN_PATTERN = r" ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s]+"
 _BPE = re.compile(BPE_TOKEN_PATTERN)
 
-# ASCII \s to match RE2 (DuckDB string_split_regex): python's unicode
-# \s would also split at NBSP etc., which the oracle does not
-_WS = re.compile(r"\s+", re.ASCII)
+# RE2's \s EXACTLY ([\t\n\f\r ]) to match the DuckDB oracle's
+# string_split_regex: python's unicode \s would also split at NBSP
+# etc., and even re.ASCII \s includes \v, which RE2's does not
+# (review finding, round 5)
+_WS = re.compile(r"[\t\n\f\r ]+")
 
 # DuckDB trim() strips exactly the Unicode Zs space separators (probed:
 # 0x20/NBSP/ogham/en..hair spaces/NNBSP/MMSP/ideographic; NOT
@@ -301,7 +303,35 @@ def _gopher_full_perdoc(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {c: out[:, i] for i, c in enumerate(cols)}, index=texts.index)
 
-def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
+def ws_token_table(texts: pd.Series):
+    """Shared whitespace token table under the oracle contract
+    (utf8_trim + RE2 \\s+ split; fully-empty docs contribute ZERO
+    tokens — split('') is [''] and that token is dropped). Returns
+    (flat tokens pa.Array, parent doc-index int64[], per-doc counts
+    int64[]). One Arrow pass, reused by every token-level kernel so
+    pipelines composing several of them (webtext_verdict) tokenize
+    once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    t = texts.fillna("")
+    arr = pc.utf8_trim(pa.array(t, type=pa.string(), from_pandas=True),
+                       TRIM_CHARS)
+    toks = pc.split_pattern_regex(arr, r"\s+")
+    counts = pc.list_value_length(toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(arr, "").to_numpy(zero_copy_only=False)
+    if empty.any():
+        keep = ~empty[parent]
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        counts[empty] = 0
+    return flat, parent, counts
+
+
+def gopher_repetition_full(texts: pd.Series, _tok=None) -> pd.DataFrame:
     """Batch-vectorized gopher_repetition_full: identical output to
     _gopher_full_perdoc (pinned in tests), with three scale moves:
 
@@ -322,12 +352,9 @@ def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
 
     Per-doc reductions are bincount / maximum.at scatter ops.
     """
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    t = texts.fillna("")
-    arr = pc.utf8_trim(pa.array(t, type=pa.string(), from_pandas=True), TRIM_CHARS)
-    ndoc = len(t)
+    ndoc = len(texts)
     cols = (["n_tokens", "total_chars"]
             + [f"top{n}_{k}" for n in (2, 3, 4)
                for k in ("count", "chars")]
@@ -339,20 +366,8 @@ def gopher_repetition_full(texts: pd.Series) -> pd.DataFrame:
             {name: out[:, i] for i, name in enumerate(cols)},
             index=texts.index)
 
-    toks = pc.split_pattern_regex(arr, r"\s+")
-    counts = pc.list_value_length(toks) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    # split('') is [''] — drop that token for fully-empty docs (the
-    # shared contract counts them as zero-token documents)
-    empty = pc.equal(arr, "").to_numpy(zero_copy_only=False)
-    if empty.any():
-        keep = ~empty[parent]
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
-        counts[empty] = 0
+    flat, parent, counts = _tok if _tok is not None \
+        else ws_token_table(texts)
     nf = len(flat)
     out[:, 0] = counts
     if nf == 0:

@@ -346,9 +346,11 @@ def webtext_verdict(cleaned: pd.Series,
     layer). Returns n_tokens, keep, drop_reason ('' | 'blocklist' |
     'top_{2,3,4}gram' | 'dup_{5..10}gram')."""
     from cld2_ray.functions.quality import blocklist_filter
-    from cld2_ray.functions.textstats import gopher_repetition_full
-    bl = blocklist_filter(cleaned, blocklist)
-    gf = gopher_repetition_full(cleaned)
+    from cld2_ray.functions.textstats import (
+        gopher_repetition_full, ws_token_table)
+    tok = ws_token_table(cleaned)      # tokenize ONCE for both kernels
+    bl = blocklist_filter(cleaned, blocklist, _tok=tok)
+    gf = gopher_repetition_full(cleaned, _tok=tok)
     tc = gf["total_chars"].to_numpy()
     reason = np.full(len(cleaned), "", dtype=object)
     # assign in REVERSE priority so higher-priority rules overwrite

@@ -345,6 +345,11 @@ class TestQualityFuzz:
             alphabet=st.characters(blacklist_categories=("Cs",),
                                    blacklist_characters="\x00"),
             min_size=1, max_size=8)
+        # make sure the javascript rule is actually reachable: plain
+        # words alone can never spell the 10-char trigger
+        word = st.one_of(word, st.sampled_from(
+            ["javascript", "JavaScript", "JAVASCRIPT", "xjavascript",
+             "javascripty", "(javascript)", "ſjavascript"]))
         line = st.lists(word, max_size=9).map(" ".join)
         return st.lists(
             st.lists(line, max_size=6).map("\n".join), max_size=8)
