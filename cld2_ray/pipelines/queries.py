@@ -396,6 +396,42 @@ def q_webtext_clean(sf_dir):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+# domain blocklist for q_url_blocklist: residue-picked canonical hosts
+# (every 100th site id), so the filter provably drops a deterministic
+# slice. Production shape: the real list (Cloudflare/UT1-style, ~1e6
+# domains) is ray.put once and read per actor.
+BLOCKED_DOMAINS = tuple(f"site{i}.example.com" for i in range(0, 500, 100))
+
+
+def q_url_blocklist(sf_dir):
+    """URL/domain blocklist filter (the RefinedWeb-style URL filter
+    slot: drop documents whose registered domain is on a blocklist,
+    before any content processing). Pure pyarrow: canonical
+    registered_domain (functions/urltools) + one is_in against the
+    broadcast list. Map-only — the cheapest possible first gate at
+    100 TB because it prunes on the URL column alone (no text read:
+    note the column pruning below)."""
+    from cld2_ray.functions.urltools import registered_domain
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dom = registered_domain(_derived_urls(t))
+        hit = pc.is_in(dom, value_set=pa.array(BLOCKED_DOMAINS,
+                                               type=pa.string()))
+        return pa.table({"doc_id": t["doc_id"], "domain": dom,
+                         "keep": pc.invert(hit)})
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+SQL_URL_BLOCKLIST = """
+SELECT doc_id,
+       'site' || (doc_id % 500) || '.example.com' AS domain,
+       (doc_id % 500) % 100 != 0 AS keep
+FROM documents
+"""
+
+
 def _derived_dup_lines(t: pa.Table) -> pa.Array:
     """Multi-line text with guaranteed duplicate lines: tokens grouped
     into 4-word lines; every line j with (doc_id + j) % 3 == 0 is
@@ -3159,6 +3195,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "webtext_clean": q_webtext_clean,
     "line_dedup": q_line_dedup,
+    "url_blocklist": q_url_blocklist,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
@@ -3166,7 +3203,6 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "source_lang_matrix": q_source_lang_matrix,
     "token_stats": q_token_stats,
-    "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "segment_dedup": q_segment_dedup,
     "source_quota": q_source_quota,
@@ -3222,7 +3258,9 @@ QUERIES = {
     # blocklist_filter, webtext_clean); each keeps an in-window family
     # sibling (token_freq_top50 / lang_counts / source_jsonl /
     # length_cdf's r4 row for length_histogram / token_freq_top50's
-    # sort+limit for top_longest)
+    # sort+limit for top_longest / exact_dedup's md5 kernel for
+    # fingerprint)
+    "fingerprint": q_fingerprint,
     "stopword_counts": q_stopword_counts,
     "partitioned_sink": q_partitioned_sink,
     "source_csv": q_source_csv,
@@ -3278,6 +3316,7 @@ ORACLE_SQL = {
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "webtext_clean": SQL_WEBTEXT_CLEAN,
     "line_dedup": SQL_LINE_DEDUP,
+    "url_blocklist": SQL_URL_BLOCKLIST,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,
