@@ -47,7 +47,6 @@ STOPWORDS = (
     "и в не на с что он как по это"
 ).split()
 
-_WS = re.compile(r"\s+")
 
 
 _TOKEN = re.compile(r"\S+")
