@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode CPU count (omit on a cluster)")
     ap.add_argument("--min-pct1", type=int, default=50)
+    ap.add_argument("--debug-html", type=int, default=0, metavar="N",
+                    help="also write N per-document HTML debug pages "
+                         "(the reference's stderr debug stream, S4) "
+                         "under OUTPUT/debug/")
     args = ap.parse_args(argv)
 
     import ray
@@ -80,6 +84,14 @@ def main(argv=None) -> int:
 
     summary = cp.run_resumable(make_part, args.partitions, args.output,
                                flagship.build_fused)
+    if args.debug_html:
+        import os
+
+        from cld2_ray.pipelines.debughtml import write_debug_sample
+        n = write_debug_sample(make_part(0),
+                               os.path.join(args.output, "debug"),
+                               n=args.debug_html)
+        summary["debug_html_pages"] = n
     print(json.dumps({"output": args.output, **summary}))
     if owns_ray:
         ray.shutdown()
