@@ -432,6 +432,85 @@ FROM documents
 """
 
 
+SEQ_TOKENS = 256          # pack target: tokens per training sequence
+PACK_BUCKET_W = 4096      # doc_ids per scan bucket (see scale note)
+
+
+def q_pack_sequences(sf_dir):
+    """Training-sequence packing (the tokenize-and-pack step of an LLM
+    data pipeline): documents in doc_id order are laid head-to-tail
+    and cut into SEQ_TOKENS-token training sequences; each doc reports
+    the shard its first token lands in and its offset within it —
+    i.e. a GLOBAL prefix sum of token counts, computed distributed:
+
+    pass 1 (streaming): per-doc token counts -> per-bucket
+      (doc_id // PACK_BUCKET_W) partial sums — a tiny groupby
+      (corpus_docs / W rows) whose exclusive prefix scan runs on the
+      driver and is broadcast back in the task closure;
+    pass 2 (streaming): co-partition by bucket, sort by doc_id inside
+      each group, local cumsum + the bucket's base offset.
+
+    Scale notes: the driver table is bounded by W — at 10^12 docs set
+    W ~ 10^7 so the scan table stays ~10^5 rows; counts are
+    recomputed in pass 2 rather than materializing a corpus-length
+    intermediate (one extra tokenize pass beats 10^12 rows of object
+    store). The packing CONTRACT (doc_id order, exclusive prefix) is
+    what the SQL window mirror checks."""
+    from ray.data.aggregate import Sum
+    from cld2_ray.functions.textstats import ws_token_table
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        _f, _p, cnt = ws_token_table(pd.Series(t["text"].to_pylist()))
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(cnt, type=pa.int64()),
+                         "part_": pa.array(d // PACK_BUCKET_W,
+                                           type=pa.int64())})
+
+    cds = ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    sums = cds.groupby("part_").aggregate(
+        Sum("n_tokens", alias_name="tok")).to_pandas()
+    sums = sums.sort_values("part_")
+    prev = np.concatenate(
+        [[0], np.cumsum(sums["tok"].to_numpy(np.int64))[:-1]])
+    base = dict(zip(sums["part_"].tolist(), prev.tolist()))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        nt = g["n_tokens"].to_numpy(np.int64)
+        start = int(base[int(g["part_"].iloc[0])])
+        prevs = start + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": nt,
+            "shard_id": (prevs // SEQ_TOKENS).astype(np.int64),
+            "shard_offset": (prevs % SEQ_TOKENS).astype(np.int64)})
+
+    return cds.groupby("part_").map_groups(pack, batch_format="pandas")
+
+
+SQL_PACK_SEQUENCES = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+')) END AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev
+  FROM c
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prev // 256 AS BIGINT) AS shard_id,
+       CAST(prev % 256 AS BIGINT) AS shard_offset
+FROM s
+"""
+
+
 def _derived_dup_lines(t: pa.Table) -> pa.Array:
     """Multi-line text with guaranteed duplicate lines: tokens grouped
     into 4-word lines; every line j with (doc_id + j) % 3 == 0 is
@@ -3196,12 +3275,12 @@ QUERIES = {
     "webtext_clean": q_webtext_clean,
     "line_dedup": q_line_dedup,
     "url_blocklist": q_url_blocklist,
+    "pack_sequences": q_pack_sequences,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
     "substring_dedup": q_substring_dedup,
     "kmv_distinct": q_kmv_distinct,
-    "source_lang_matrix": q_source_lang_matrix,
     "token_stats": q_token_stats,
     "exact_dedup": q_exact_dedup,
     "segment_dedup": q_segment_dedup,
@@ -3259,7 +3338,9 @@ QUERIES = {
     # sibling (token_freq_top50 / lang_counts / source_jsonl /
     # length_cdf's r4 row for length_histogram / token_freq_top50's
     # sort+limit for top_longest / exact_dedup's md5 kernel for
-    # fingerprint)
+    # fingerprint / lang_counts + lang_source_rollup's r4 row for
+    # source_lang_matrix)
+    "source_lang_matrix": q_source_lang_matrix,
     "fingerprint": q_fingerprint,
     "stopword_counts": q_stopword_counts,
     "partitioned_sink": q_partitioned_sink,
@@ -3317,6 +3398,7 @@ ORACLE_SQL = {
     "webtext_clean": SQL_WEBTEXT_CLEAN,
     "line_dedup": SQL_LINE_DEDUP,
     "url_blocklist": SQL_URL_BLOCKLIST,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,

@@ -165,3 +165,37 @@ def test_rollup_levels_consistent(ray_session):
     for lang, n in langl.set_index("lang")["n_docs"].items():
         assert g[lang] == n
     assert int(top["n_docs"].iloc[0]) == int(fine["n_docs"].sum())
+
+
+class TestPackSequences:
+    def test_multi_bucket_prefix(self, ray_session, tmp_path):
+        """Global token prefix scan across MULTIPLE scan buckets: doc
+        ids straddle several PACK_BUCKET_W ranges, so the driver-side
+        exclusive scan actually carries offsets between buckets."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import cld2_ray.pipelines.queries as Q
+        ids = [0, 1, 4095, 4096, 4097, 9000, 12288, 12289]
+        texts = ["a b c", "", "x " * 300, "one", "two three",
+                 "k " * 100, "z", "final words here"]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string()),
+                      "lang": pa.array(["en"] * len(ids)),
+                      "source": pa.array(["s"] * len(ids)),
+                      "n_chars": pa.array([len(x) for x in texts],
+                                          pa.int64())})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = Q.q_pack_sequences(str(d)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        want = con.execute(Q.SQL_PACK_SEQUENCES).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns].astype("int64"),
+                                      want.astype("int64"))
+        # shards are contiguous: offsets restart below SEQ_TOKENS
+        assert (got.shard_offset < Q.SEQ_TOKENS).all()
