@@ -2990,6 +2990,148 @@ def q_incremental_dedup(sf_dir, mod: int = 7):
         batch_format="pyarrow", batch_size=None)
 
 
+def _md5_h64(texts) -> tuple:
+    """(hex_md5: list[str], h1: uint64[], h2: uint64[]) per text —
+    the two independent 64-bit halves of the md5 digest drive the
+    Bloom filter's double hashing. One C pass when native is built."""
+    import hashlib
+
+    from cld2_ray import native
+    if native.AVAILABLE and len(texts):
+        data, offs = native.utf8_cat([t or "" for t in texts])
+        dig = np.asarray(native.md5_batch(data, offs), dtype=np.uint8)
+        raw = dig.reshape(-1, 16)
+        h = raw.view(np.uint64).reshape(-1, 2)
+        hexes = np.asarray(native.hex_digest(raw)).astype("U32")
+        return hexes.tolist(), h[:, 0].copy(), h[:, 1].copy()
+    digs = [hashlib.md5((t or "").encode()).digest() for t in texts]
+    h1 = np.array([int.from_bytes(d[:8], "little") for d in digs],
+                  dtype=np.uint64)
+    h2 = np.array([int.from_bytes(d[8:], "little") for d in digs],
+                  dtype=np.uint64)
+    return [d.hex() for d in digs], h1, h2
+
+
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 8
+
+
+def q_incremental_dedup_bloom(sf_dir, mod: int = 7):
+    """Bloom-accelerated incremental dedup — EXACT same output as
+    q_incremental_dedup (same oracle SQL): the corpus side is pruned
+    with a Bloom filter of the prior snapshot BEFORE the shuffle
+    join. Definite-misses (the vast majority of genuinely-new docs)
+    are kept with ZERO shuffle; only maybe-present docs (true dups +
+    the filter's ~0.06% false positives at 16 bits/key, k=8) enter
+    the exact LEFT ANTI join, shrinking the join's shuffle volume to
+    ~the duplicate rate. The output stays exact because the bloom is
+    only a pre-filter — false positives are re-checked by the join,
+    and a Bloom filter has no false negatives.
+
+    Build: per-block partial filters (m/64 uint64 words, bits set by
+    double hashing h1 + i*h2 over the md5 halves) OR-reduced on the
+    driver and ray.put once. Driver memory is m bits — 2 bytes/key;
+    at 10^12 prior keys shard the filter by key-bucket (one object
+    per shard, tasks probe their bucket's shard) instead of one
+    global array; one shard suffices at any test scale here."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_prior = n_rows // mod + 1
+    m = max(64, ((n_prior * BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_bloom(df: pd.DataFrame) -> pa.Table:
+        sub = df[df["doc_id"] % mod == 0]
+        words = np.zeros(m // 64, dtype=np.uint64)
+        if len(sub):
+            _, h1, h2 = _md5_h64(sub["text"].tolist())
+            for i in range(BLOOM_K):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(
+                    np.int64), np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bloom": pa.array([words.tobytes()],
+                                           type=pa.binary())})
+
+    parts = ds.map_batches(partial_bloom, batch_format="pandas",
+                           batch_size=None).take_all()
+    bloom = np.zeros(m // 64, dtype=np.uint64)
+    for row in parts:
+        bloom |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(df: pd.DataFrame) -> pa.Table:
+        sub = df[df["doc_id"] % mod != 0]
+        if not len(sub):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "content_md5": pa.array([], pa.string()),
+                             "part_": pa.array([], pa.int64()),
+                             "maybe": pa.array([], pa.bool_())})
+        blm = ray.get(bloom_ref)
+        hexes, h1, h2 = _md5_h64(sub["text"].tolist())
+        maybe = np.ones(len(sub), dtype=bool)
+        for i in range(BLOOM_K):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            bit = (blm[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            maybe &= bit.astype(bool)
+        return pa.table({
+            "doc_id": pa.array(sub["doc_id"].to_numpy(np.int64)),
+            "content_md5": pa.array(np.array(hexes, dtype=object),
+                                    pa.string()),
+            "part_": pa.array((h1 % np.uint64(64)).astype(np.int64)),
+            "maybe": pa.array(maybe)})
+
+    # ONE text+md5 pass; materialized so the definite/maybe consumers
+    # below don't each re-execute it. The materialized table is keys
+    # only (fixed-width doc_id/md5/bucket/flag — no text): ~60 B/doc,
+    # object-store-resident and spillable at corpus scale.
+    probed = ds.map_batches(probe, batch_format="pandas",
+                            batch_size=None).materialize()
+    definite_new = probed.filter(expr="maybe == False") \
+        .select_columns(["doc_id", "content_md5"])
+    maybe = probed.filter(expr="maybe == True") \
+        .select_columns(["doc_id", "content_md5", "part_"])
+
+    def prior_keys(df: pd.DataFrame) -> pa.Table:
+        sub = df[df["doc_id"] % mod == 0]
+        hexes, h1, _h2 = _md5_h64(sub["text"].tolist())
+        return pa.table({"doc_id": pa.array(
+                            np.full(len(sub), -1, np.int64)),
+                         "content_md5": pa.array(hexes, pa.string()),
+                         "part_": pa.array(
+                             (h1 % np.uint64(64)).astype(np.int64))})
+
+    prior = ds.map_batches(prior_keys, batch_format="pandas",
+                           batch_size=None)
+
+    # exact anti join over the pruned candidates, via the repo's
+    # 64-bucket co-partition idiom (groupby + vectorized isin) —
+    # ray.data's hash-shuffle join drops partition schema when the
+    # bloom leaves a partition EMPTY (reproduced; the unpruned
+    # incremental_dedup never hits it because its left side is the
+    # whole corpus). doc_id == -1 marks the prior side; buckets key
+    # off the md5's first 64-bit half, so both sides co-locate.
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        prior_keys_ = set(g.loc[g["doc_id"] < 0, "content_md5"])
+        keep = g[(g["doc_id"] >= 0)
+                 & ~g["content_md5"].isin(prior_keys_)]
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].to_numpy(np.int64),
+            "content_md5": keep["content_md5"].to_numpy(object)})
+
+    # coalesce before the sort shuffle: the two key tables arrive as
+    # one tiny block per input row-group (~600 rows each here), and
+    # fragmented sort pieces inline on the owner (the round-5
+    # _exchange_blocks lesson — BASELINE.md)
+    survivors = maybe.union(prior).repartition(16) \
+        .groupby("part_").map_groups(anti, batch_format="pandas")
+    return definite_new.union(survivors)
+
+
 # coalesce: the Ray side hashes NULL text as '' (a NULL never matches
 # anything under SQL equality, which would silently keep every
 # null-text doc); both sides pin "null text == empty text"
@@ -3276,6 +3418,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "url_blocklist": q_url_blocklist,
     "pack_sequences": q_pack_sequences,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
     # new in r4 (never driver-checked -> head of the window)
     "url_canonical_dedup": q_url_canonical_dedup,
     "domain_stats": q_domain_stats,
@@ -3287,7 +3430,6 @@ QUERIES = {
     "source_quota": q_source_quota,
     "tfidf_top5": q_tfidf_top5,
     "lang_quantiles": q_lang_quantiles,
-    "customers_without_orders": q_customers_without_orders,
     "orders_per_customer": q_orders_per_customer,
     "source_vocab": q_source_vocab,
     "bigram_top50": q_bigram_top50,
@@ -3339,7 +3481,9 @@ QUERIES = {
     # length_cdf's r4 row for length_histogram / token_freq_top50's
     # sort+limit for top_longest / exact_dedup's md5 kernel for
     # fingerprint / lang_counts + lang_source_rollup's r4 row for
-    # source_lang_matrix)
+    # source_lang_matrix / incremental_dedup + the bloom variant's
+    # anti-join for customers_without_orders)
+    "customers_without_orders": q_customers_without_orders,
     "source_lang_matrix": q_source_lang_matrix,
     "fingerprint": q_fingerprint,
     "stopword_counts": q_stopword_counts,
@@ -3399,6 +3543,7 @@ ORACLE_SQL = {
     "line_dedup": SQL_LINE_DEDUP,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     "top_longest": SQL_TOP_LONGEST,
     "token_freq_top50": SQL_TOKEN_FREQ_TOP50,
     "stopword_counts": SQL_STOPWORD_COUNTS,

@@ -44,7 +44,7 @@ QUERIES = [
     "url_canonical_dedup", "domain_stats", "minhash_fast",
     "gopher_repetition", "gopher_full", "c4_line_filter",
     "blocklist_filter", "webtext_clean", "line_dedup",
-    "url_blocklist", "pack_sequences",
+    "url_blocklist", "pack_sequences", "incremental_dedup_bloom",
 ]
 
 

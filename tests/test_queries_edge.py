@@ -199,3 +199,33 @@ class TestPackSequences:
                                       want.astype("int64"))
         # shards are contiguous: offsets restart below SEQ_TOKENS
         assert (got.shard_offset < Q.SEQ_TOKENS).all()
+
+
+class TestIncrementalDedupBloom:
+    def test_matches_exact_variant(self, ray_session, tmp_path):
+        """The bloom-pruned pipeline returns EXACTLY the exact anti
+        join's rows on a corpus with real duplicates (bloom has no
+        false negatives; false positives are re-checked)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import cld2_ray.pipelines.queries as Q
+        n = 700
+        texts = [f"doc body {i % 150}" for i in range(n)]  # heavy dups
+        t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": pa.array(texts, pa.string()),
+                      "lang": pa.array(["en"] * n),
+                      "source": pa.array(["s"] * n),
+                      "n_chars": pa.array([len(x) for x in texts],
+                                          pa.int64())})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = Q.q_incremental_dedup_bloom(str(d)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = Q.q_incremental_dedup(str(d)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        # every kept doc's text is genuinely absent from the prior set
+        prior = {texts[i] for i in range(0, n, 7)}
+        assert all(texts[i] not in prior for i in got["doc_id"])
