@@ -47,6 +47,8 @@ LANG_COLOR = (
 )
 UNSCORED_TEXT = 0xb0b0b0
 UNSCORED_BACKGROUND = 0xffffff
+IGNOREME_TEXT = 0x8090a0           # TG_UNKNOWN_LANGUAGE ("xxx")
+IGNOREME_BACKGROUND = 0xffeecc
 ENGLISH_BACKGROUND = 0xfffff4
 
 
@@ -58,6 +60,8 @@ def back_color(code: str) -> int:
     """debug.cc GetBackColor (lighten=false)."""
     if code == "en":
         return ENGLISH_BACKGROUND
+    if code == "xxx":              # TG_UNKNOWN_LANGUAGE, debug.cc:179
+        return IGNOREME_BACKGROUND
     if code == "un" or code not in REF_LANG_ENUM:
         return UNSCORED_BACKGROUND
     return LANG_BACKGROUND[_ref_enum(code) & 0x0F]
@@ -65,6 +69,8 @@ def back_color(code: str) -> int:
 
 def text_color(code: str) -> int:
     """debug.cc GetTextColor (lighten=false)."""
+    if code == "xxx":              # TG_UNKNOWN_LANGUAGE, debug.cc:198
+        return IGNOREME_TEXT
     if code == "un" or code not in REF_LANG_ENUM:
         return UNSCORED_TEXT
     return LANG_COLOR[(_ref_enum(code) >> 4) & 0x0F]
@@ -72,9 +78,9 @@ def text_color(code: str) -> int:
 
 def html_escaped(txt: str) -> str:
     """debug.cc GetHtmlEscapedText: &<>'\" escaped, CR/LF -> space."""
-    out = _html.escape(txt, quote=True).replace("'", "&apos;")
-    # html.escape leaves the quote form &#x27;; normalize to &apos;
-    out = out.replace("&#x27;", "&apos;")
+    # html.escape(quote=True) emits &#x27; for apostrophes; the
+    # reference writes &apos;
+    out = _html.escape(txt, quote=True).replace("&#x27;", "&apos;")
     return out.replace("\n", " ").replace("\r", " ")
 
 
@@ -135,8 +141,11 @@ def debug_page(url: str, text: str,
 
 
 def write_debug_sample(pages_ds, out_dir: str, n: int = 20) -> int:
-    """Sampling debug sink: detect_ranges_html over the first ``n``
-    pages and one HTML file per page under ``out_dir``. A limit() on
+    """Sampling debug sink: extract + detect_ranges over the first
+    ``n`` pages, one HTML file per page under ``out_dir``. Offsets in
+    the dump are EXTRACTED-TEXT byte offsets (the buffer the chunks
+    are rendered from, like the reference's src pointer); use
+    Detector.detect_ranges_html for raw-page offsets. A limit() on
     the Dataset keeps this to a handful of blocks regardless of input
     size — the debug surface costs nothing unless asked for."""
     import os
@@ -152,6 +161,7 @@ def write_debug_sample(pages_ds, out_dir: str, n: int = 20) -> int:
         text = extract_text(html_bytes[:valid_utf8_prefix(html_bytes)])
         chunks = det.detect_ranges(text)
         page = debug_page(row.get("url", f"row{i}"), text, chunks)
-        with open(os.path.join(out_dir, f"debug_{i:04d}.html"), "w") as f:
+        with open(os.path.join(out_dir, f"debug_{i:04d}.html"), "w",
+                  encoding="utf-8") as f:
             f.write(page)
     return len(rows)

@@ -3001,7 +3001,11 @@ def _md5_h64(texts) -> tuple:
         data, offs = native.utf8_cat([t or "" for t in texts])
         dig = np.asarray(native.md5_batch(data, offs), dtype=np.uint8)
         raw = dig.reshape(-1, 16)
-        h = raw.view(np.uint64).reshape(-1, 2)
+        # pin LITTLE-endian like the fallback below — a platform-
+        # endian view would set bloom bits under one interpretation
+        # and probe under another on mixed-endian clusters
+        h = raw.view(np.dtype("<u8")).reshape(-1, 2) \
+            .astype(np.uint64, copy=True)
         hexes = np.asarray(native.hex_digest(raw)).astype("U32")
         return hexes.tolist(), h[:, 0].copy(), h[:, 1].copy()
     digs = [hashlib.md5((t or "").encode()).digest() for t in texts]
@@ -3044,24 +3048,39 @@ def q_incremental_dedup_bloom(sf_dir, mod: int = 7):
     m = max(64, ((n_prior * BLOOM_BITS_PER_KEY + 63) // 64) * 64)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def partial_bloom(df: pd.DataFrame) -> pa.Table:
+    # ONE pass over the prior snapshot emits BOTH the anti-join key
+    # rows (doc_id == -1) and one per-block partial-bloom carrier row
+    # (doc_id == -2, filter bytes hex in content_md5) — the prior
+    # text is read and hashed exactly once. Materialized: fixed-width
+    # key rows only, no text.
+    def prior_pass(df: pd.DataFrame) -> pa.Table:
         sub = df[df["doc_id"] % mod == 0]
         words = np.zeros(m // 64, dtype=np.uint64)
+        ids = np.full(len(sub) + 1, -1, np.int64)
+        ids[-1] = -2
+        parts = np.full(len(sub) + 1, -1, np.int64)
         if len(sub):
-            _, h1, h2 = _md5_h64(sub["text"].tolist())
+            hexes, h1, h2 = _md5_h64(sub["text"].tolist())
             for i in range(BLOOM_K):
                 idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
                 np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(
                     np.int64), np.uint64(1) << (idx & np.uint64(63)))
-        return pa.table({"bloom": pa.array([words.tobytes()],
-                                           type=pa.binary())})
+            parts[:-1] = (h1 % np.uint64(64)).astype(np.int64)
+        else:
+            hexes = []
+        keys = list(hexes) + [words.astype("<u8").tobytes().hex()]
+        return pa.table({"doc_id": pa.array(ids),
+                         "content_md5": pa.array(keys, pa.string()),
+                         "part_": pa.array(parts)})
 
-    parts = ds.map_batches(partial_bloom, batch_format="pandas",
-                           batch_size=None).take_all()
+    prior_all = ds.map_batches(prior_pass, batch_format="pandas",
+                               batch_size=None).materialize()
     bloom = np.zeros(m // 64, dtype=np.uint64)
-    for row in parts:
-        bloom |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    for row in prior_all.filter(expr="doc_id == -2").take_all():
+        bloom |= np.frombuffer(bytes.fromhex(row["content_md5"]),
+                               dtype="<u8").astype(np.uint64)
     bloom_ref = ray.put(bloom)
+    prior = prior_all.filter(expr="doc_id == -1")
 
     def probe(df: pd.DataFrame) -> pa.Table:
         sub = df[df["doc_id"] % mod != 0]
@@ -3095,18 +3114,6 @@ def q_incremental_dedup_bloom(sf_dir, mod: int = 7):
         .select_columns(["doc_id", "content_md5"])
     maybe = probed.filter(expr="maybe == True") \
         .select_columns(["doc_id", "content_md5", "part_"])
-
-    def prior_keys(df: pd.DataFrame) -> pa.Table:
-        sub = df[df["doc_id"] % mod == 0]
-        hexes, h1, _h2 = _md5_h64(sub["text"].tolist())
-        return pa.table({"doc_id": pa.array(
-                            np.full(len(sub), -1, np.int64)),
-                         "content_md5": pa.array(hexes, pa.string()),
-                         "part_": pa.array(
-                             (h1 % np.uint64(64)).astype(np.int64))})
-
-    prior = ds.map_batches(prior_keys, batch_format="pandas",
-                           batch_size=None)
 
     # exact anti join over the pruned candidates, via the repo's
     # 64-bucket co-partition idiom (groupby + vectorized isin) —
